@@ -1,0 +1,164 @@
+"""HBM-resident dense vector index shard.
+
+Replaces the reference's per-user Qdrant collection with 6 named vectors
+(dense 768-d, int8 copy, matryoshka {64,128,256}, sparse — app/core/
+vector_store/qdrant/qdrant_handler.py:58-98). Storage here is:
+
+  * ``vecs``     (cap, d)  bf16 L2-normalized — the single source of truth.
+  * ``int8``     (cap, d)  int8 symmetric quantization of ``vecs``.
+  * ``inv_norms``(cap, M)  f32 inverse prefix norms — the matryoshka
+                 "vectors" are zero-copy column slices of ``vecs``; only
+                 their norms are materialized. This is why the index hits
+                 Qdrant-equal (actually lower) memory: 768-d bf16 + int8 +
+                 3 f32 norms = 2316 B/row vs Qdrant's fp32 dense + int8 +
+                 3 fp32 matryoshka copies (4868 B/row).
+  * ``live``     (cap,) bool — tombstone mask (delete = mask out).
+
+Capacity grows by doubling with a device-side copy; rows are internal ids
+aligned with the SparseIndex and the host payload store.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IndexConfig
+from ..ops.quant import prepare_vectors_xla, quantize_int8
+from ..ops.topk import blocked_topk, gather_rescore
+from ..utils import round_up
+
+
+class DenseIndex:
+    def __init__(self, config: Optional[IndexConfig] = None):
+        self.cfg = config or IndexConfig()
+        cap = self.cfg.initial_capacity
+        d = self.cfg.dim
+        m = len(self.cfg.matryoshka_dims)
+        dtype = jnp.bfloat16
+        self.vecs = jnp.zeros((cap, d), dtype=dtype)
+        self.int8 = jnp.zeros((cap, d), dtype=jnp.int8)
+        self.inv_norms = jnp.zeros((cap, m), dtype=jnp.float32)
+        self.live = jnp.zeros((cap,), dtype=bool)
+        self.size = 0  # rows [0, size) are allocated (live unless deleted)
+
+    @property
+    def capacity(self) -> int:
+        return self.vecs.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    def _grow(self, needed: int) -> None:
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        pad = new_cap - self.capacity
+        self.vecs = jnp.pad(self.vecs, ((0, pad), (0, 0)))
+        self.int8 = jnp.pad(self.int8, ((0, pad), (0, 0)))
+        self.inv_norms = jnp.pad(self.inv_norms, ((0, pad), (0, 0)))
+        self.live = jnp.pad(self.live, (0, pad))
+
+    def insert(self, embeddings: jax.Array | np.ndarray) -> np.ndarray:
+        """Normalize + derive views + append a batch. Returns row ids."""
+        x = jnp.asarray(embeddings)
+        n = x.shape[0]
+        if self.size + n > self.capacity:
+            self._grow(self.size + n)
+        norm, int8, inv = prepare_vectors_xla(
+            x, self.cfg.matryoshka_dims, out_dtype=self.vecs.dtype
+        )
+        start = self.size
+        self.vecs = jax.lax.dynamic_update_slice_in_dim(self.vecs, norm, start, 0)
+        self.int8 = jax.lax.dynamic_update_slice_in_dim(self.int8, int8, start, 0)
+        self.inv_norms = jax.lax.dynamic_update_slice_in_dim(
+            self.inv_norms, inv, start, 0
+        )
+        self.live = jax.lax.dynamic_update_slice_in_dim(
+            self.live, jnp.ones((n,), dtype=bool), start, 0
+        )
+        self.size += n
+        return np.arange(start, start + n)
+
+    def delete(self, rows) -> None:
+        """Tombstone rows (parity: reset_document / DETACH DELETE re-ingest)."""
+        rows = jnp.asarray(rows)
+        self.live = self.live.at[rows].set(False)
+
+    # ---------------------------------------------------------------- query
+
+    def _mask(self, filter_mask: Optional[jax.Array]) -> jax.Array:
+        if filter_mask is None:
+            return self.live
+        return jnp.logical_and(self.live, filter_mask)
+
+    def normalize_queries(self, queries) -> jax.Array:
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        return q
+
+    def search(
+        self,
+        queries,
+        k: int,
+        *,
+        filter_mask: Optional[jax.Array] = None,
+        approx: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Exact (or per-block approx) full-precision search."""
+        q = self.normalize_queries(queries).astype(self.vecs.dtype)
+        return blocked_topk(
+            self.vecs, q, k,
+            block_size=self.cfg.block_size,
+            valid_n=self.size,
+            filter_mask=self._mask(filter_mask),
+            approx=approx,
+            recall_target=self.cfg.approx_recall_target,
+        )
+
+    def search_int8(self, queries, k: int, *,
+                    filter_mask: Optional[jax.Array] = None,
+                    approx: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """Quantized candidate generation (parity: Qdrant int8 prefetch,
+        qdrant_handler.py:333-344)."""
+        q = self.normalize_queries(queries)
+        q8 = quantize_int8(q)
+        return blocked_topk(
+            self.int8, q8, k,
+            block_size=self.cfg.block_size,
+            valid_n=self.size,
+            filter_mask=self._mask(filter_mask),
+            approx=approx,
+            recall_target=self.cfg.approx_recall_target,
+        )
+
+    def search_matryoshka(self, queries, k: int, level: int, *,
+                          filter_mask: Optional[jax.Array] = None,
+                          approx: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """Prefix-view candidate generation at matryoshka level ``level``."""
+        dim = self.cfg.matryoshka_dims[level]
+        q = self.normalize_queries(queries).astype(self.vecs.dtype)
+        return blocked_topk(
+            self.vecs, q, k,
+            block_size=self.cfg.block_size,
+            valid_n=self.size,
+            prefix_dim=dim,
+            inv_norms=self.inv_norms[:, level],
+            filter_mask=self._mask(filter_mask),
+            approx=approx,
+            recall_target=self.cfg.approx_recall_target,
+        )
+
+    def rescore(self, queries, candidates: jax.Array,
+                candidate_valid: Optional[jax.Array] = None) -> jax.Array:
+        """Exact rescore of candidate rows (the `exact: True` final stage)."""
+        q = self.normalize_queries(queries)
+        safe = jnp.clip(candidates, 0, self.capacity - 1)
+        scores = gather_rescore(self.vecs, q, safe,
+                                candidate_valid=candidate_valid)
+        in_range = jnp.logical_and(candidates >= 0, candidates < self.size)
+        return jnp.where(in_range, scores, -jnp.inf)

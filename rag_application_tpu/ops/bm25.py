@@ -1,0 +1,149 @@
+"""BM25 sparse retrieval as dense TPU ops.
+
+Parity target: the reference's sparse branch delegates BM25 to fastembed's
+"Qdrant/bm25" model plus Qdrant's in-RAM sparse index
+(app/core/embedding/embedding_handler.py:41,101-142;
+app/core/vector_store/qdrant/qdrant_handler.py:81-86,347-354). The scores
+are classic BM25: idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+TPU design — inverted lists are gather-hostile, so retrieval runs in two
+dense stages:
+
+  1. *Impact-ordered candidate generation.* Each term's postings are kept
+     on device as fixed-width rows (term-major `(T, P)` doc ids + f32
+     impact weights, sorted by impact, truncated at P — the classic
+     impact-sorted-index truncation). A query gathers its terms' rows,
+     flattens to (Q, T*P) and takes the top `pool` by single-term impact
+     with `approx_max_k`. This bounds each query's candidate set with
+     pure gathers + a PartialReduce; no scatter, no sort of the corpus.
+  2. *Exact rescore.* Candidates are deduplicated (sort + run-boundary
+     mask) and rescored exactly from a doc-major view (`(N, L)` term ids +
+     impact weights per doc): a (pool, L, T) equality match against the
+     query's terms sums precisely the impacts BM25 assigns. Final top-k
+     over exact scores.
+
+Stage 1 misses only docs whose every single-term impact falls below the
+pool cutoff — measured recall vs. exact host BM25 is part of the test
+suite. Stage 2 makes every returned score exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def bm25_impact_weights(
+    tf: jax.Array,
+    doc_len: jax.Array,
+    idf: jax.Array,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: float = 1.0,
+) -> jax.Array:
+    """Per-(term, doc) BM25 impact weight.
+
+    ``score(q, d) = sum_{t in q} impact(t, d)`` — the weight folds idf and
+    the tf/length normalization so query-time scoring is a pure lookup-sum.
+    """
+    tf = tf.astype(jnp.float32)
+    denom = tf + k1 * (1.0 - b + b * doc_len.astype(jnp.float32) / avgdl)
+    return idf.astype(jnp.float32) * tf * (k1 + 1.0) / denom
+
+
+def _dedup_sorted(cand: jax.Array, pad_id: int) -> jax.Array:
+    """Sort candidate ids ascending and replace duplicate runs with pad_id."""
+    s = jnp.sort(cand, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(s[..., :1], dtype=bool), s[..., 1:] == s[..., :-1]],
+        axis=-1,
+    )
+    return jnp.where(dup, pad_id, s)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pool", "approx"))
+def bm25_topk(
+    post_docs: jax.Array,
+    post_weights: jax.Array,
+    doc_terms: jax.Array,
+    doc_weights: jax.Array,
+    q_rows: jax.Array,
+    q_terms: jax.Array,
+    q_valid: jax.Array,
+    k: int,
+    *,
+    pool: int = 1024,
+    filter_mask: Optional[jax.Array] = None,
+    approx: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched BM25 top-k.
+
+    Args:
+      post_docs: (T_active, P) int32 — impact-ordered doc ids per posting
+        row; padded slots hold ``N`` (the sentinel row of the doc-major
+        view, which has zero terms).
+      post_weights: (T_active, P) f32 impact weights (0 in padding).
+      doc_terms: (N+1, L) int32 — per-doc term ids, padded with -1; row N
+        is the all-padding sentinel.
+      doc_weights: (N+1, L) f32 per-doc impact weights (0 in padding).
+      q_rows: (Q, T) int32 posting-row index of each query term (row
+        T_active-1 must be an all-padding row for unseen terms — the
+        builder guarantees one).
+      q_terms: (Q, T) int32 raw term ids of the query (-2 in padding so it
+        can never match a doc slot).
+      q_valid: (Q, T) bool query-term validity.
+      k: results per query.
+      pool: stage-1 candidate pool size per query.
+      filter_mask: optional (N,) bool payload filter.
+      approx: use approx_max_k for the stage-1 reduce.
+
+    Returns: (scores (Q, k) f32, ids (Q, k) int32). Empty slots have
+      score 0-able -inf and id == N (sentinel).
+    """
+    n_docs = doc_terms.shape[0] - 1  # last row is the sentinel
+    q, t = q_rows.shape
+    p = post_docs.shape[1]
+
+    # Stage 1: gather postings for the query's terms.
+    cand_docs = post_docs[q_rows]  # (Q, T, P)
+    cand_w = post_weights[q_rows]  # (Q, T, P)
+    cand_w = jnp.where(q_valid[..., None], cand_w, 0.0)
+    flat_docs = cand_docs.reshape(q, t * p)
+    flat_w = cand_w.reshape(q, t * p)
+    flat_w = jnp.where(flat_docs < n_docs, flat_w, 0.0)
+
+    pool_eff = min(pool, t * p)
+    if approx and t * p > 2 * pool_eff:
+        _, pos = jax.lax.approx_max_k(flat_w, pool_eff)
+    else:
+        _, pos = jax.lax.top_k(flat_w, pool_eff)
+    cand = jnp.take_along_axis(flat_docs, pos, axis=-1)  # (Q, pool)
+
+    # Dedup: sorted candidates, duplicates -> sentinel row.
+    cand = _dedup_sorted(cand, n_docs)
+
+    # Stage 2: exact rescore from the doc-major view.
+    dt = doc_terms[cand]  # (Q, pool, L)
+    dw = doc_weights[cand]  # (Q, pool, L)
+    match = dt[..., :, None] == q_terms[:, None, None, :]  # (Q, pool, L, T)
+    match = jnp.logical_and(match, q_valid[:, None, None, :])
+    hit = jnp.any(match, axis=-1)  # (Q, pool, L)
+    scores = jnp.sum(jnp.where(hit, dw, 0.0), axis=-1)  # (Q, pool)
+
+    valid = cand < n_docs
+    if filter_mask is not None:
+        fm = jnp.concatenate([filter_mask, jnp.zeros((1,), dtype=bool)])
+        valid = jnp.logical_and(valid, fm[cand])
+    scores = jnp.where(jnp.logical_and(valid, scores > 0.0), scores, NEG_INF)
+
+    k_eff = min(k, pool_eff)
+    top_scores, top_pos = jax.lax.top_k(scores, k_eff)
+    top_ids = jnp.take_along_axis(cand, top_pos, axis=-1)
+    top_ids = jnp.where(top_scores > NEG_INF, top_ids, n_docs)
+    return top_scores, top_ids

@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+from rag_application_tpu.config import SparseConfig
+from rag_application_tpu.index.analyzer import Analyzer, light_stem
+from rag_application_tpu.index.sparse import SparseIndex, bm25_idf
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped across a sleepy canine",
+    "machine learning on tensor processing units",
+    "sparse retrieval with bm25 ranking functions",
+    "dense retrieval with neural embeddings",
+    "the dog sleeps while the fox runs through the forest",
+    "bm25 is a classic sparse ranking function for retrieval",
+    "tensor contractions run efficiently on matrix units",
+]
+
+
+def make_index(**kw):
+    cfg = SparseConfig(candidate_pool=64, max_query_terms=8, **kw)
+    idx = SparseIndex(cfg)
+    idx.add_batch(DOCS)
+    return idx
+
+
+def test_analyzer_stopwords_and_stem():
+    a = Analyzer()
+    toks = a.tokenize("The Foxes are jumping over dogs!")
+    assert "the" not in toks and "are" not in toks
+    assert "foxe" in toks or "fox" in toks  # stemmed plural
+
+
+def test_light_stem():
+    assert light_stem("jumping") == "jump"
+    assert light_stem("dogs") == "dog"
+    assert light_stem("is") == "is"
+
+
+def test_bm25_idf_formula():
+    idf = bm25_idf(10, np.array([1, 5, 10]))
+    ref = np.log(1 + (10 - np.array([1, 5, 10]) + 0.5) / (np.array([1, 5, 10]) + 0.5))
+    np.testing.assert_allclose(idf, ref)
+
+
+def test_bm25_search_matches_exact_oracle():
+    idx = make_index()
+    for query in ["fox dog", "bm25 sparse retrieval", "tensor units"]:
+        scores, rows = idx.search([query], k=4, approx=False)
+        exact = idx.exact_scores(query)
+        order = np.argsort(-exact, kind="stable")
+        expect = [r for r in order[:4] if exact[r] > 0]
+        got = [r for r, s in zip(rows[0], scores[0]) if np.isfinite(s)]
+        assert got == expect, (query, got, expect)
+        for r, s in zip(rows[0], scores[0]):
+            if np.isfinite(s):
+                np.testing.assert_allclose(s, exact[r], rtol=1e-4)
+
+
+def test_bm25_empty_query_returns_no_hits():
+    idx = make_index()
+    scores, rows = idx.search(["zzzunknownzzz"], k=3)
+    assert not np.isfinite(scores).any()
+    assert (rows == len(DOCS)).all()
+
+
+def test_bm25_delete_tombstones():
+    idx = make_index()
+    scores, rows = idx.search(["fox"], k=8, approx=False)
+    assert 0 in rows[0]
+    idx.delete(0)
+    scores, rows = idx.search(["fox"], k=8, approx=False)
+    assert 0 not in rows[0][np.isfinite(scores[0])]
+
+
+def test_bm25_filter_mask():
+    import jax.numpy as jnp
+
+    idx = make_index()
+    mask = np.zeros(len(DOCS), dtype=bool)
+    mask[5] = True  # only doc 5 allowed
+    scores, rows = idx.search(["fox dog"], k=4, filter_mask=jnp.asarray(mask), approx=False)
+    finite = np.isfinite(scores[0])
+    assert rows[0][finite].tolist() == [5]
+
+
+def test_bm25_incremental_add_is_searchable():
+    idx = make_index()
+    new_row = idx.add("an entirely new document about quokkas")
+    scores, rows = idx.search(["quokkas"], k=2, approx=False)
+    assert rows[0][0] == new_row
+
+
+def test_bm25_batched_queries():
+    idx = make_index()
+    scores, rows = idx.search(["fox", "embeddings"], k=3, approx=False)
+    assert np.isfinite(scores[0]).any() and np.isfinite(scores[1]).any()
+    assert rows.shape == (2, 3)
