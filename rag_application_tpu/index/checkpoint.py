@@ -1,0 +1,157 @@
+"""Index checkpoint / restore.
+
+The reference gets index durability for free from Qdrant/Neo4j docker
+volumes (docker-compose.yml:29-31,106-110; SURVEY §5.4). Here the
+HBM-resident shards are framework-owned state, serialized as:
+
+  <dir>/manifest.json      — versioned manifest: sizes, dims, config
+  <dir>/dense.npz          — vecs (bf16 bitcast to uint16), int8,
+                             inv_norms, live
+  <dir>/sparse.json|npz    — analyzer vocab + per-doc term/tf triplets
+  <dir>/payloads.json      — payload rows
+
+Checkpoints are atomic-by-rename: state is written to `<dir>.tmp` and
+renamed into place, so a crash mid-write never corrupts the previous
+checkpoint (parity in spirit with the reference's idempotent re-ingest
+story, rabbitmq_handler.py:97-126).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections import Counter
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MANIFEST_VERSION = 1
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..store.collection import Collection
+
+
+def _bf16_to_u16(x: jax.Array) -> np.ndarray:
+    return np.asarray(jax.lax.bitcast_convert_type(x, jnp.uint16))
+
+
+def _u16_to_bf16(x: np.ndarray) -> jax.Array:
+    return jax.lax.bitcast_convert_type(jnp.asarray(x), jnp.bfloat16)
+
+
+def save_collection(col: "Collection", path: str) -> None:
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    dense = col.dense
+    np.savez(
+        os.path.join(tmp, "dense.npz"),
+        vecs_u16=_bf16_to_u16(dense.vecs)
+        if dense.vecs.dtype == jnp.bfloat16
+        else np.asarray(dense.vecs, dtype=np.float32),
+        int8=np.asarray(dense.int8),
+        inv_norms=np.asarray(dense.inv_norms),
+        live=np.asarray(dense.live),
+    )
+
+    sp = col.sparse
+    triplets = []
+    for row, tf_map in enumerate(sp._doc_tfs):
+        if tf_map:
+            for tid, tf in tf_map.items():
+                triplets.append((row, tid, tf))
+    trip = (
+        np.asarray(triplets, dtype=np.int64).reshape(-1, 3)
+        if triplets
+        else np.zeros((0, 3), dtype=np.int64)
+    )
+    np.savez(
+        os.path.join(tmp, "sparse.npz"),
+        triplets=trip,
+        doc_lens=np.asarray(sp._doc_lens, dtype=np.int64),
+        doc_deleted=np.asarray(
+            [t is None for t in sp._doc_tfs], dtype=bool
+        ),
+    )
+    with open(os.path.join(tmp, "vocab.json"), "w") as f:
+        # id order == insertion order
+        terms = sorted(sp.analyzer.vocab, key=sp.analyzer.vocab.get)
+        json.dump(terms, f)
+
+    with open(os.path.join(tmp, "payloads.json"), "w") as f:
+        json.dump(col.payloads._payloads, f)
+
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "name": col.name,
+        "size": dense.size,
+        "dim": dense.cfg.dim,
+        "matryoshka_dims": list(dense.cfg.matryoshka_dims),
+        "vec_dtype": str(dense.vecs.dtype),
+        "n_payloads": len(col.payloads),
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def load_collection(path: str, config=None) -> "Collection":
+    from ..store.collection import Collection
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["version"] > MANIFEST_VERSION:
+        raise ValueError(f"manifest version {manifest['version']} too new")
+
+    col = Collection(manifest["name"], config)
+    if col.cfg.index.dim != manifest["dim"]:
+        raise ValueError(
+            f"config dim {col.cfg.index.dim} != checkpoint dim {manifest['dim']}"
+        )
+
+    d = np.load(os.path.join(path, "dense.npz"))
+    dense = col.dense
+    if "vecs_u16" in d:
+        dense.vecs = _u16_to_bf16(d["vecs_u16"])
+    else:
+        dense.vecs = jnp.asarray(d["vecs"])
+    dense.int8 = jnp.asarray(d["int8"])
+    dense.inv_norms = jnp.asarray(d["inv_norms"])
+    dense.live = jnp.asarray(d["live"])
+    dense.size = int(manifest["size"])
+
+    s = np.load(os.path.join(path, "sparse.npz"))
+    with open(os.path.join(path, "vocab.json")) as f:
+        terms = json.load(f)
+    sp = col.sparse
+    sp.analyzer.vocab = {t: i for i, t in enumerate(terms)}
+    n_docs = len(s["doc_lens"])
+    sp._doc_tfs = [Counter() for _ in range(n_docs)]
+    for row, tid, tf in s["triplets"]:
+        sp._doc_tfs[int(row)][int(tid)] = int(tf)
+    for row, deleted in enumerate(s["doc_deleted"]):
+        if deleted:
+            sp._doc_tfs[row] = None
+    sp._doc_lens = [int(x) for x in s["doc_lens"]]
+    sp._dirty = True
+
+    with open(os.path.join(path, "payloads.json")) as f:
+        payloads = json.load(f)
+    from .payload import PayloadStore
+
+    store = PayloadStore()
+    for p in payloads:
+        if p is None:
+            store._payloads.append(None)
+        else:
+            store.add([p])
+    col.payloads = store
+    return col

@@ -154,11 +154,23 @@ class DenseIndex:
         )
 
     def rescore(self, queries, candidates: jax.Array,
-                candidate_valid: Optional[jax.Array] = None) -> jax.Array:
-        """Exact rescore of candidate rows (the `exact: True` final stage)."""
+                candidate_valid: Optional[jax.Array] = None,
+                *, level: Optional[int] = None) -> jax.Array:
+        """Exact rescore of candidate rows (the `exact: True` final stage).
+
+        With ``level`` set, rescoring happens in the matryoshka prefix view
+        at that level (cosine via inverse prefix norms) — this is how the
+        cascade refines candidates without re-scanning the corpus.
+        """
         q = self.normalize_queries(queries)
         safe = jnp.clip(candidates, 0, self.capacity - 1)
-        scores = gather_rescore(self.vecs, q, safe,
-                                candidate_valid=candidate_valid)
+        if level is None:
+            scores = gather_rescore(self.vecs, q, safe,
+                                    candidate_valid=candidate_valid)
+        else:
+            dim = self.cfg.matryoshka_dims[level]
+            scores = gather_rescore(self.vecs[:, :dim], q[:, :dim], safe,
+                                    candidate_valid=candidate_valid)
+            scores = scores * self.inv_norms[safe, level]
         in_range = jnp.logical_and(candidates >= 0, candidates < self.size)
         return jnp.where(in_range, scores, -jnp.inf)

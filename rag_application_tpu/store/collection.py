@@ -1,0 +1,172 @@
+"""Collection facade: the `QdrantHandler` parity surface.
+
+Reference: app/core/vector_store/qdrant/qdrant_handler.py — per-user
+collections with 6 named vectors, document/chat chunk storage, hybrid
+search, chunk counting, and ColBERT rerank hooks. A `Collection` here
+binds a DenseIndex + SparseIndex + PayloadStore over one row space; the
+`VectorStore` registry maps user ids to collections the way the reference
+maps them to Qdrant collection names (`create_collection`, :34-117).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, FunnelConfig
+from ..index.dense import DenseIndex
+from ..index.payload import PayloadStore
+from ..index.sparse import SparseIndex
+from ..search.hybrid import HybridResult, hybrid_search
+from ..search.params import adaptive_funnel
+
+
+@dataclass
+class SearchHit:
+    score: float
+    row: int
+    payload: Dict[str, Any]
+
+
+class Collection:
+    def __init__(self, name: str, config: Optional[Config] = None):
+        self.name = name
+        self.cfg = config or Config()
+        self.dense = DenseIndex(self.cfg.index)
+        self.sparse = SparseIndex(self.cfg.sparse)
+        self.payloads = PayloadStore()
+
+    # ------------------------------------------------------------- writes
+
+    def store_document_vectors(
+        self,
+        document_id: str,
+        chunks: Sequence[Dict[str, Any]],
+        embeddings,
+        *,
+        extra_payload: Optional[Dict[str, Any]] = None,
+    ) -> List[int]:
+        """Store one document's chunks (parity: store_document_vectors,
+        qdrant_handler.py:120-198 — including `context_version` style
+        payload fields passed through ``chunks``)."""
+        payloads = []
+        texts = []
+        for i, chunk in enumerate(chunks):
+            p = dict(chunk)
+            p.setdefault("document_id", document_id)
+            p.setdefault("chunk_index", i)
+            p.setdefault("kind", "document")
+            if extra_payload:
+                p.update(extra_payload)
+            payloads.append(p)
+            texts.append(p.get("text", ""))
+        rows = self.dense.insert(embeddings)
+        sparse_rows = self.sparse.add_batch(texts)
+        payload_rows = self.payloads.add(payloads)
+        assert list(rows) == sparse_rows == payload_rows, "row drift"
+        return list(rows)
+
+    def store_chat_vectors(self, thread_id: str, messages: Sequence[Dict[str, Any]],
+                           embeddings) -> List[int]:
+        """Chat-memory vectors (parity: store_chat_vectors,
+        qdrant_handler.py:200-267)."""
+        chunks = [dict(m, kind="chat", thread_id=thread_id) for m in messages]
+        return self.store_document_vectors(f"chat:{thread_id}", chunks, embeddings)
+
+    def delete_document(self, document_id: str) -> int:
+        """Tombstone every chunk of a document (parity: reset_document /
+        delete cascade, IndexerAPI neo4j_handler.py:99-152)."""
+        rows = self.payloads.rows_where(document_id=document_id)
+        if rows:
+            self.dense.delete(np.asarray(rows))
+            for r in rows:
+                self.sparse.delete(r)
+            self.payloads.delete(rows)
+        return len(rows)
+
+    # -------------------------------------------------------------- reads
+
+    def chunk_count(self) -> int:
+        """Parity: get_collection_chunk_count (qdrant_handler.py:441)."""
+        return int(np.asarray(jnp.sum(self.dense.live)))
+
+    def hybrid_search(
+        self,
+        query_embedding,
+        query_text: Optional[str] = None,
+        limit: int = 10,
+        *,
+        funnel: Optional[FunnelConfig] = None,
+        adaptive: bool = True,
+        use_matryoshka: bool = True,
+        **filters,
+    ) -> List[SearchHit]:
+        """Single-query hybrid search returning payload-joined hits."""
+        hits = self.hybrid_search_batch(
+            np.asarray(query_embedding)[None, :],
+            [query_text] if query_text is not None else None,
+            limit, funnel=funnel, adaptive=adaptive,
+            use_matryoshka=use_matryoshka, **filters,
+        )
+        return hits[0]
+
+    def hybrid_search_batch(
+        self,
+        query_embeddings,
+        query_texts: Optional[Sequence[str]] = None,
+        limit: int = 10,
+        *,
+        funnel: Optional[FunnelConfig] = None,
+        adaptive: bool = True,
+        use_matryoshka: bool = True,
+        **filters,
+    ) -> List[List[SearchHit]]:
+        if funnel is None:
+            funnel = (adaptive_funnel(self.dense.size, self.cfg.funnel)
+                      if adaptive else self.cfg.funnel)
+        mask = self.payloads.filter_mask(self.dense.capacity, **filters)
+        res: HybridResult = hybrid_search(
+            self.dense, self.sparse, query_embeddings, query_texts, limit,
+            funnel=funnel,
+            filter_mask=jnp.asarray(mask) if mask is not None else None,
+            use_matryoshka=use_matryoshka,
+        )
+        out: List[List[SearchHit]] = []
+        for qi in range(res.rows.shape[0]):
+            hits = []
+            for score, row, ok in zip(res.scores[qi], res.rows[qi], res.valid[qi]):
+                if not ok:
+                    continue
+                payload = self.payloads.get(int(row))
+                if payload is None:
+                    continue
+                hits.append(SearchHit(float(score), int(row), payload))
+            out.append(hits)
+        return out
+
+
+class VectorStore:
+    """Registry of per-user collections (parity: QdrantHandler's
+    `user_{id}` collection naming, qdrant_handler.py:30-32)."""
+
+    def __init__(self, config: Optional[Config] = None):
+        self.cfg = config or Config()
+        self._collections: Dict[str, Collection] = {}
+
+    def get_or_create(self, user_id: str) -> Collection:
+        name = f"user_{user_id}"
+        if name not in self._collections:
+            self._collections[name] = Collection(name, self.cfg)
+        return self._collections[name]
+
+    def drop(self, user_id: str) -> bool:
+        return self._collections.pop(f"user_{user_id}", None) is not None
+
+    def names(self) -> List[str]:
+        return sorted(self._collections)
+
+    def collections(self) -> List[Collection]:
+        return list(self._collections.values())
