@@ -1,0 +1,107 @@
+"""Encoder training: contrastive fine-tuning on TPU meshes.
+
+The reference has no training loop — its embedding quality is whatever
+the remote model serves. A production retrieval stack needs to fine-tune
+its encoder on its own corpus (the capability the reference outsources to
+"pick a better model name"). This module implements the standard recipe:
+InfoNCE over in-batch negatives (both directions), AdamW, bf16 forward /
+f32 optimizer state, sharded DP over the `data` axis with optional tensor
+parallelism over `model` (parallel/mesh.py rules). With the batch sharded,
+XLA inserts the all-gather of the paired embeddings for the (B, B) logit
+matrix automatically — in-batch negatives span the *global* batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import batch_sharding, param_shardings, replicated
+from .encoder import EncoderState
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def contrastive_loss(za: jax.Array, zb: jax.Array,
+                     temperature: float = 0.05) -> jax.Array:
+    """Symmetric InfoNCE with in-batch negatives."""
+    logits = za @ zb.T / temperature  # (B, B)
+    labels = jnp.arange(za.shape[0])
+    loss_a = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_b = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return jnp.mean(loss_a + loss_b) * 0.5
+
+
+def make_train_step(
+    model,
+    optimizer,
+    *,
+    temperature: float = 0.05,
+) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch = dict(ids_a, mask_a, ids_b, mask_b): two views of each pair
+    (query/passage, or augmentations).
+    """
+
+    def loss_fn(params, batch):
+        za = model.apply(params, batch["ids_a"], batch["mask_a"])
+        zb = model.apply(params, batch["ids_b"], batch["mask_b"])
+        loss = contrastive_loss(za, zb, temperature)
+        acc = jnp.mean(
+            jnp.argmax(za @ zb.T, axis=-1) == jnp.arange(za.shape[0])
+        )
+        return loss, acc
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "accuracy": acc},
+        )
+
+    return train_step
+
+
+def shard_train_setup(
+    mesh: Mesh,
+    enc: EncoderState,
+    optimizer,
+    *,
+    temperature: float = 0.05,
+):
+    """Place params/opt-state on the mesh and jit the sharded train step.
+
+    Returns (state, jitted_step, batch_sharding) — the caller shards each
+    batch leaf with `jax.device_put(x, batch_sharding)`.
+    """
+    p_shard = param_shardings(mesh, enc.params)
+    params = jax.device_put(enc.params, p_shard)
+    opt_state = optimizer.init(params)
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), dtype=jnp.int32))
+
+    step_fn = make_train_step(enc.model, optimizer, temperature=temperature)
+    b_shard = batch_sharding(mesh)
+
+    jitted = jax.jit(step_fn)
+    return state, jitted, b_shard

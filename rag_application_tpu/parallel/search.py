@@ -1,0 +1,115 @@
+"""Multi-chip sharded search: corpus rows over the mesh, merge over ICI.
+
+The TPU-native replacement for the reference's "scale by adding services"
+story (SURVEY §5.8): a corpus larger than one chip's HBM shards its rows
+across devices; every device scans its shard with the same blocked
+top-k kernel; per-shard candidate lists all-gather over ICI and a fused
+top-k merge produces the global result. This is the exact structural
+analogue of the multi-slice recipe (candidate lists are tiny — k ids +
+scores per shard — so the collective moves KBs, not the corpus).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.topk import blocked_topk
+
+
+def sharded_topk(
+    mesh: Mesh,
+    corpus: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    axis: str = "data",
+    valid_n: Optional[int] = None,
+    block_size: int = 131072,
+    approx: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global top-k over a row-sharded corpus.
+
+    Args:
+      corpus: (N, d) with N divisible by mesh.shape[axis]; rows sharded
+        over ``axis`` (place with `NamedSharding(mesh, P(axis, None))`).
+      queries: (Q, d), replicated.
+      valid_n: logical corpus size (global row count).
+
+    Returns replicated (vals (Q, k), idx (Q, k)) with global row indices.
+    """
+    n, d = corpus.shape
+    n_shards = mesh.shape[axis]
+    if n % n_shards:
+        raise ValueError(f"corpus rows {n} not divisible by {n_shards} shards")
+    rows_per_shard = n // n_shards
+    if valid_n is None:
+        valid_n = n
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def search(corpus_shard, q):
+        shard_id = jax.lax.axis_index(axis)
+        start = shard_id * rows_per_shard
+        # Rows beyond the logical size are padding on the last shard.
+        local_valid = jnp.clip(valid_n - start, 0, rows_per_shard)
+        vals, idx = blocked_topk(
+            corpus_shard, q, k,
+            block_size=min(block_size, rows_per_shard),
+            approx=approx,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+        in_range = idx < local_valid
+        vals = jnp.where(in_range, vals, -jnp.inf)
+        idx = idx + start
+        # Gather every shard's candidates and merge: (S, Q, k) -> (Q, S*k).
+        all_vals = jax.lax.all_gather(vals, axis)
+        all_idx = jax.lax.all_gather(idx, axis)
+        s = all_vals.shape[0]
+        qn = all_vals.shape[1]
+        all_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, s * vals.shape[-1])
+        all_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, s * vals.shape[-1])
+        top_vals, pos = jax.lax.top_k(all_vals, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=-1)
+        return top_vals, top_idx
+
+    return search(corpus, queries)
+
+
+def shard_corpus(mesh: Mesh, corpus, *, axis: str = "data") -> jax.Array:
+    """Pad rows to a shard multiple and place them row-sharded on the mesh."""
+    corpus = jnp.asarray(corpus)
+    n_shards = mesh.shape[axis]
+    n = corpus.shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    return jax.device_put(corpus, NamedSharding(mesh, P(axis, None)))
+
+
+def sharded_topk_dryrun(mesh: Mesh) -> None:
+    """Tiny-shape execution of the sharded search path (driver dry run)."""
+    axis = "data"
+    n_shards = mesh.shape[axis]
+    rng = np.random.default_rng(0)
+    n, d, q, k = n_shards * 32, 64, 4, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    queries = corpus[:q] + 0.01 * rng.standard_normal((q, d)).astype(np.float32)
+
+    sharded = shard_corpus(mesh, corpus, axis=axis)
+    vals, idx = sharded_topk(mesh, sharded, jnp.asarray(queries), k,
+                             axis=axis, valid_n=n, approx=False)
+    idx = np.asarray(idx)
+    assert (idx[:, 0] == np.arange(q)).all(), f"self-retrieval failed: {idx[:, 0]}"
