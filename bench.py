@@ -1,0 +1,182 @@
+"""Benchmark: hybrid (dense + BM25 RRF) retrieval QPS at recall@10.
+
+Target metric (BASELINE.json / BASELINE.md): >= 0.95 recall@10 with
+>= 50,000 hybrid QPS on a 1M x 768-d corpus, single chip. The reference
+publishes no numbers; its envelope is Qdrant HNSW + fastembed BM25 behind
+HTTP (SURVEY §6).
+
+Prints ONE JSON line:
+  {"metric": "hybrid_qps_1m_768_recall10", "value": <QPS>, "unit": "qps",
+   "vs_baseline": <QPS/50000>, ...extras}
+
+Environment knobs:
+  BENCH_N       corpus size (default 1_000_000)
+  BENCH_DIM     vector dim (default 768)
+  BENCH_BATCH   query batch size (default 256)
+  BENCH_SMALL=1 quick mode (100k corpus) for smoke runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+    sys.stderr.flush()
+
+
+def synth_corpus(rng, n, d, decay=0.003):
+    """Spectrally-decaying synthetic embeddings (realistic energy profile:
+    real text encoders concentrate variance in leading PCA directions,
+    which is what matryoshka training exploits)."""
+    out = np.empty((n, d), dtype=np.float32)
+    scale = np.exp(-decay * np.arange(d)).astype(np.float32)
+    step = 100_000
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        out[s:e] = rng.standard_normal((e - s, d), dtype=np.float32) * scale
+    return out
+
+
+def synth_tokens(rng, n, vocab=50_000, doc_len=24):
+    """Zipfian bag-of-words docs for the BM25 side, as a token-id matrix."""
+    ranks = np.arange(1, vocab + 1)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    return rng.choice(vocab, size=(n, doc_len), p=probs)
+
+
+def main():
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    n = int(os.environ.get("BENCH_N", 100_000 if small else 1_000_000))
+    d = int(os.environ.get("BENCH_DIM", 768))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    n_eval = 64  # queries used for recall measurement
+    k = 10
+
+    from rag_application_tpu.config import FunnelConfig, IndexConfig, SparseConfig
+    from rag_application_tpu.index.dense import DenseIndex
+    from rag_application_tpu.index.sparse import SparseIndex
+    from rag_application_tpu.search.fused import FusedSearcher
+
+    log(f"[bench] backend={jax.default_backend()} n={n} d={d} batch={batch}")
+    rng = np.random.default_rng(0)
+
+    # ---------------- build ----------------
+    t0 = time.time()
+    corpus = synth_corpus(rng, n, d)
+    vocab = 50_000
+    tokens = synth_tokens(rng, n, vocab=vocab)
+    t_synth = time.time() - t0
+    log(f"[bench] synth data: {t_synth:.1f}s")
+
+    dense = DenseIndex(IndexConfig(dim=d, initial_capacity=1 << (n - 1).bit_length()))
+    t0 = time.time()
+    for s in range(0, n, 100_000):
+        dense.insert(corpus[s : s + 100_000])
+    jax.block_until_ready(dense.vecs)
+    t_dense_build = time.time() - t0
+    log(f"[bench] dense build: {t_dense_build:.1f}s")
+
+    sparse = SparseIndex(SparseConfig())
+    t0 = time.time()
+    # Register the synthetic vocab so text queries analyze to the same ids.
+    sparse.analyzer.vocab = {f"w{t}": t for t in range(vocab)}
+    sparse.add_pretokenized(tokens)
+    sparse.rebuild()
+    jax.block_until_ready(sparse.device_arrays()["post_docs"])
+    t_sparse_build = time.time() - t0
+    log(f"[bench] sparse build: {t_sparse_build:.1f}s")
+
+    # ---------------- queries ----------------
+    # Queries: noisy copies of corpus rows (realistic near-duplicate
+    # retrieval) + their texts for the sparse branch.
+    q_idx = rng.integers(0, n, size=batch)
+    queries = corpus[q_idx] + 0.05 * rng.standard_normal((batch, d)).astype(np.float32)
+    q_texts = [" ".join(f"w{t}" for t in tokens[i]) for i in q_idx]
+
+    funnel = FunnelConfig(
+        matryoshka_limits=(128, 96, 64),
+        dense_limit=64,
+        quantized_limit=128,
+        sparse_limit=50,
+        final_limit=k,
+    )
+    searcher = FusedSearcher(dense, sparse, funnel)
+
+    t0 = time.time()
+    scores, ids = searcher.search(queries, q_texts, k)
+    jax.block_until_ready(scores)
+    t_compile = time.time() - t0
+    log(f"[bench] first query batch (incl compile): {t_compile:.1f}s")
+
+    # ---------------- recall ----------------
+    # Oracle: exact full-precision dense top-10 for n_eval queries,
+    # computed on device in blocks (bf16 matmul, exact top_k).
+    from rag_application_tpu.ops.topk import blocked_topk
+
+    qn = queries[:n_eval] / np.linalg.norm(queries[:n_eval], axis=-1, keepdims=True)
+    ex_vals, ex_ids = blocked_topk(
+        dense.vecs, jnp.asarray(qn, dtype=dense.vecs.dtype), k,
+        block_size=dense.cfg.block_size, valid_n=dense.size, approx=False,
+    )
+    ex_ids = np.asarray(ex_ids)
+    got = np.asarray(ids)[:n_eval]
+    recall = np.mean(
+        [np.isin(ex_ids[i], got[i]).mean() for i in range(n_eval)]
+    )
+    log(f"[bench] recall@10 vs exact dense: {recall:.4f}")
+
+    # ---------------- throughput ----------------
+    reps = 3 if small else 5
+    t0 = time.time()
+    for _ in range(reps):
+        scores, ids = searcher.search(queries, q_texts, k)
+    jax.block_until_ready(scores)
+    dt = (time.time() - t0) / reps
+    qps = batch / dt
+    p50 = dt / batch * 1e3  # amortized per-query ms within the batch
+    log(f"[bench] {dt*1e3:.2f} ms/batch -> {qps:,.0f} QPS, "
+        f"{p50:.3f} ms/query amortized")
+
+    # single-batch latency (p50 across reps)
+    lats = []
+    for _ in range(10):
+        t1 = time.time()
+        s2, _ = searcher.search(queries[:1], q_texts[:1], k)
+        jax.block_until_ready(s2)
+        lats.append(time.time() - t1)
+    p50_single = float(np.median(lats)) * 1e3
+    log(f"[bench] single-query p50 latency: {p50_single:.1f} ms")
+
+    result = {
+        "metric": "hybrid_qps_1m_768_recall10" if not small else "hybrid_qps_small",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 50_000.0, 3),
+        "recall_at_10": round(float(recall), 4),
+        "corpus_size": n,
+        "dim": d,
+        "batch": batch,
+        "p50_batch_ms": round(dt * 1e3, 2),
+        "p50_single_query_ms": round(p50_single, 1),
+        "dense_build_s": round(t_dense_build, 1),
+        "sparse_build_s": round(t_sparse_build, 1),
+        "backend": jax.default_backend(),
+        "total_bench_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,7 +50,10 @@ class SparseConfig:
     k1: float = 1.2
     b: float = 0.75
     # Postings per term kept on device (sorted by impact, truncated).
-    max_postings_per_term: int = 4096
+    # Impact-ordered truncation: only the top-P highest-impact postings of
+    # a term can reach the candidate pool; low-idf (stopword-ish) terms
+    # lose only negligible-weight postings.
+    max_postings_per_term: int = 1024
     # Unique terms kept per document (for exact rescore), impact-ordered.
     max_terms_per_doc: int = 256
     # Query terms considered (padded/truncated).

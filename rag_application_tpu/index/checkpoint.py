@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from collections import Counter
+
 from typing import TYPE_CHECKING
 
 import jax
@@ -60,23 +60,31 @@ def save_collection(col: "Collection", path: str) -> None:
     )
 
     sp = col.sparse
-    triplets = []
-    for row, tf_map in enumerate(sp._doc_tfs):
-        if tf_map:
-            for tid, tf in tf_map.items():
-                triplets.append((row, tid, tf))
-    trip = (
-        np.asarray(triplets, dtype=np.int64).reshape(-1, 3)
-        if triplets
-        else np.zeros((0, 3), dtype=np.int64)
-    )
+    rows_list, terms_list, tfs_list = [], [], []
+    for row, (t, f) in enumerate(zip(sp._doc_terms, sp._doc_tfs)):
+        if t.size:
+            rows_list.append(np.full(t.size, row, dtype=np.int64))
+            terms_list.append(t.astype(np.int64))
+            tfs_list.append(f.astype(np.int64))
+    if rows_list:
+        trip = np.stack(
+            [
+                np.concatenate(rows_list),
+                np.concatenate(terms_list),
+                np.concatenate(tfs_list),
+            ],
+            axis=1,
+        )
+    else:
+        trip = np.zeros((0, 3), dtype=np.int64)
+    deleted = np.zeros(len(sp._doc_terms), dtype=bool)
+    if sp._deleted:
+        deleted[np.asarray(sorted(sp._deleted))] = True
     np.savez(
         os.path.join(tmp, "sparse.npz"),
         triplets=trip,
         doc_lens=np.asarray(sp._doc_lens, dtype=np.int64),
-        doc_deleted=np.asarray(
-            [t is None for t in sp._doc_tfs], dtype=bool
-        ),
+        doc_deleted=deleted,
     )
     with open(os.path.join(tmp, "vocab.json"), "w") as f:
         # id order == insertion order
@@ -134,12 +142,19 @@ def load_collection(path: str, config=None) -> "Collection":
     sp = col.sparse
     sp.analyzer.vocab = {t: i for i, t in enumerate(terms)}
     n_docs = len(s["doc_lens"])
-    sp._doc_tfs = [Counter() for _ in range(n_docs)]
-    for row, tid, tf in s["triplets"]:
-        sp._doc_tfs[int(row)][int(tid)] = int(tf)
-    for row, deleted in enumerate(s["doc_deleted"]):
-        if deleted:
-            sp._doc_tfs[row] = None
+    trip = s["triplets"]
+    sp._doc_terms = [np.zeros(0, dtype=np.int32) for _ in range(n_docs)]
+    sp._doc_tfs = [np.zeros(0, dtype=np.int32) for _ in range(n_docs)]
+    if trip.shape[0]:
+        order = np.argsort(trip[:, 0], kind="stable")
+        trip = trip[order]
+        starts = np.searchsorted(trip[:, 0], np.arange(n_docs), side="left")
+        ends = np.searchsorted(trip[:, 0], np.arange(n_docs), side="right")
+        for row in range(n_docs):
+            seg = trip[starts[row]:ends[row]]
+            sp._doc_terms[row] = seg[:, 1].astype(np.int32)
+            sp._doc_tfs[row] = seg[:, 2].astype(np.int32)
+    sp._deleted = {int(r) for r in np.nonzero(s["doc_deleted"])[0]}
     sp._doc_lens = [int(x) for x in s["doc_lens"]]
     sp._dirty = True
 

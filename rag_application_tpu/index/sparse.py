@@ -3,8 +3,9 @@
 Replaces the reference's delegated sparse stack (fastembed "Qdrant/bm25"
 encoding + Qdrant's in-RAM sparse index, app/core/embedding/
 embedding_handler.py:101-142, qdrant_handler.py:81-86). Documents are
-analyzed on the host into term-frequency maps; `rebuild()` materializes
-two dense device views:
+analyzed on the host into (term, tf) arrays; `rebuild()` materializes two
+dense device views with fully vectorized numpy (no per-doc Python loops,
+so million-document rebuilds stay in seconds):
 
   * term-major: (V_pad, P) impact-ordered postings (doc ids + weights)
   * doc-major:  (N+1, L) per-doc top-L terms by impact (exact-rescore view)
@@ -18,8 +19,7 @@ likewise re-upserts whole pages, IndexerAPI neo4j_handler.py:154-203).
 from __future__ import annotations
 
 import math
-from collections import Counter
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,92 +41,162 @@ class SparseIndex:
                  analyzer: Optional[Analyzer] = None):
         self.cfg = config or SparseConfig()
         self.analyzer = analyzer or Analyzer()
-        # Host state: per-doc term-frequency maps, aligned with dense rows.
-        self._doc_tfs: List[Optional[Counter]] = []
+        # Host state: per-doc unique (term id, tf) arrays, row-aligned with
+        # the dense index.
+        self._doc_terms: List[np.ndarray] = []
+        self._doc_tfs: List[np.ndarray] = []
         self._doc_lens: List[int] = []
+        self._deleted: Set[int] = set()
         self._dirty = True
         self._device: Optional[dict] = None
 
     # ------------------------------------------------------------------ host
 
     def __len__(self) -> int:
-        return len(self._doc_tfs)
+        return len(self._doc_terms)
+
+    def is_deleted(self, row: int) -> bool:
+        return row in self._deleted
 
     def add(self, text: str) -> int:
         """Analyze + append one document; returns its row id."""
-        tids = self.analyzer.encode(text, grow=True)
-        row = len(self._doc_tfs)
-        self._doc_tfs.append(Counter(tids))
-        self._doc_lens.append(len(tids))
+        tids = np.asarray(self.analyzer.encode(text, grow=True), dtype=np.int64)
+        terms, tfs = (
+            np.unique(tids, return_counts=True)
+            if tids.size
+            else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        )
+        row = len(self._doc_terms)
+        self._doc_terms.append(terms.astype(np.int32))
+        self._doc_tfs.append(tfs.astype(np.int32))
+        self._doc_lens.append(int(tids.size))
         self._dirty = True
         return row
 
     def add_batch(self, texts: Sequence[str]) -> List[int]:
         return [self.add(t) for t in texts]
 
+    def add_pretokenized(self, token_matrix: np.ndarray,
+                         lengths: Optional[np.ndarray] = None) -> List[int]:
+        """Bulk-add documents given as a (N, L) int token-id matrix.
+
+        The vectorized ingest path for corpora whose tokenization happens
+        upstream (or in the native tokenizer): per-row unique+counts are
+        computed with one sort over the whole matrix. Pad slots must be -1.
+        Callers are responsible for having registered the corresponding
+        vocabulary in ``self.analyzer.vocab`` if text queries should match.
+        """
+        tm = np.asarray(token_matrix, dtype=np.int64)
+        n, l = tm.shape
+        s = np.sort(tm, axis=1)
+        start = len(self._doc_terms)
+        new_first = np.concatenate(
+            [np.ones((n, 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
+        )
+        new_first &= s >= 0
+        for i in range(n):
+            terms = s[i][new_first[i]]
+            # counts: run lengths between first-occurrence positions
+            pos = np.flatnonzero(new_first[i])
+            ends = np.append(pos[1:], l)
+            counts = ends - pos
+            self._doc_terms.append(terms.astype(np.int32))
+            self._doc_tfs.append(counts.astype(np.int32))
+            self._doc_lens.append(int((tm[i] >= 0).sum()))
+        self._dirty = True
+        return list(range(start, start + n))
+
     def delete(self, row: int) -> None:
         """Tombstone a row (parity: page-level DETACH DELETE re-ingest,
         IndexerAPI neo4j_handler.py:161-169)."""
-        self._doc_tfs[row] = None
-        self._doc_lens[row] = 0
+        self._deleted.add(row)
         self._dirty = True
 
     # ---------------------------------------------------------------- build
 
+    def _flat_triplets(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Live (row, term, tf) triplets as flat arrays."""
+        rows, terms, tfs = [], [], []
+        for row, (t, f) in enumerate(zip(self._doc_terms, self._doc_tfs)):
+            if row in self._deleted or t.size == 0:
+                continue
+            rows.append(np.full(t.size, row, dtype=np.int64))
+            terms.append(t.astype(np.int64))
+            tfs.append(f.astype(np.int64))
+        if not rows:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        return (np.concatenate(rows), np.concatenate(terms),
+                np.concatenate(tfs))
+
+    def _stats(self):
+        rows, terms, tfs = self._flat_triplets()
+        v = len(self.analyzer)
+        live = len(self._doc_terms) - len(self._deleted)
+        doc_lens = np.asarray(self._doc_lens, dtype=np.float64)
+        live_mask = np.ones(len(self._doc_terms), dtype=bool)
+        if self._deleted:
+            live_mask[np.asarray(sorted(self._deleted))] = False
+        total = doc_lens[live_mask].sum() if live else 0.0
+        avgdl = (total / live) if live else 1.0
+        df = np.bincount(terms, minlength=max(v, 1))
+        idf = bm25_idf(max(live, 1), df)
+        return rows, terms, tfs, idf, avgdl, live
+
+    def _weights(self, rows, tfs, idf_terms, avgdl):
+        k1, b = self.cfg.k1, self.cfg.b
+        dl = np.asarray(self._doc_lens, dtype=np.float64)[rows]
+        tf = tfs.astype(np.float64)
+        return (idf_terms * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+
     def rebuild(self) -> None:
         cfg = self.cfg
-        n = len(self._doc_tfs)
+        n = len(self._doc_terms)
         v = len(self.analyzer)
-        # Bucket-pad shapes so recompiles only happen on large growth.
         v_pad = max(256, 1 << math.ceil(math.log2(v + 1))) if v else 256
 
-        df = np.zeros(v, dtype=np.int64)
-        for tf in self._doc_tfs:
-            if tf:
-                for tid in tf:
-                    df[tid] += 1
-        total_len = sum(self._doc_lens)
-        live = sum(1 for t in self._doc_tfs if t)
-        avgdl = (total_len / live) if live else 1.0
-        idf = bm25_idf(max(live, 1), np.maximum(df, 0))
+        rows, terms, tfs, idf, avgdl, live = self._stats()
+        w = self._weights(rows, tfs, idf[terms], avgdl) if rows.size else rows.astype(np.float64)
 
-        # Per-(term, doc) impact weights.
-        post_lists: List[List[Tuple[float, int]]] = [[] for _ in range(v)]
-        doc_entries: List[List[Tuple[float, int]]] = []
-        k1, b = cfg.k1, cfg.b
-        for row, tf_map in enumerate(self._doc_tfs):
-            entries: List[Tuple[float, int]] = []
-            if tf_map:
-                dl = self._doc_lens[row]
-                norm = k1 * (1.0 - b + b * dl / avgdl)
-                for tid, tf in tf_map.items():
-                    w = float(idf[tid]) * tf * (k1 + 1.0) / (tf + norm)
-                    post_lists[tid].append((w, row))
-                    entries.append((w, tid))
-            doc_entries.append(entries)
-
-        p = min(cfg.max_postings_per_term,
-                round_up(max((len(pl) for pl in post_lists), default=1), 128))
-        p = max(p, 128)
-        l = min(cfg.max_terms_per_doc,
-                round_up(max((len(e) for e in doc_entries), default=1), 32))
-        l = max(l, 32)
-
+        # --- term-major postings: sort by (term, -weight), rank within term
+        if rows.size:
+            order = np.lexsort((-w, terms))
+            t_sorted, r_sorted, w_sorted = terms[order], rows[order], w[order]
+            term_start = np.searchsorted(t_sorted, np.arange(v), side="left")
+            rank = np.arange(t_sorted.size) - term_start[t_sorted]
+            max_plen = int(np.bincount(t_sorted, minlength=1).max()) if t_sorted.size else 1
+        else:
+            t_sorted = r_sorted = rank = np.zeros(0, dtype=np.int64)
+            w_sorted = np.zeros(0, dtype=np.float64)
+            max_plen = 1
+        p = max(128, min(cfg.max_postings_per_term, round_up(max_plen, 128)))
+        keep = rank < p
         post_docs = np.full((v_pad, p), n, dtype=np.int32)
-        post_w = np.zeros((v_pad, p), dtype=np.float32)
-        for tid, plist in enumerate(post_lists):
-            plist.sort(reverse=True)  # impact-ordered; truncation keeps top-P
-            for j, (w, row) in enumerate(plist[:p]):
-                post_docs[tid, j] = row
-                post_w[tid, j] = w
+        # f16 is plenty for impact-ordered candidate generation (exact
+        # scores come from the f32 doc-major view) and halves the
+        # host->device transfer of the largest array.
+        post_w = np.zeros((v_pad, p), dtype=np.float16)
+        post_docs[t_sorted[keep], rank[keep]] = r_sorted[keep]
+        post_w[t_sorted[keep], rank[keep]] = w_sorted[keep]
 
+        # --- doc-major view: sort by (row, -weight), rank within doc
+        if rows.size:
+            order = np.lexsort((-w, rows))
+            r2, t2, w2 = rows[order], terms[order], w[order]
+            row_start = np.searchsorted(r2, np.arange(n), side="left")
+            rank2 = np.arange(r2.size) - row_start[r2]
+            max_dlen = int(np.bincount(r2, minlength=1).max()) if r2.size else 1
+        else:
+            r2 = t2 = rank2 = np.zeros(0, dtype=np.int64)
+            w2 = np.zeros(0, dtype=np.float64)
+            max_dlen = 1
+        l = max(32, min(cfg.max_terms_per_doc, round_up(max_dlen, 32)))
+        keep2 = rank2 < l
         doc_terms = np.full((n + 1, l), -1, dtype=np.int32)
         doc_w = np.zeros((n + 1, l), dtype=np.float32)
-        for row, entries in enumerate(doc_entries):
-            entries.sort(reverse=True)
-            for j, (w, tid) in enumerate(entries[:l]):
-                doc_terms[row, j] = tid
-                doc_w[row, j] = w
+        doc_terms[r2[keep2], rank2[keep2]] = t2[keep2]
+        doc_w[r2[keep2], rank2[keep2]] = w2[keep2]
 
         self._device = {
             "post_docs": jnp.asarray(post_docs),
@@ -137,14 +207,18 @@ class SparseIndex:
         }
         self._dirty = False
 
+    def device_arrays(self) -> dict:
+        if self._dirty:
+            self.rebuild()
+        return self._device
+
     # ---------------------------------------------------------------- query
 
     def encode_queries(self, queries: Sequence[str]) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Queries -> (q_rows, q_terms, q_valid), fixed width T."""
         t = self.cfg.max_query_terms
-        if self._device is None:
-            raise RuntimeError("rebuild() before querying")
-        v_pad = self._device["v_pad"]
+        dv = self.device_arrays()
+        v_pad = dv["v_pad"]
         q_rows = np.full((len(queries), t), v_pad - 1, dtype=np.int32)
         q_terms = np.full((len(queries), t), -2, dtype=np.int32)
         q_valid = np.zeros((len(queries), t), dtype=bool)
@@ -166,9 +240,7 @@ class SparseIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """BM25 top-k. Returns (scores (Q,k), rows (Q,k)); empty slots have
         row == len(self) and score -inf."""
-        if self._dirty:
-            self.rebuild()
-        dv = self._device
+        dv = self.device_arrays()
         q_rows, q_terms, q_valid = self.encode_queries(queries)
         scores, ids = bm25_topk(
             dv["post_docs"], dv["post_weights"],
@@ -184,25 +256,13 @@ class SparseIndex:
 
     def exact_scores(self, query: str) -> np.ndarray:
         """Exact host-side BM25 scores for every doc (test oracle)."""
-        tids = set(self.analyzer.encode(query, grow=False))
-        n = len(self._doc_tfs)
-        df = Counter()
-        for tf in self._doc_tfs:
-            if tf:
-                df.update(tf.keys())
-        live = sum(1 for t in self._doc_tfs if t)
-        total_len = sum(self._doc_lens)
-        avgdl = (total_len / live) if live else 1.0
-        k1, b = self.cfg.k1, self.cfg.b
+        qtids = set(self.analyzer.encode(query, grow=False))
+        n = len(self._doc_terms)
+        rows, terms, tfs, idf, avgdl, live = self._stats()
         out = np.zeros(n, dtype=np.float64)
-        for row, tf_map in enumerate(self._doc_tfs):
-            if not tf_map:
-                continue
-            dl = self._doc_lens[row]
-            norm = k1 * (1.0 - b + b * dl / avgdl)
-            for tid in tids:
-                tf = tf_map.get(tid, 0)
-                if tf:
-                    idf = math.log(1.0 + (live - df[tid] + 0.5) / (df[tid] + 0.5))
-                    out[row] += idf * tf * (k1 + 1.0) / (tf + norm)
+        if not rows.size or not qtids:
+            return out
+        mask = np.isin(terms, list(qtids))
+        w = self._weights(rows[mask], tfs[mask], idf[terms[mask]], avgdl)
+        np.add.at(out, rows[mask], w)
         return out

@@ -1,0 +1,320 @@
+"""Ingest pipeline: classify -> fan out -> process -> index.
+
+Parity: the v2 IndexerAPI flow (SURVEY §3.3) —
+  FileProcessor classifies into unstructured / structured / direct
+  (IndexerAPI/src/core/processors/file_processor.py:38-75,118-130), then
+  fans out page/sheet/chunk tasks into the queue (:150-252); processors
+  extract text, optionally run KG extraction + embeddings, and upsert
+  page-level into the index (_unstructured_processor.py,
+  _structured_processor.py, _direct_processor.py); Orchestrator routes
+  TaskType -> processor (services/orchestrator.py:11-35).
+
+Here the pipeline feeds a Collection (chunk index) and optionally a
+KGStore (graph index), with the Embedder batching encode calls. External
+converters (unoserver PDF conversion, VLM page description, magika) are
+pluggable hooks; text/markdown and CSV are handled natively. Everything
+is restartable: tasks are idempotent (document reset before re-insert)
+and the queue keeps the retry/failed/success ledger.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import io
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import IngestConfig
+from ..models.embedder import Embedder
+from ..store.collection import Collection
+from .chunker import chunk_text, chunk_words
+from .queue import NonRetryableError, Task, TaskState, TaskType, WorkQueue, task_priority
+
+STRUCTURED_SUFFIXES = {".csv", ".tsv", ".xlsx", ".xls", ".parquet"}
+DIRECT_SUFFIXES = {".txt", ".md", ".markdown", ".rst", ".json", ".html", ".htm"}
+
+
+def classify_file(filename: str, mime: Optional[str] = None) -> str:
+    """unstructured / structured / direct (parity: file_processor.py:38-75)."""
+    name = filename.lower()
+    for suf in STRUCTURED_SUFFIXES:
+        if name.endswith(suf):
+            return "structured"
+    for suf in DIRECT_SUFFIXES:
+        if name.endswith(suf):
+            return "direct"
+    if mime:
+        if mime.startswith("text/"):
+            return "direct"
+        if "spreadsheet" in mime or "csv" in mime:
+            return "structured"
+    return "unstructured"
+
+
+@dataclass
+class IngestResult:
+    document_id: str
+    chunks: int = 0
+    pages: int = 0
+    failed_tasks: int = 0
+
+
+class IngestPipeline:
+    def __init__(
+        self,
+        collection: Collection,
+        embedder: Embedder,
+        *,
+        kg=None,
+        kg_extractor: Optional[Callable[[str], Any]] = None,
+        page_describer: Optional[Callable[[bytes], str]] = None,
+        config: Optional[IngestConfig] = None,
+    ):
+        self.collection = collection
+        self.embedder = embedder
+        self.kg = kg
+        self.kg_extractor = kg_extractor  # text -> {entities, relationships}
+        self.page_describer = page_describer  # image bytes -> description
+        self.cfg = config or IngestConfig()
+        self.queue = WorkQueue(
+            max_retries=self.cfg.max_retries,
+            max_concurrency=self.cfg.max_concurrency,
+        )
+
+    # ------------------------------------------------------------- ingest API
+
+    async def ingest_file(self, filename: str, data: bytes,
+                          *, document_id: Optional[str] = None,
+                          mime: Optional[str] = None) -> IngestResult:
+        """Parity surface: POST /ingest/file (IndexerAPI ingest.py:12-30)."""
+        document_id = document_id or filename
+        task = Task(TaskType.FILE,
+                    {"filename": filename, "data": data,
+                     "document_id": document_id, "mime": mime},
+                    priority=task_priority(TaskType.FILE))
+        await self.queue.put(task)
+        await self.queue.run(self._handle)
+        return self._result(document_id)
+
+    async def ingest_text(self, text: str, *, document_id: str) -> IngestResult:
+        """Parity surface: POST /ingest/raw-text (ingest.py:44-54)."""
+        return await self.ingest_file(document_id + ".txt", text.encode(),
+                                      document_id=document_id)
+
+    def _result(self, document_id: str) -> IngestResult:
+        rows = self.collection.payloads.rows_where(document_id=document_id)
+        pages = {self.collection.payloads.get(r).get("page_number", 0)
+                 for r in rows}
+        return IngestResult(
+            document_id=document_id,
+            chunks=len(rows),
+            pages=len(pages),
+            failed_tasks=len(self.queue.failed),
+        )
+
+    # ---------------------------------------------------------------- tasks
+
+    async def _handle(self, task: Task) -> None:
+        if task.task_type == TaskType.FILE:
+            await self._handle_file(task)
+        elif task.task_type == TaskType.DIRECT_CHUNK:
+            await self._handle_direct_chunk(task)
+        elif task.task_type == TaskType.STRUCTURED_CHUNK:
+            await self._handle_structured_chunk(task)
+        elif task.task_type == TaskType.UNSTRUCTURED_PAGE:
+            await self._handle_unstructured_page(task)
+        else:
+            raise NonRetryableError(f"unsupported task type {task.task_type}")
+
+    async def _handle_file(self, task: Task) -> None:
+        p = task.payload
+        document_id = p["document_id"]
+        kind = classify_file(p["filename"], p.get("mime"))
+        # idempotent re-ingest: reset previous state first
+        self.collection.delete_document(document_id)
+        if self.kg is not None:
+            self.kg.reset_document(document_id)
+
+        if kind == "direct":
+            try:
+                text = p["data"].decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise NonRetryableError(f"not utf-8 text: {e}") from e
+            chunks = chunk_words(text, self.cfg.chunk_chars)
+            for i, chunk in enumerate(chunks):
+                await self.queue.put(Task(
+                    TaskType.DIRECT_CHUNK,
+                    {"document_id": document_id, "chunk_index": i,
+                     "text": chunk},
+                    priority=task_priority(TaskType.DIRECT_CHUNK, i),
+                ))
+        elif kind == "structured":
+            sheets = self._read_structured(p["filename"], p["data"])
+            for i, (sheet_name, df) in enumerate(sheets):
+                await self.queue.put(Task(
+                    TaskType.STRUCTURED_CHUNK,
+                    {"document_id": document_id, "sheet_name": sheet_name,
+                     "sheet_index": i, "records": df},
+                    priority=task_priority(TaskType.STRUCTURED_CHUNK, i),
+                ))
+        else:
+            pages = self._split_unstructured(p["filename"], p["data"])
+            for i, page in enumerate(pages):
+                await self.queue.put(Task(
+                    TaskType.UNSTRUCTURED_PAGE,
+                    {"document_id": document_id, "page_number": i + 1,
+                     "text": page.get("text", ""),
+                     "image": page.get("image")},
+                    priority=task_priority(TaskType.UNSTRUCTURED_PAGE, i),
+                ))
+
+    def _read_structured(self, filename: str, data: bytes):
+        import pandas as pd
+
+        name = filename.lower()
+        try:
+            if name.endswith((".csv", ".tsv")):
+                sep = "\t" if name.endswith(".tsv") else ","
+                df = pd.read_csv(io.BytesIO(data), sep=sep)
+                return [(filename.rsplit("/", 1)[-1], df)]
+            if name.endswith((".xlsx", ".xls")):
+                book = pd.read_excel(io.BytesIO(data), sheet_name=None)
+                return list(book.items())
+            if name.endswith(".parquet"):
+                return [(filename, pd.read_parquet(io.BytesIO(data)))]
+        except pd.errors.EmptyDataError as e:
+            raise NonRetryableError(f"empty sheet: {e}") from e
+        raise NonRetryableError(f"unsupported structured format: {filename}")
+
+    def _split_unstructured(self, filename: str, data: bytes) -> List[Dict]:
+        """Best-effort page split. Without external converters, treat the
+        payload as text and page it by the chunk budget (the reference
+        needs a remote unoserver for true PDF conversion; that converter
+        is a pluggable hook here)."""
+        try:
+            text = data.decode("utf-8", errors="replace")
+        except Exception as e:  # pragma: no cover
+            raise NonRetryableError(str(e)) from e
+        pages = chunk_words(text, self.cfg.chunk_chars)
+        return [{"text": t} for t in pages]
+
+    async def _handle_direct_chunk(self, task: Task) -> None:
+        p = task.payload
+        text = p["text"]
+        kg_data = await self._extract_kg(text)
+        emb = await asyncio.to_thread(self.embedder.encode, [text])
+        self.collection.store_document_vectors(
+            p["document_id"],
+            [{"text": text, "chunk_index": p["chunk_index"],
+              "source": "direct"}],
+            emb,
+        )
+        await self._store_kg(p["document_id"], p["chunk_index"], text,
+                             kg_data, emb[0])
+
+    async def _handle_unstructured_page(self, task: Task) -> None:
+        p = task.payload
+        text = p["text"]
+        if p.get("image") is not None and self.page_describer is not None:
+            desc = await asyncio.to_thread(self.page_describer, p["image"])
+            text = f"{text}\n\n{desc}" if text else desc
+        kg_data = await self._extract_kg(text)
+        emb = await asyncio.to_thread(self.embedder.encode, [text])
+        self.collection.store_document_vectors(
+            p["document_id"],
+            [{"text": text, "page_number": p["page_number"],
+              "source": "unstructured"}],
+            emb,
+        )
+        await self._store_kg(p["document_id"], p["page_number"], text,
+                             kg_data, emb[0])
+
+    async def _handle_structured_chunk(self, task: Task) -> None:
+        p = task.payload
+        df = p["records"]
+        if len(df.columns) == 0:
+            raise NonRetryableError("sheet has no columns")
+        # table summary: schema + sample rows (parity: 20-row markdown
+        # sample, _structured_processor.py:46-108)
+        sample = df.head(20)
+        summary = (
+            f"Sheet {p['sheet_name']} with {len(df)} rows. Columns: "
+            + ", ".join(str(c) for c in df.columns)
+            + ". Sample: "
+            + "; ".join(
+                " | ".join(str(v) for v in row) for row in sample.values[:5]
+            )
+        )
+        emb = await asyncio.to_thread(self.embedder.encode, [summary])
+        self.collection.store_document_vectors(
+            p["document_id"],
+            [{"text": summary, "sheet_name": p["sheet_name"],
+              "page_number": p["sheet_index"] + 1, "source": "structured"}],
+            emb,
+        )
+        if self.kg is not None:
+            col_profiles = [
+                {"name": str(c),
+                 "profile": f"column {c} of {p['sheet_name']}, "
+                            f"dtype {df[c].dtype}, "
+                            f"{df[c].nunique()} unique values"}
+                for c in df.columns
+            ]
+            col_embs = await asyncio.to_thread(
+                self.embedder.encode, [c["profile"] for c in col_profiles]
+            )
+            self.kg.upsert_structured_sheet(
+                p["document_id"], p["sheet_index"] + 1,
+                sheet_name=p["sheet_name"], summary=summary,
+                summary_embedding=self._kg_vec(emb[0]),
+                columns=col_profiles,
+                column_embeddings=np.stack([self._kg_vec(v) for v in col_embs]),
+                rows=df.head(200).to_dict("records"),
+            )
+
+    # ------------------------------------------------------------------ kg
+
+    async def _extract_kg(self, text: str):
+        if self.kg is None or self.kg_extractor is None:
+            return None
+        if asyncio.iscoroutinefunction(self.kg_extractor):
+            return await self.kg_extractor(text)
+        return await asyncio.to_thread(self.kg_extractor, text)
+
+    def _kg_vec(self, v: np.ndarray) -> np.ndarray:
+        """Project an embedding into the KG's dimension (parity: the v1
+        256-d truncation, entity_relation_extractor.py:251)."""
+        dim = self.kg.dim
+        if len(v) >= dim:
+            return np.asarray(v[:dim], dtype=np.float32)
+        return np.pad(np.asarray(v, dtype=np.float32), (0, dim - len(v)))
+
+    async def _store_kg(self, document_id: str, page_number: int, text: str,
+                        kg_data, page_vec: np.ndarray) -> None:
+        if self.kg is None:
+            return
+        entities = relationships = ()
+        e_embs = r_embs = None
+        if kg_data:
+            entities = kg_data.get("entities", ())
+            relationships = kg_data.get("relationships", ())
+            if entities:
+                texts = [
+                    f"{e.get('text', '')} {e.get('entity_type', '')} "
+                    f"{e.get('entity_profile', '')}"
+                    for e in entities
+                ]
+                vecs = await asyncio.to_thread(self.embedder.encode, texts)
+                e_embs = np.stack([self._kg_vec(v) for v in vecs])
+            if relationships:
+                texts = [r.get("relationship_profile", "") for r in relationships]
+                vecs = await asyncio.to_thread(self.embedder.encode, texts)
+                r_embs = np.stack([self._kg_vec(v) for v in vecs])
+        self.kg.upsert_unstructured_page(
+            document_id, page_number, content=text,
+            embedding=self._kg_vec(page_vec),
+            entities=entities, relationships=relationships,
+            entity_embeddings=e_embs, relationship_embeddings=r_embs,
+        )

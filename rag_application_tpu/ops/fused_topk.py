@@ -1,0 +1,206 @@
+"""Pallas fused similarity-scan + top-k: no score matrix in HBM.
+
+The XLA path (`ops.topk.blocked_topk`) materializes each (Q, block)
+score tile in HBM before reducing it — at batch 1024 over a 1M corpus
+that is ~4 GB of score traffic per query batch, several times the corpus
+itself. This kernel keeps the scores in VMEM: each grid step
+
+    1. DMAs one corpus block (B, d) into VMEM (the only HBM read),
+    2. runs the MXU contraction against the resident query block,
+    3. bin-max reduces the (Q, B) tile to (Q, bins) candidates
+       (the PartialReduce recipe behind `lax.approx_max_k` — one
+       survivor per bin; a true top-k element is lost only when two
+       land in the same 64-wide bin of the same block),
+    4. writes just the (Q, bins) maxima + indices.
+
+The caller top-ks the (Q, num_blocks * bins) candidate sheet (~100x
+smaller than the score matrix) and exact-rescores winners. Works for
+bf16 (cosine, optional matryoshka prefix via zero-padded queries +
+inverse prefix norms) and int8 (MXU int8 x int8 -> int32) corpora.
+
+Matryoshka note: prefix dims < 128 lanes would break tiling, so prefix
+scoring loads the first 128-column tile and zero-pads the query beyond
+the prefix — the dot then equals the prefix dot at full tile speed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import cdiv, round_up, use_interpret
+
+NEG = -3.0e38  # python float: becomes an inline kernel constant, not a captured array
+
+
+LANES = 128  # bins per block == the VPU lane count
+
+
+def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
+                 *, valid_n: int | None, block_rows: int,
+                 int8_mode: bool):
+    i = pl.program_id(0)
+    q = q_ref[:]
+    c = c_ref[:]
+    acc = jnp.int32 if int8_mode else jnp.float32
+    scores = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())), preferred_element_type=acc
+    ).astype(jnp.float32)  # (Q, B)
+
+    if inv_ref is not None:
+        scores = scores * inv_ref[:][None, :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    gcol = col + i * block_rows
+    valid = jnp.ones(scores.shape, dtype=jnp.bool_)
+    if valid_n is not None:
+        valid = gcol < valid_n
+    if mask_ref is not None:
+        valid = jnp.logical_and(valid, mask_ref[:][None, :])
+    scores = jnp.where(valid, scores, NEG)
+
+    # Bin along lanes: flat column c = r*LANES + lane, so the reshape
+    # (Q, B) -> (Q, B/LANES, LANES) preserves the minor-dim tiling (an
+    # arbitrary minor-dim split is an unsupported Mosaic shape cast).
+    # Bin `lane` holds the strided columns {lane, lane+128, ...}; the
+    # sublane reduce takes each bin's max.
+    qn, b = scores.shape
+    rows = b // LANES
+    s3 = scores.reshape(qn, rows, LANES)
+    m = jnp.max(s3, axis=1)  # (Q, LANES)
+    iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    hit = s3 == m[:, None, :]
+    local_row = jnp.min(jnp.where(hit, iota, rows), axis=1)  # (Q, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
+    vals_ref[0] = m
+    idx_ref[0] = local_row * LANES + lane + i * block_rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bins", "block_rows", "valid_n", "prefix_dim"),
+)
+def fused_scan_topk(
+    corpus: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    bins: int = LANES,  # fixed at 128 per block (lane binning); kept in the
+                        # signature for call-site clarity — tune bin size
+                        # via block_rows instead (bin size = block_rows/128)
+    block_rows: int = 8192,
+    valid_n: Optional[int] = None,
+    prefix_dim: Optional[int] = None,
+    inv_norms: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-k via fused scan. Returns (vals (Q,k), idx (Q,k)).
+
+    `valid_n` is static here (the kernel bakes the bound); pass the
+    capacity-padded corpus and mask tombstones via `mask` for sizes that
+    change often.
+    """
+    bins = LANES
+    n, d = corpus.shape
+    q_count = queries.shape[0]
+    int8_mode = corpus.dtype == jnp.int8
+
+    # prefix scoring: load only the first ceil(prefix/128)*128 columns and
+    # zero the query tail so the dot equals the prefix dot.
+    d_load = d
+    if prefix_dim is not None and prefix_dim < d:
+        d_load = min(d, round_up(prefix_dim, 128))
+        queries = queries[:, :d_load]
+        if prefix_dim < d_load:
+            col = jnp.arange(d_load)
+            queries = jnp.where(col[None, :] < prefix_dim, queries, 0)
+    else:
+        prefix_dim = None
+
+    nb = cdiv(n, block_rows)
+    padded = nb * block_rows
+    if padded != n:
+        corpus = jnp.pad(corpus, ((0, padded - n), (0, 0)))
+        if inv_norms is not None:
+            inv_norms = jnp.pad(inv_norms, (0, padded - n))
+        if mask is not None:
+            mask = jnp.pad(mask, (0, padded - n))
+        if valid_n is None:
+            valid_n = n
+
+    kernel = functools.partial(
+        _scan_kernel,
+        valid_n=valid_n,
+        block_rows=block_rows,
+        int8_mode=int8_mode,
+    )
+
+    in_specs = [
+        pl.BlockSpec((block_rows, d_load), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_count, d_load), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [corpus[:, :d_load] if d_load != corpus.shape[1] else corpus,
+            queries]
+    if inv_norms is not None:
+        in_specs.append(
+            pl.BlockSpec((block_rows,), lambda i: (i,),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(inv_norms.astype(jnp.float32))
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((block_rows,), lambda i: (i,),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
+
+    def wrapped(*refs):
+        c_ref, q_ref = refs[0], refs[1]
+        pos = 2
+        inv_ref = None
+        mask_ref = None
+        if inv_norms is not None:
+            inv_ref = refs[pos]
+            pos += 1
+        if mask is not None:
+            mask_ref = refs[pos]
+            pos += 1
+        vals_ref, idx_ref = refs[-2], refs[-1]
+        kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref)
+
+    vals, idx = pl.pallas_call(
+        wrapped,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, q_count, bins), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_count, bins), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, q_count, bins), jnp.float32),
+            jax.ShapeDtypeStruct((nb, q_count, bins), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the (Q, B) score tile + its int32 twin live on the kernel
+            # stack; the default 16 MB scoped-vmem budget is too small
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=use_interpret(),
+    )(*args)
+
+    sheet_vals = jnp.transpose(vals, (1, 0, 2)).reshape(q_count, nb * bins)
+    sheet_idx = jnp.transpose(idx, (1, 0, 2)).reshape(q_count, nb * bins)
+    k_eff = min(k, nb * bins)
+    top, pos = jax.lax.top_k(sheet_vals, k_eff)
+    out_idx = jnp.take_along_axis(sheet_idx, pos, axis=-1)
+    top = jnp.where(top <= NEG, -jnp.inf, top)
+    return top, out_idx

@@ -50,6 +50,8 @@ def matryoshka_inv_norms(
     Returns: (N, len(dims)) f32; column j scales `q[:dims_j] . x[:dims_j]`
     into a cosine similarity.
     """
+    if not dims:
+        return jnp.zeros((x.shape[0], 0), dtype=jnp.float32)
     xf = x.astype(jnp.float32)
     sq = xf * xf
     csum = jnp.cumsum(sq, axis=-1)

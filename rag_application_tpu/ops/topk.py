@@ -68,7 +68,6 @@ def _block_reduce(scores: jax.Array, k: int, approx: bool, recall_target: float)
     static_argnames=(
         "k",
         "block_size",
-        "valid_n",
         "prefix_dim",
         "approx",
         "recall_target",
@@ -94,7 +93,8 @@ def blocked_topk(
       queries: (Q, d) query matrix, same scoring dtype family as corpus.
       k: number of results per query.
       block_size: corpus rows scored per scan step.
-      valid_n: logical corpus size (rows >= valid_n are padding).
+      valid_n: logical corpus size (rows >= valid_n are padding). May be a
+        traced scalar — growing the logical size does not recompile.
       prefix_dim: if set, score only the first ``prefix_dim`` columns
         (matryoshka view).
       inv_norms: optional (N,) per-row score scale (inverse prefix norms so

@@ -1,0 +1,251 @@
+"""Single-dispatch hybrid search: the whole funnel as ONE jitted program.
+
+`search/hybrid.py` stitches the funnel from separately-jitted stages —
+correct, but each stage is a device dispatch, and on remote-attached
+TPUs dispatch latency dominates small-corpus queries. This module traces
+the *entire* funnel (matryoshka cascade, int8 scan, BM25, RRF, exact
+rescore) into one XLA program keyed by a hashable `FusedSpec`, so a
+query batch costs exactly one dispatch. The logical corpus size is a
+traced scalar: incremental inserts never trigger recompilation, only
+capacity doubling does.
+
+This is the engine behind the benchmark path and the Collection facade.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FunnelConfig
+from ..ops.bm25 import bm25_topk
+from ..ops.quant import quantize_int8
+from ..ops.rrf import INVALID_ID, first_occurrence_mask, rrf_fuse
+from ..ops.topk import NEG_INF, blocked_topk, gather_rescore
+
+
+class FusedSpec(NamedTuple):
+    """Static configuration of one compiled funnel variant."""
+
+    k: int
+    matryoshka_dims: Tuple[int, ...]  # () disables the cascade
+    matryoshka_limits: Tuple[int, ...]
+    dense_limit: int
+    quantized_limit: int
+    sparse_limit: int  # 0 disables the sparse branch
+    sparse_pool: int
+    rrf_k: int
+    block_size: int
+    recall_target: float
+    use_int8: bool = True
+    has_filter: bool = False
+    # "xla": blocked_topk (lax.approx_max_k per block). "pallas": fused
+    # scan kernel (ops.fused_topk) — no score-matrix HBM traffic.
+    scan_impl: str = "xla"
+    scan_bins: int = 256
+    scan_block_rows: int = 8192
+
+    @classmethod
+    def from_funnel(cls, f: FunnelConfig, dims: Tuple[int, ...], *,
+                    k: int, block_size: int, use_sparse: bool,
+                    use_matryoshka: bool, has_filter: bool,
+                    sparse_pool: int = 1024,
+                    recall_target: float = 0.95,
+                    scan_impl: str = "xla") -> "FusedSpec":
+        return cls(
+            k=k,
+            matryoshka_dims=tuple(dims) if use_matryoshka else (),
+            matryoshka_limits=tuple(f.matryoshka_limits),
+            dense_limit=f.dense_limit,
+            quantized_limit=f.quantized_limit,
+            sparse_limit=f.sparse_limit if use_sparse else 0,
+            sparse_pool=sparse_pool,
+            rrf_k=f.rrf_k,
+            block_size=block_size,
+            recall_target=recall_target,
+            has_filter=has_filter,
+            scan_impl=scan_impl,
+        )
+
+
+def _prefix_rescore(vecs, inv_norms, q, ids, valid, dim: int, level: int,
+                    keep: int):
+    """Rescore candidate ids in the matryoshka view at `level`, keep top."""
+    safe = jnp.where(valid, ids, 0)
+    scores = gather_rescore(vecs[:, :dim], q[:, :dim], safe)
+    scores = scores * inv_norms[safe, level]
+    scores = jnp.where(valid, scores, NEG_INF)
+    k_eff = min(keep, ids.shape[-1])
+    top, pos = jax.lax.top_k(scores, k_eff)
+    return top, jnp.take_along_axis(ids, pos, axis=-1)
+
+
+def _exact_rescore(vecs, q, ids, valid, keep: int):
+    safe = jnp.where(valid, ids, 0)
+    scores = gather_rescore(vecs, q, safe)
+    scores = jnp.where(valid, scores, NEG_INF)
+    k_eff = min(keep, ids.shape[-1])
+    top, pos = jax.lax.top_k(scores, k_eff)
+    return top, jnp.take_along_axis(ids, pos, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def fused_hybrid(
+    vecs: jax.Array,            # (cap, d) bf16 normalized
+    int8: jax.Array,            # (cap, d) int8
+    inv_norms: jax.Array,       # (cap, M) f32
+    live: jax.Array,            # (cap,) bool
+    valid_n: jax.Array,         # scalar int32 — logical size
+    queries: jax.Array,         # (Q, d) f32 (unnormalized ok)
+    filter_mask: Optional[jax.Array],   # (cap,) bool or None
+    sparse_arrays: Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
+    sparse_queries: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
+    spec: FusedSpec,
+) -> Tuple[jax.Array, jax.Array]:
+    """One-dispatch hybrid funnel. Returns (scores (Q,k), ids (Q,k));
+    invalid slots have score -inf and id INVALID_ID."""
+    q = queries.astype(jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    qb = q.astype(vecs.dtype)
+
+    mask = live
+    if spec.has_filter and filter_mask is not None:
+        mask = jnp.logical_and(mask, filter_mask)
+
+    def corpus_scan(table, qs, limit, *, prefix_dim=None, inv=None):
+        """Full-corpus candidate scan via the selected engine. `live` is
+        False beyond the logical size, so the mask alone bounds the scan."""
+        if spec.scan_impl == "pallas":
+            from ..ops.fused_topk import fused_scan_topk
+
+            return fused_scan_topk(
+                table, qs, limit,
+                bins=spec.scan_bins, block_rows=spec.scan_block_rows,
+                prefix_dim=prefix_dim, inv_norms=inv, mask=mask,
+            )
+        return blocked_topk(
+            table, qs, limit,
+            block_size=spec.block_size, valid_n=valid_n,
+            prefix_dim=prefix_dim, inv_norms=inv, filter_mask=mask,
+            approx=True, recall_target=spec.recall_target,
+        )
+
+    branches = []  # (vals, ids) candidate lists for the final union
+    rrf_lists = []
+
+    # --- matryoshka cascade ---
+    if spec.matryoshka_dims:
+        m = spec.matryoshka_limits
+        vals, ids = corpus_scan(
+            vecs, qb, m[0],
+            prefix_dim=spec.matryoshka_dims[0], inv=inv_norms[:, 0],
+        )
+        for level in range(1, len(spec.matryoshka_dims)):
+            if level >= len(m):
+                break
+            vals, ids = _prefix_rescore(
+                vecs, inv_norms, q, ids, jnp.isfinite(vals),
+                spec.matryoshka_dims[level], level, m[level],
+            )
+        vals, ids = _exact_rescore(vecs, q, ids, jnp.isfinite(vals),
+                                   spec.dense_limit)
+        branches.append((vals, ids))
+
+    # --- int8 branch ---
+    if spec.use_int8:
+        q8 = quantize_int8(q)
+        i_vals, i_ids = corpus_scan(int8, q8, spec.quantized_limit)
+        i_vals, i_ids = _exact_rescore(vecs, q, i_ids, jnp.isfinite(i_vals),
+                                       spec.dense_limit)
+        rrf_lists.append((i_ids, jnp.isfinite(i_vals)))
+        branches.append((i_vals, i_ids))
+
+    # --- sparse BM25 branch ---
+    if spec.sparse_limit and sparse_arrays is not None:
+        post_docs, post_w, doc_terms, doc_w = sparse_arrays
+        q_rows, q_terms, q_valid = sparse_queries
+        n_sparse = doc_terms.shape[0] - 1
+        fm = mask[:n_sparse]  # live ∧ payload filter, row-aligned
+        sp_vals, sp_ids = bm25_topk(
+            post_docs, post_w, doc_terms, doc_w,
+            q_rows, q_terms, q_valid, spec.sparse_limit,
+            pool=spec.sparse_pool, filter_mask=fm,
+        )
+        sp_valid = jnp.isfinite(sp_vals)
+        rrf_lists.append((sp_ids, sp_valid))
+        branches.append((jnp.where(sp_valid, 0.0, NEG_INF), sp_ids))
+
+    # --- RRF of quantized + sparse (qdrant_handler.py:357-360) ---
+    if len(rrf_lists) > 1:
+        rrf_scores, rrf_ids = rrf_fuse(rrf_lists, spec.dense_limit,
+                                       rrf_k=spec.rrf_k)
+        branches.append((jnp.where(rrf_ids != INVALID_ID, 0.0, NEG_INF),
+                         rrf_ids))
+
+    # --- final exact rescore over deduped union (:363-372) ---
+    all_ids = jnp.concatenate([ids for _, ids in branches], axis=-1)
+    all_valid = jnp.concatenate(
+        [jnp.isfinite(v) for v, _ in branches], axis=-1
+    )
+    all_ids = jnp.where(all_valid, all_ids, INVALID_ID)
+    keep = first_occurrence_mask(all_ids) & (all_ids != INVALID_ID)
+    scores = gather_rescore(vecs, q, jnp.where(keep, all_ids, 0))
+    scores = jnp.where(keep, scores, NEG_INF)
+    k_eff = min(spec.k, all_ids.shape[-1])
+    top_scores, pos = jax.lax.top_k(scores, k_eff)
+    top_ids = jnp.take_along_axis(all_ids, pos, axis=-1)
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, INVALID_ID)
+    return top_scores, top_ids
+
+
+class FusedSearcher:
+    """Binds a DenseIndex (+ optional SparseIndex) to the fused pipeline.
+
+    Drop-in faster engine for the Collection facade: same results as
+    `hybrid_search`, one device dispatch per query batch.
+    """
+
+    def __init__(self, dense, sparse=None, funnel: Optional[FunnelConfig] = None,
+                 *, scan_impl: str = "xla", scan_bins: int = 256,
+                 scan_block_rows: int = 8192):
+        self.dense = dense
+        self.sparse = sparse
+        self.funnel = funnel or FunnelConfig()
+        self.scan_impl = scan_impl
+        self.scan_bins = scan_bins
+        self.scan_block_rows = scan_block_rows
+
+    def search(self, query_embeddings, query_texts=None, k: int = 10, *,
+               filter_mask=None, use_matryoshka: bool = True,
+               funnel: Optional[FunnelConfig] = None):
+        f = funnel or self.funnel
+        d = self.dense
+        use_sparse = (self.sparse is not None and query_texts is not None
+                      and len(self.sparse) > 0)
+        sparse_arrays = sparse_queries = None
+        sparse_pool = 1024
+        if use_sparse:
+            dv = self.sparse.device_arrays()
+            sparse_arrays = (dv["post_docs"], dv["post_weights"],
+                             dv["doc_terms"], dv["doc_weights"])
+            sparse_queries = self.sparse.encode_queries(list(query_texts))
+            sparse_pool = self.sparse.cfg.candidate_pool
+        spec = FusedSpec.from_funnel(
+            f, d.cfg.matryoshka_dims, k=k, block_size=d.cfg.block_size,
+            use_sparse=use_sparse, use_matryoshka=use_matryoshka,
+            has_filter=filter_mask is not None, sparse_pool=sparse_pool,
+            recall_target=d.cfg.approx_recall_target,
+            scan_impl=self.scan_impl,
+        )._replace(scan_bins=self.scan_bins,
+                   scan_block_rows=self.scan_block_rows)
+        scores, ids = fused_hybrid(
+            d.vecs, d.int8, d.inv_norms, d.live,
+            np.int32(d.size), jnp.asarray(query_embeddings),
+            jnp.asarray(filter_mask) if filter_mask is not None else None,
+            sparse_arrays, sparse_queries, spec,
+        )
+        return scores, ids

@@ -111,9 +111,7 @@ def hybrid_search(
 
     # --- sparse BM25 branch ---
     if sparse is not None and query_texts is not None and len(sparse) > 0:
-        if sparse._dirty:
-            sparse.rebuild()
-        dv = sparse._device
+        dv = sparse.device_arrays()
         q_rows, q_terms, q_valid = sparse.encode_queries(list(query_texts))
         fm = filter_mask
         if fm is not None:

@@ -20,6 +20,7 @@ from ..config import Config, FunnelConfig
 from ..index.dense import DenseIndex
 from ..index.payload import PayloadStore
 from ..index.sparse import SparseIndex
+from ..search.fused import FusedSearcher
 from ..search.hybrid import HybridResult, hybrid_search
 from ..search.params import adaptive_funnel
 
@@ -38,6 +39,7 @@ class Collection:
         self.dense = DenseIndex(self.cfg.index)
         self.sparse = SparseIndex(self.cfg.sparse)
         self.payloads = PayloadStore()
+        self._fused = FusedSearcher(self.dense, self.sparse, self.cfg.funnel)
 
     # ------------------------------------------------------------- writes
 
@@ -128,16 +130,18 @@ class Collection:
             funnel = (adaptive_funnel(self.dense.size, self.cfg.funnel)
                       if adaptive else self.cfg.funnel)
         mask = self.payloads.filter_mask(self.dense.capacity, **filters)
-        res: HybridResult = hybrid_search(
-            self.dense, self.sparse, query_embeddings, query_texts, limit,
-            funnel=funnel,
+        scores_d, rows_d = self._fused.search(
+            np.asarray(query_embeddings), query_texts, limit, funnel=funnel,
             filter_mask=jnp.asarray(mask) if mask is not None else None,
             use_matryoshka=use_matryoshka,
         )
+        scores = np.asarray(scores_d)
+        rows = np.asarray(rows_d)
+        valid = np.isfinite(scores)
         out: List[List[SearchHit]] = []
-        for qi in range(res.rows.shape[0]):
+        for qi in range(rows.shape[0]):
             hits = []
-            for score, row, ok in zip(res.scores[qi], res.rows[qi], res.valid[qi]):
+            for score, row, ok in zip(scores[qi], rows[qi], valid[qi]):
                 if not ok:
                     continue
                 payload = self.payloads.get(int(row))

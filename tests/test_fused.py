@@ -1,0 +1,95 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_application_tpu.config import FunnelConfig, IndexConfig, SparseConfig
+from rag_application_tpu.index.dense import DenseIndex
+from rag_application_tpu.index.sparse import SparseIndex
+from rag_application_tpu.ops.rrf import INVALID_ID
+from rag_application_tpu.search.fused import FusedSearcher
+from rag_application_tpu.search.hybrid import hybrid_search
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped across a sleepy canine",
+    "machine learning on tensor processing units",
+    "sparse retrieval with bm25 ranking functions",
+    "dense retrieval with neural embeddings",
+    "the dog sleeps while the fox runs in the forest",
+    "bm25 is a classic sparse ranking function",
+    "tensor contractions run fast on matrix units",
+    "reciprocal rank fusion merges candidate lists",
+    "knowledge graphs store entities and relationships",
+]
+
+FUNNEL = FunnelConfig(matryoshka_limits=(8, 6, 5), dense_limit=5,
+                      quantized_limit=5, sparse_limit=5, final_limit=5)
+
+
+@pytest.fixture
+def setup(rng):
+    dense = DenseIndex(IndexConfig(dim=64, matryoshka_dims=(8, 16, 32),
+                                   initial_capacity=16))
+    sparse = SparseIndex(SparseConfig(candidate_pool=64, max_query_terms=8))
+    embs = (rng.standard_normal((len(TEXTS), 64))
+            * np.exp(-0.03 * np.arange(64))).astype(np.float32)
+    dense.insert(embs)
+    sparse.add_batch(TEXTS)
+    return dense, sparse, embs
+
+
+def test_fused_matches_staged_pipeline(setup, rng):
+    dense, sparse, embs = setup
+    noisy = embs + 0.01 * rng.standard_normal(embs.shape).astype(np.float32)
+
+    staged = hybrid_search(dense, sparse, noisy, TEXTS, 5, funnel=FUNNEL)
+    fused = FusedSearcher(dense, sparse, FUNNEL)
+    scores, ids = fused.search(noisy, TEXTS, 5)
+
+    ids = np.asarray(ids)
+    scores = np.asarray(scores)
+    valid = np.isfinite(scores)
+    np.testing.assert_array_equal(ids[valid], staged.rows[staged.valid])
+    np.testing.assert_allclose(scores[valid], staged.scores[staged.valid],
+                               rtol=1e-4)
+
+
+def test_fused_self_retrieval(setup, rng):
+    dense, sparse, embs = setup
+    fused = FusedSearcher(dense, sparse, FUNNEL)
+    noisy = embs + 0.01 * rng.standard_normal(embs.shape).astype(np.float32)
+    scores, ids = fused.search(noisy, TEXTS, 3)
+    assert (np.asarray(ids)[:, 0] == np.arange(len(TEXTS))).all()
+
+
+def test_fused_filter(setup, rng):
+    dense, sparse, embs = setup
+    fused = FusedSearcher(dense, sparse, FUNNEL)
+    mask = np.zeros(dense.capacity, dtype=bool)
+    mask[:4] = True
+    scores, ids = fused.search(embs[:2], TEXTS[:2], 3,
+                               filter_mask=jnp.asarray(mask))
+    ids = np.asarray(ids)
+    ok = np.isfinite(np.asarray(scores))
+    assert (ids[ok] < 4).all()
+
+
+def test_fused_insert_no_recompile(setup, rng):
+    """Growing the logical size within capacity must reuse the executable."""
+    dense, sparse, embs = setup
+    fused = FusedSearcher(dense, None, FUNNEL)
+    fused.search(embs[:2], None, 3)
+    from rag_application_tpu.search.fused import fused_hybrid
+
+    misses_before = fused_hybrid._cache_size()
+    extra = rng.standard_normal((3, 64)).astype(np.float32)
+    dense.insert(extra)  # capacity 16 holds 13 rows; no doubling
+    fused.search(embs[:2], None, 3)
+    assert fused_hybrid._cache_size() == misses_before
+
+
+def test_fused_dense_only(setup, rng):
+    dense, _, embs = setup
+    fused = FusedSearcher(dense, None, FUNNEL)
+    scores, ids = fused.search(embs[:4], None, 3)
+    assert (np.asarray(ids)[:, 0] == np.arange(4)).all()

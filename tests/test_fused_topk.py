@@ -1,0 +1,88 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_application_tpu.config import FunnelConfig, IndexConfig
+from rag_application_tpu.index.dense import DenseIndex
+from rag_application_tpu.ops.fused_topk import fused_scan_topk
+from rag_application_tpu.search.fused import FusedSearcher
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_fused_scan_recall(rng):
+    n, d, q, k = 1000, 128, 8, 10
+    corpus = normed(rng, n, d)
+    queries = corpus[:q] + 0.02 * rng.standard_normal((q, d)).astype(np.float32)
+    vals, idx = fused_scan_topk(jnp.asarray(corpus), jnp.asarray(queries), k,
+                                bins=64, block_rows=256)
+    exact = np.argsort(-(queries @ corpus.T), axis=-1)[:, :k]
+    idx = np.asarray(idx)
+    recall = np.mean([np.isin(exact[i], idx[i]).mean() for i in range(q)])
+    assert recall >= 0.9
+    assert (idx[:, 0] == np.arange(q)).all()
+
+
+def test_fused_scan_mask_and_padding(rng):
+    n, d = 900, 128  # not a multiple of block_rows
+    corpus = normed(rng, n, d)
+    queries = corpus[:4]
+    mask = np.zeros(n, dtype=bool)
+    mask[::3] = True
+    vals, idx = fused_scan_topk(jnp.asarray(corpus), jnp.asarray(queries), 5,
+                                bins=64, block_rows=256,
+                                mask=jnp.asarray(mask))
+    assert (np.asarray(idx) % 3 == 0).all()
+
+
+def test_fused_scan_int8(rng):
+    corpus = normed(rng, 500, 128)
+    queries = corpus[:4]
+    c8 = np.clip(np.round(corpus * 127), -127, 127).astype(np.int8)
+    q8 = np.clip(np.round(queries * 127), -127, 127).astype(np.int8)
+    vals, idx = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 5,
+                                bins=64, block_rows=256)
+    assert (np.asarray(idx)[:, 0] == np.arange(4)).all()
+
+
+def test_fused_scan_prefix(rng):
+    corpus = normed(rng, 600, 256)
+    queries = corpus[:4]
+    inv = (1.0 / np.linalg.norm(corpus[:, :64], axis=-1)).astype(np.float32)
+    vals, idx = fused_scan_topk(jnp.asarray(corpus), jnp.asarray(queries), 5,
+                                bins=64, block_rows=256, prefix_dim=64,
+                                inv_norms=jnp.asarray(inv))
+    ref = np.argsort(-(queries[:, :64] @ (corpus[:, :64] * inv[:, None]).T),
+                     axis=-1)[:, :5]
+    idx = np.asarray(idx)
+    recall = np.mean([np.isin(ref[i], idx[i]).mean() for i in range(4)])
+    assert recall >= 0.9
+
+
+def test_pipeline_with_pallas_scan_matches_xla(rng):
+    dense = DenseIndex(IndexConfig(dim=128, matryoshka_dims=(32, 64),
+                                   initial_capacity=1024, block_size=512))
+    embs = (rng.standard_normal((700, 128))
+            * np.exp(-0.02 * np.arange(128))).astype(np.float32)
+    dense.insert(embs)
+    funnel = FunnelConfig(matryoshka_limits=(32, 24), dense_limit=16,
+                          quantized_limit=32, sparse_limit=0, final_limit=10)
+    queries = embs[:6] + 0.01 * rng.standard_normal((6, 128)).astype(np.float32)
+
+    sx = FusedSearcher(dense, None, funnel, scan_impl="xla")
+    sp = FusedSearcher(dense, None, funnel, scan_impl="pallas",
+                       scan_bins=64, scan_block_rows=256)
+    vx, ix = sx.search(queries, None, 10)
+    vp, ip = sp.search(queries, None, 10)
+
+    ix, ip = np.asarray(ix), np.asarray(ip)
+    vx, vp = np.asarray(vx), np.asarray(vp)
+    # same top results (both engines feed exact rescore)
+    overlap = np.mean([np.isin(ix[i][np.isfinite(vx[i])],
+                               ip[i][np.isfinite(vp[i])]).mean()
+                       for i in range(6)])
+    assert overlap >= 0.9, overlap
+    assert (ip[:, 0] == ix[:, 0]).all()
