@@ -60,7 +60,7 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n = int(os.environ.get("BENCH_N", 100_000 if small else 1_000_000))
     d = int(os.environ.get("BENCH_DIM", 768))
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
     n_eval = 64  # queries used for recall measurement
     k = 10
 
@@ -80,11 +80,16 @@ def main():
     t_synth = time.time() - t0
     log(f"[bench] synth data: {t_synth:.1f}s")
 
-    dense = DenseIndex(IndexConfig(dim=d, initial_capacity=1 << (n - 1).bit_length()))
+    # First matryoshka stage at 128 (one bf16 lane tile): the coarse scan
+    # reads 1/6th of the corpus bytes and runs 1/6th of the MXU work.
+    dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(128, 256),
+                                   initial_capacity=1 << (n - 1).bit_length()))
     t0 = time.time()
     for s in range(0, n, 100_000):
         dense.insert(corpus[s : s + 100_000])
-    jax.block_until_ready(dense.vecs)
+    # force materialization (block_until_ready does not sync on the
+    # remote-attached backend; a scalar read does)
+    float(jnp.sum(dense.inv_norms[-1]))
     t_dense_build = time.time() - t0
     log(f"[bench] dense build: {t_dense_build:.1f}s")
 
@@ -106,17 +111,17 @@ def main():
     q_texts = [" ".join(f"w{t}" for t in tokens[i]) for i in q_idx]
 
     funnel = FunnelConfig(
-        matryoshka_limits=(128, 96, 64),
+        matryoshka_limits=(512, 256),
         dense_limit=64,
         quantized_limit=128,
         sparse_limit=50,
         final_limit=k,
     )
-    searcher = FusedSearcher(dense, sparse, funnel)
+    searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas")
 
     t0 = time.time()
     scores, ids = searcher.search(queries, q_texts, k)
-    jax.block_until_ready(scores)
+    float(jnp.sum(scores))
     t_compile = time.time() - t0
     log(f"[bench] first query batch (incl compile): {t_compile:.1f}s")
 
@@ -138,26 +143,47 @@ def main():
     log(f"[bench] recall@10 vs exact dense: {recall:.4f}")
 
     # ---------------- throughput ----------------
-    reps = 3 if small else 5
-    t0 = time.time()
-    for _ in range(reps):
-        scores, ids = searcher.search(queries, q_texts, k)
-    jax.block_until_ready(scores)
-    dt = (time.time() - t0) / reps
-    qps = batch / dt
-    p50 = dt / batch * 1e3  # amortized per-query ms within the batch
-    log(f"[bench] {dt*1e3:.2f} ms/batch -> {qps:,.0f} QPS, "
-        f"{p50:.3f} ms/query amortized")
+    # Serving model: stream K distinct query batches; host prep of batch
+    # i+1 overlaps device execution of batch i (dispatch is async); one
+    # scalar read at the end syncs the in-order device queue. A plain
+    # block_until_ready does NOT synchronize on the remote-attached
+    # backend, so all timing closes with a host value read.
+    reps = 4 if small else 16
+    batches = []
+    for r in range(reps):
+        b_idx = rng.integers(0, n, size=batch)
+        b_q = corpus[b_idx] + 0.05 * rng.standard_normal((batch, d)).astype(np.float32)
+        b_t = [" ".join(f"w{t}" for t in tokens[i]) for i in b_idx]
+        batches.append((b_q, b_t))
 
-    # single-batch latency (p50 across reps)
+    # measure the sync round-trip so it can be reported alongside
+    t0 = time.time()
+    float(jnp.sum(scores))
+    rtt = time.time() - t0
+    log(f"[bench] sync RTT: {rtt*1e3:.1f} ms")
+
+    t0 = time.time()
+    outs = []
+    for b_q, b_t in batches:
+        outs.append(searcher.search(b_q, b_t, k))
+    float(jnp.sum(outs[-1][0]))  # drain the queue
+    total = time.time() - t0
+    dt = total / reps
+    qps = batch / dt
+    log(f"[bench] {reps} batches of {batch}: {dt*1e3:.2f} ms/batch -> "
+        f"{qps:,.0f} QPS")
+
+    # single-query latency (one batch of 1, fully synced; dominated by
+    # the relay RTT on this attach — report both)
     lats = []
-    for _ in range(10):
+    for _ in range(5):
         t1 = time.time()
         s2, _ = searcher.search(queries[:1], q_texts[:1], k)
-        jax.block_until_ready(s2)
+        float(jnp.sum(s2))
         lats.append(time.time() - t1)
     p50_single = float(np.median(lats)) * 1e3
-    log(f"[bench] single-query p50 latency: {p50_single:.1f} ms")
+    log(f"[bench] single-query p50 latency: {p50_single:.1f} ms "
+        f"(incl {rtt*1e3:.1f} ms attach RTT)")
 
     result = {
         "metric": "hybrid_qps_1m_768_recall10" if not small else "hybrid_qps_small",
@@ -170,6 +196,7 @@ def main():
         "batch": batch,
         "p50_batch_ms": round(dt * 1e3, 2),
         "p50_single_query_ms": round(p50_single, 1),
+        "sync_rtt_ms": round(rtt * 1e3, 1),
         "dense_build_s": round(t_dense_build, 1),
         "sparse_build_s": round(t_sparse_build, 1),
         "backend": jax.default_backend(),

@@ -59,7 +59,7 @@ class SparseConfig:
     # Query terms considered (padded/truncated).
     max_query_terms: int = 32
     # Candidates taken from the impact-ordered union before exact rescore.
-    candidate_pool: int = 1024
+    candidate_pool: int = 512
     # Vocabulary hashing space (term -> id via stable hash).
     vocab_size: int = 1 << 20
 

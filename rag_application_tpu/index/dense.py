@@ -30,6 +30,23 @@ from ..config import IndexConfig
 from ..ops.quant import prepare_vectors_xla, quantize_int8
 from ..ops.topk import blocked_topk, gather_rescore
 from ..utils import round_up
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("dims",),
+                   donate_argnums=(0, 1, 2, 3))
+def _insert_update(vecs, int8, inv_norms, live, x, start, *, dims):
+    """One compiled, buffer-donating index update: derive all views of the
+    batch and splice them into the capacity arrays at ``start``."""
+    norm, i8, inv = prepare_vectors_xla(x, dims, out_dtype=vecs.dtype)
+    n = x.shape[0]
+    vecs = jax.lax.dynamic_update_slice_in_dim(vecs, norm, start, 0)
+    int8 = jax.lax.dynamic_update_slice_in_dim(int8, i8, start, 0)
+    inv_norms = jax.lax.dynamic_update_slice_in_dim(inv_norms, inv, start, 0)
+    live = jax.lax.dynamic_update_slice_in_dim(
+        live, jnp.ones((n,), dtype=bool), start, 0
+    )
+    return vecs, int8, inv_norms, live
 
 
 class DenseIndex:
@@ -64,22 +81,19 @@ class DenseIndex:
         self.live = jnp.pad(self.live, (0, pad))
 
     def insert(self, embeddings: jax.Array | np.ndarray) -> np.ndarray:
-        """Normalize + derive views + append a batch. Returns row ids."""
-        x = jnp.asarray(embeddings)
+        """Normalize + derive views + append a batch. Returns row ids.
+
+        The whole update is one compiled, buffer-donating program — no
+        per-op dispatches, no copies of the capacity arrays.
+        """
+        x = jnp.asarray(embeddings, dtype=jnp.float32)
         n = x.shape[0]
         if self.size + n > self.capacity:
             self._grow(self.size + n)
-        norm, int8, inv = prepare_vectors_xla(
-            x, self.cfg.matryoshka_dims, out_dtype=self.vecs.dtype
-        )
         start = self.size
-        self.vecs = jax.lax.dynamic_update_slice_in_dim(self.vecs, norm, start, 0)
-        self.int8 = jax.lax.dynamic_update_slice_in_dim(self.int8, int8, start, 0)
-        self.inv_norms = jax.lax.dynamic_update_slice_in_dim(
-            self.inv_norms, inv, start, 0
-        )
-        self.live = jax.lax.dynamic_update_slice_in_dim(
-            self.live, jnp.ones((n,), dtype=bool), start, 0
+        self.vecs, self.int8, self.inv_norms, self.live = _insert_update(
+            self.vecs, self.int8, self.inv_norms, self.live,
+            x, np.int32(start), dims=self.cfg.matryoshka_dims,
         )
         self.size += n
         return np.arange(start, start + n)

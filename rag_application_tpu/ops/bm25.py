@@ -128,36 +128,15 @@ def bm25_topk(
     # Dedup: sorted candidates, duplicates -> sentinel row.
     cand = _dedup_sorted(cand, n_docs)
 
-    # Stage 2: exact rescore from the doc-major view. Doc terms are
-    # membership-tested against the query's sorted term set with an
-    # unrolled binary search — O(L log T) per candidate instead of the
-    # O(L*T) broadcast compare whose (Q, pool, L, T) intermediate XLA
-    # materializes in HBM.
+    # Stage 2: exact rescore from the doc-major view — broadcast term
+    # match. (A searchsorted binary search looks cheaper on paper but its
+    # take_along_axis steps lower to element-wise gathers on TPU, ~25x
+    # slower than this dense compare.)
     dt = doc_terms[cand]  # (Q, pool, L)
     dw = doc_weights[cand]  # (Q, pool, L)
-    big = jnp.int32(2147483647)
-    sorted_q = jnp.sort(jnp.where(q_valid, q_terms, big), axis=-1)  # (Q, T)
-    l = dt.shape[-1]
-    flat = dt.reshape(q, -1)
-    # branchless unrolled binary search: T is padded to a power of two by
-    # construction (max_query_terms); `big` padding keeps the order.
-    t_pow = 1
-    while t_pow < t:
-        t_pow *= 2
-    if t_pow != t:
-        sorted_q = jnp.pad(sorted_q, ((0, 0), (0, t_pow - t)),
-                           constant_values=big)
-    idx = jnp.zeros(flat.shape, dtype=jnp.int32)
-    step = t_pow // 2
-    while step > 0:
-        cand_pos = idx + step
-        probe = jnp.take_along_axis(
-            sorted_q, jnp.minimum(cand_pos, t_pow - 1), axis=-1
-        )
-        idx = jnp.where((probe <= flat) & (cand_pos < t_pow), cand_pos, idx)
-        step //= 2
-    found = jnp.take_along_axis(sorted_q, idx, axis=-1) == flat
-    hit = found.reshape(dt.shape)  # (Q, pool, L)
+    match = dt[..., :, None] == q_terms[:, None, None, :]  # (Q, pool, L, T)
+    match = jnp.logical_and(match, q_valid[:, None, None, :])
+    hit = jnp.any(match, axis=-1)  # (Q, pool, L)
     scores = jnp.sum(jnp.where(hit, dw, 0.0), axis=-1)  # (Q, pool)
 
     valid = cand < n_docs

@@ -54,8 +54,12 @@ def matryoshka_inv_norms(
         return jnp.zeros((x.shape[0], 0), dtype=jnp.float32)
     xf = x.astype(jnp.float32)
     sq = xf * xf
-    csum = jnp.cumsum(sq, axis=-1)
-    cols = [jax.lax.rsqrt(jnp.maximum(csum[:, d - 1], 1e-12)) for d in dims]
+    # static prefix-slice sums — cumsum over the feature axis compiles
+    # pathologically for wide rows and dims are few/static anyway
+    cols = [
+        jax.lax.rsqrt(jnp.maximum(jnp.sum(sq[:, :d], axis=-1), 1e-12))
+        for d in dims
+    ]
     return jnp.stack(cols, axis=-1)
 
 
