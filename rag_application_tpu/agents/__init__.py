@@ -1,0 +1,40 @@
+from .base_agent import AgentState, BaseAgent
+from .memory import (
+    EpisodicMemory,
+    ProceduralMemory,
+    SemanticMemory,
+    ThreadCheckpointer,
+    UserProfileMemory,
+    VectorMemoryStore,
+)
+
+AGENT_CLASS_MAP = {}
+
+
+def register_agent(agent_id: str):
+    """Parity: AGENT_CLASS_MAP registry (AgentAPI/app/agents/__init__.py:27-31)."""
+
+    def deco(cls):
+        AGENT_CLASS_MAP[agent_id] = cls
+        return cls
+
+    return deco
+
+
+def get_agent_by_id(agent_id: str):
+    return AGENT_CLASS_MAP.get(agent_id)
+
+
+__all__ = [
+    "AgentState",
+    "BaseAgent",
+    "VectorMemoryStore",
+    "ThreadCheckpointer",
+    "SemanticMemory",
+    "UserProfileMemory",
+    "EpisodicMemory",
+    "ProceduralMemory",
+    "AGENT_CLASS_MAP",
+    "register_agent",
+    "get_agent_by_id",
+]

@@ -1,0 +1,320 @@
+"""The service surface: every reference endpoint on the native engine.
+
+Parity map:
+  POST /ingest/file          IndexerAPI ingest.py:12-30 (file -> queue ->
+                             fan-out pipeline)
+  POST /ingest/raw-text      ingest.py:44-54
+  POST /search/scout         IndexerAPI search.py:60-86 (embed + 4-space kNN)
+  POST /search/query         search.py:43-58 — the raw-Cypher passthrough,
+                             here a typed structured-query surface
+  POST /delete/file          delete.py:10-60 (graph + chunk cascade)
+  GET  /queue/info           rabbitmq_handler.py:248-262
+  POST /api/v1/query/ask     app/api/v1/endpoints/query.py:19-35 ->
+                             QueryProcessor.process_query (orchestrated
+                             search + grounded answer)
+  POST /api/v1/search/hybrid the monolith's MCP search surface
+                             (qdrant_search_mcp_endpoint.py:21-34)
+  POST /chat/completions     AgentAPI chat.py — OpenAI-compatible, SSE
+                             streaming, agent with knowledge tools
+  GET  /v1/models            ModelRouterAPI models endpoint
+  GET  /health               every service's health route
+
+Auth: optional bearer token (parity: ModelRouterAPI API-key middleware,
+main.py:17-45).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+from ..agents.base_agent import BaseAgent
+from ..agents.memory import ThreadCheckpointer, VectorMemoryStore
+from ..config import Config
+from ..ingest.pipeline import IngestPipeline
+from ..kg.store import KGStore, Space
+from ..llm.router import LLMRouter
+from ..models.embedder import Embedder
+from ..store.collection import Collection, VectorStore
+from ..tools.knowledge import KnowledgeSearchToolbox
+from .http import JSONResponse, Request, Router, SSEResponse
+
+RAG_SYSTEM_PROMPT = (
+    "You are a retrieval-grounded assistant. Answer ONLY from the provided "
+    "context. If the context does not contain the answer, say you do not "
+    "know. Cite document ids."
+)
+
+
+@dataclass
+class UserSpace:
+    collection: Collection
+    kg: KGStore
+    pipeline: IngestPipeline
+
+
+@dataclass
+class AppState:
+    config: Config
+    embedder: Embedder
+    llm: LLMRouter
+    api_key: Optional[str] = None
+    users: Dict[str, UserSpace] = field(default_factory=dict)
+    checkpointer: ThreadCheckpointer = field(default_factory=ThreadCheckpointer)
+    memory: Optional[VectorMemoryStore] = None
+
+    def space(self, user_id: str) -> UserSpace:
+        if user_id not in self.users:
+            col = Collection(f"user_{user_id}", self.config)
+            kg = KGStore(self.config.kg, dim=min(self.embedder.dim, 2048),
+                         scope={"user_id": user_id})
+            pipe = IngestPipeline(col, self.embedder, kg=kg,
+                                  config=self.config.ingest)
+            self.users[user_id] = UserSpace(col, kg, pipe)
+        return self.users[user_id]
+
+
+def build_app(config: Optional[Config] = None, *,
+              llm: Optional[LLMRouter] = None,
+              embedder: Optional[Embedder] = None,
+              api_key: Optional[str] = None):
+    """Returns (router, state). Serve with HTTPServer(router)."""
+    config = config or Config()
+    embedder = embedder or Embedder(cfg=config.encoder)
+    llm = llm or LLMRouter()
+    state = AppState(config=config, embedder=embedder, llm=llm,
+                     api_key=api_key,
+                     memory=VectorMemoryStore(embedder))
+    router = Router()
+
+    def _auth(req: Request) -> Optional[JSONResponse]:
+        if state.api_key is None:
+            return None
+        tok = req.headers.get("authorization", "")
+        if tok == f"Bearer {state.api_key}":
+            return None
+        return JSONResponse({"detail": "unauthorized"}, 401)
+
+    # ------------------------------------------------------------- health
+
+    @router.route("GET", "/health")
+    async def health(req: Request):
+        return {"status": "ok", "users": len(state.users)}
+
+    @router.route("GET", "/v1/models")
+    async def models(req: Request):
+        return {"object": "list", "data": [
+            {"id": state.llm.model, "object": "model",
+             "owned_by": state.llm.provider.value},
+            {"id": "rag-tpu-encoder", "object": "model", "owned_by": "local"},
+        ]}
+
+    # -------------------------------------------------------------- ingest
+
+    @router.route("POST", "/ingest/file")
+    async def ingest_file(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        user_id = body.get("user_id", "default")
+        filename = body["filename"]
+        if "content_b64" in body:
+            data = base64.b64decode(body["content_b64"])
+        elif "text" in body:
+            data = body["text"].encode()
+        else:
+            return JSONResponse({"detail": "content_b64 or text required"}, 422)
+        sp = state.space(user_id)
+        result = await sp.pipeline.ingest_file(
+            filename, data, document_id=body.get("document_id"))
+        return JSONResponse({
+            "status": "accepted",
+            "document_id": result.document_id,
+            "chunks": result.chunks,
+            "pages": result.pages,
+            "failed_tasks": result.failed_tasks,
+        }, 202)
+
+    @router.route("POST", "/ingest/raw-text")
+    async def ingest_text(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        result = await sp.pipeline.ingest_text(
+            body["text"], document_id=body.get("document_id", uuid.uuid4().hex))
+        return JSONResponse({"status": "accepted",
+                             "document_id": result.document_id,
+                             "chunks": result.chunks}, 202)
+
+    @router.route("POST", "/delete/file")
+    async def delete_file(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        removed = sp.collection.delete_document(body["document_id"])
+        kg_removed = sp.kg.delete_document(body["document_id"])
+        return {"deleted_chunks": removed, "deleted_graph_nodes": kg_removed}
+
+    @router.route("GET", "/queue/info")
+    async def queue_info(req: Request):
+        return {u: sp.pipeline.queue.queue_info()
+                for u, sp in state.users.items()}
+
+    # -------------------------------------------------------------- search
+
+    @router.route("POST", "/search/scout")
+    async def scout(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        q = state.embedder.encode([body["query"]])[0][: sp.kg.dim]
+        hits = sp.kg.search_across_spaces(q, k=body.get("k", 10))
+        return {"results": hits}
+
+    @router.route("POST", "/search/query")
+    async def structured_query(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        toolbox = KnowledgeSearchToolbox(sp.collection, sp.kg,
+                                         state.embedder).build()
+        t = toolbox.get(body["tool"])
+        if t is None:
+            return JSONResponse(
+                {"detail": f"unknown tool; available: {toolbox.names()}"}, 422)
+        result = await t.call(**body.get("args", {}))
+        return {"result": result}
+
+    @router.route("POST", "/api/v1/search/hybrid")
+    async def hybrid(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        q = state.embedder.encode([body["query"]])[0]
+        hits = sp.collection.hybrid_search(
+            q, body["query"], limit=body.get("limit", 10))
+        return {"results": [
+            {"score": h.score, "payload": h.payload} for h in hits]}
+
+    # ----------------------------------------------------------- query/ask
+
+    @router.route("POST", "/api/v1/query/ask")
+    async def ask(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        user_id = body.get("user_id", "default")
+        question = body["question"]
+        sp = state.space(user_id)
+
+        q_vec = state.embedder.encode([question])[0]
+        hits = sp.collection.hybrid_search(q_vec, question,
+                                           limit=body.get("limit", 5))
+        kg_hits = sp.kg.search_across_spaces(q_vec[: sp.kg.dim], k=5)
+
+        # combined context (parity: _prepare_combined_context,
+        # search_orchestration_workflow.py:65-166)
+        passages = "\n\n".join(
+            f"[{h.payload.get('document_id')}#{h.payload.get('chunk_index')}] "
+            f"{h.payload.get('text', '')}" for h in hits)
+        graph = "\n".join(
+            f"({h['space']}) {h.get('text', h.get('content', ''))[:200]}"
+            for h in kg_hits)
+        context = f"PASSAGES:\n{passages}\n\nKNOWLEDGE GRAPH:\n{graph}"
+        answer = await state.llm.generate_text(
+            f"Context:\n{context}\n\nQuestion: {question}",
+            system=RAG_SYSTEM_PROMPT)
+        return {
+            "answer": answer,
+            "sources": [
+                {"document_id": h.payload.get("document_id"),
+                 "chunk_index": h.payload.get("chunk_index"),
+                 "score": h.score} for h in hits],
+        }
+
+    # ------------------------------------------------------ chat (OpenAI)
+
+    def _make_agent(user_id: str) -> BaseAgent:
+        sp = state.space(user_id)
+        tools = KnowledgeSearchToolbox(sp.collection, sp.kg,
+                                       state.embedder).build()
+        agent = BaseAgent(state.llm, system_prompt=RAG_SYSTEM_PROMPT,
+                          checkpointer=state.checkpointer,
+                          memory_store=state.memory, user_id=user_id)
+        agent.bind_tools([tools.get(n) for n in tools.names()])
+        return agent
+
+    @router.route("POST", "/chat/completions")
+    async def chat_completions(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        user_id = body.get("user", "default")
+        thread_id = body.get("thread_id") or f"chat-{user_id}"
+        messages = body.get("messages", [])
+        user_msg = next((m["content"] for m in reversed(messages)
+                         if m.get("role") == "user"), "")
+        agent = _make_agent(user_id)
+        completion_id = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+        model = body.get("model", state.llm.model)
+
+        if body.get("stream"):
+            async def events():
+                async for ev in agent.astream(user_msg, thread_id=thread_id):
+                    if ev["type"] == "message":
+                        yield {
+                            "id": completion_id,
+                            "object": "chat.completion.chunk",
+                            "created": int(time.time()),
+                            "model": model,
+                            "choices": [{"index": 0,
+                                         "delta": {"content": ev["delta"]},
+                                         "finish_reason": None}],
+                        }
+                    elif ev["type"] == "tool":
+                        yield {
+                            "id": completion_id,
+                            "object": "chat.completion.chunk",
+                            "created": int(time.time()),
+                            "model": model,
+                            "choices": [{"index": 0, "delta": {},
+                                         "finish_reason": None}],
+                            "tool_status": ev,
+                        }
+                yield {
+                    "id": completion_id,
+                    "object": "chat.completion.chunk",
+                    "created": int(time.time()),
+                    "model": model,
+                    "choices": [{"index": 0, "delta": {},
+                                 "finish_reason": "stop"}],
+                }
+            return SSEResponse(events())
+
+        out = await agent.ainvoke(user_msg, thread_id=thread_id)
+        usage = out["token_usage_history"][-1] if out["token_usage_history"] else {}
+        return {
+            "id": completion_id,
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": model,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": out["content"]},
+                "finish_reason": "stop",
+            }],
+            "usage": usage,
+            "thread_id": thread_id,
+            "checkpoint_id": out["checkpoint_id"],
+        }
+
+    return router, state

@@ -1,0 +1,192 @@
+import asyncio
+import base64
+import json
+
+import httpx
+import pytest
+
+from rag_application_tpu.api.app import build_app
+from rag_application_tpu.api.http import HTTPServer
+from rag_application_tpu.config import (
+    Config,
+    EncoderConfig,
+    FunnelConfig,
+    IndexConfig,
+    IngestConfig,
+    SparseConfig,
+)
+from rag_application_tpu.llm.router import LLMRouter, Provider
+from rag_application_tpu.models.embedder import Embedder
+
+TINY = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1, num_heads=4,
+                     mlp_dim=64, max_len=32, out_dim=32, dtype="float32")
+
+
+def small_config():
+    cfg = Config()
+    cfg.index = IndexConfig(dim=32, matryoshka_dims=(8, 16), initial_capacity=16)
+    cfg.sparse = SparseConfig(candidate_pool=64, max_query_terms=8)
+    cfg.funnel = FunnelConfig(matryoshka_limits=(8, 6), dense_limit=5,
+                              quantized_limit=5, sparse_limit=5, final_limit=5)
+    cfg.ingest = IngestConfig(chunk_chars=300, max_concurrency=4)
+    return cfg
+
+
+def with_server(fn):
+    """Run `fn(client)` against a live server instance."""
+
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        router, state = build_app(small_config(), llm=llm, embedder=emb)
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}", timeout=60
+            ) as client:
+                await fn(client, state)
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
+
+
+def test_health_and_models():
+    async def fn(client, state):
+        r = await client.get("/health")
+        assert r.status_code == 200 and r.json()["status"] == "ok"
+        r = await client.get("/v1/models")
+        ids = [m["id"] for m in r.json()["data"]]
+        assert "stub-model" in ids
+    with_server(fn)
+
+
+def test_404_and_405():
+    async def fn(client, state):
+        r = await client.get("/nope")
+        assert r.status_code == 404
+        r = await client.get("/ingest/file")
+        assert r.status_code == 405
+    with_server(fn)
+
+
+def test_ingest_search_ask_delete_flow():
+    async def fn(client, state):
+        text = ("Vivek Malipatel created the OmniRAG retrieval platform. "
+                "It uses hybrid dense and sparse search with rank fusion. ") * 5
+        r = await client.post("/ingest/raw-text", json={
+            "text": text, "document_id": "omnirag-doc", "user_id": "alice"})
+        assert r.status_code == 202
+        assert r.json()["chunks"] >= 1
+
+        r = await client.post("/api/v1/search/hybrid", json={
+            "query": "who created omnirag", "user_id": "alice", "limit": 3})
+        hits = r.json()["results"]
+        assert hits and hits[0]["payload"]["document_id"] == "omnirag-doc"
+
+        r = await client.post("/search/scout", json={
+            "query": "omnirag platform", "user_id": "alice"})
+        assert r.status_code == 200
+        assert r.json()["results"]  # page space hit
+
+        r = await client.post("/api/v1/query/ask", json={
+            "question": "Who created OmniRAG?", "user_id": "alice"})
+        body = r.json()
+        assert body["answer"]
+        assert body["sources"][0]["document_id"] == "omnirag-doc"
+
+        r = await client.post("/delete/file", json={
+            "document_id": "omnirag-doc", "user_id": "alice"})
+        assert r.json()["deleted_chunks"] >= 1
+        r = await client.post("/api/v1/search/hybrid", json={
+            "query": "omnirag", "user_id": "alice"})
+        assert r.json()["results"] == []
+    with_server(fn)
+
+
+def test_ingest_file_b64_csv():
+    async def fn(client, state):
+        csv = base64.b64encode(b"name,age\nalice,30\nbob,25\n").decode()
+        r = await client.post("/ingest/file", json={
+            "filename": "people.csv", "content_b64": csv, "user_id": "bob"})
+        assert r.status_code == 202 and r.json()["chunks"] == 1
+        r = await client.post("/search/query", json={
+            "user_id": "bob", "tool": "get_column_values",
+            "args": {"column_name": "name"}})
+        vals = [v["value"] for v in r.json()["result"]["values"]]
+        assert vals == ["alice", "bob"]
+    with_server(fn)
+
+
+def test_structured_query_unknown_tool():
+    async def fn(client, state):
+        r = await client.post("/search/query", json={
+            "tool": "drop_tables", "user_id": "x"})
+        assert r.status_code == 422
+        assert "available" in r.json()["detail"]
+    with_server(fn)
+
+
+def test_chat_completions_non_streaming():
+    async def fn(client, state):
+        r = await client.post("/chat/completions", json={
+            "model": "stub-model", "user": "carol",
+            "messages": [{"role": "user", "content": "hello agent"}]})
+        body = r.json()
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["content"]
+        assert body["checkpoint_id"]
+        # second turn continues the same thread
+        r2 = await client.post("/chat/completions", json={
+            "model": "stub-model", "user": "carol",
+            "thread_id": body["thread_id"],
+            "messages": [{"role": "user", "content": "and again"}]})
+        assert r2.json()["thread_id"] == body["thread_id"]
+    with_server(fn)
+
+
+def test_chat_completions_streaming_sse():
+    async def fn(client, state):
+        async with client.stream("POST", "/chat/completions", json={
+            "model": "stub-model", "user": "dave", "stream": True,
+            "messages": [{"role": "user", "content": "stream please"}],
+        }) as r:
+            assert r.headers["content-type"].startswith("text/event-stream")
+            chunks = []
+            async for line in r.aiter_lines():
+                if line.startswith("data:"):
+                    data = line[5:].strip()
+                    if data == "[DONE]":
+                        break
+                    chunks.append(json.loads(data))
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert "stream please" in text
+    with_server(fn)
+
+
+def test_api_key_auth():
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        router, state = build_app(small_config(), llm=llm, embedder=emb,
+                                  api_key="sekret")
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}", timeout=30
+            ) as client:
+                r = await client.post("/search/scout",
+                                      json={"query": "x"})
+                assert r.status_code == 401
+                r = await client.post(
+                    "/search/scout", json={"query": "x"},
+                    headers={"Authorization": "Bearer sekret"})
+                assert r.status_code == 200
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
