@@ -40,7 +40,11 @@ class SparseIndex:
     def __init__(self, config: Optional[SparseConfig] = None,
                  analyzer: Optional[Analyzer] = None):
         self.cfg = config or SparseConfig()
-        self.analyzer = analyzer or Analyzer()
+        if analyzer is None:
+            from .native_analyzer import make_analyzer
+
+            analyzer = make_analyzer()  # C analyzer when buildable
+        self.analyzer = analyzer
         # Host state: per-doc unique (term id, tf) arrays, row-aligned with
         # the dense index.
         self._doc_terms: List[np.ndarray] = []
@@ -74,7 +78,24 @@ class SparseIndex:
         return row
 
     def add_batch(self, texts: Sequence[str]) -> List[int]:
-        return [self.add(t) for t in texts]
+        encode_batch = getattr(self.analyzer, "encode_batch", None)
+        if encode_batch is None:
+            return [self.add(t) for t in texts]
+        # native fast path: one C call for the whole batch
+        flat, offsets = encode_batch(texts, grow=True)
+        start = len(self._doc_terms)
+        for i in range(len(texts)):
+            tids = flat[offsets[i]:offsets[i + 1]].astype(np.int64)
+            if tids.size:
+                terms, tfs = np.unique(tids, return_counts=True)
+            else:
+                terms = np.zeros(0, np.int64)
+                tfs = np.zeros(0, np.int64)
+            self._doc_terms.append(terms.astype(np.int32))
+            self._doc_tfs.append(tfs.astype(np.int32))
+            self._doc_lens.append(int(tids.size))
+        self._dirty = True
+        return list(range(start, start + len(texts)))
 
     def add_pretokenized(self, token_matrix: np.ndarray,
                          lengths: Optional[np.ndarray] = None) -> List[int]:

@@ -40,6 +40,12 @@ class Collection:
         self.sparse = SparseIndex(self.cfg.sparse)
         self.payloads = PayloadStore()
         self._fused = FusedSearcher(self.dense, self.sparse, self.cfg.funnel)
+        self.reranker = None  # optional LateInteractionReranker
+
+    def set_reranker(self, reranker) -> None:
+        """Attach a late-interaction reranker (parity: rerank_with_colbert,
+        qdrant_handler.py:380,388-412 — applied when funnel.rerank)."""
+        self.reranker = reranker
 
     # ------------------------------------------------------------- writes
 
@@ -149,6 +155,13 @@ class Collection:
                     continue
                 hits.append(SearchHit(float(score), int(row), payload))
             out.append(hits)
+
+        if funnel.rerank and self.reranker is not None and query_texts:
+            cand_texts = [[str(h.payload.get("text", "")) for h in hits]
+                          for hits in out]
+            orders = self.reranker.rerank(list(query_texts), cand_texts)
+            out = [[hits[j] for j in order]
+                   for hits, order in zip(out, orders)]
         return out
 
 
