@@ -39,6 +39,7 @@ from ..ingest.pipeline import IngestPipeline
 from ..kg.store import KGStore, Space
 from ..llm.router import LLMRouter
 from ..models.embedder import Embedder
+from ..search.orchestration import SearchOrchestrator
 from ..store.collection import Collection, VectorStore
 from ..tools.knowledge import KnowledgeSearchToolbox
 from .http import JSONResponse, Request, Router, SSEResponse
@@ -212,33 +213,41 @@ def build_app(config: Optional[Config] = None, *,
         if (deny := _auth(req)) is not None:
             return deny
         body = req.json()
-        user_id = body.get("user_id", "default")
-        question = body["question"]
-        sp = state.space(user_id)
+        sp = state.space(body.get("user_id", "default"))
+        orch = SearchOrchestrator(
+            sp.collection, sp.kg, state.embedder, state.llm,
+            llm_tuned_params=bool(body.get("llm_tuned_params")))
+        return await orch.ask(body["question"], limit=body.get("limit", 5))
 
-        q_vec = state.embedder.encode([question])[0]
-        hits = sp.collection.hybrid_search(q_vec, question,
-                                           limit=body.get("limit", 5))
-        kg_hits = sp.kg.search_across_spaces(q_vec[: sp.kg.dim], k=5)
-
-        # combined context (parity: _prepare_combined_context,
-        # search_orchestration_workflow.py:65-166)
-        passages = "\n\n".join(
-            f"[{h.payload.get('document_id')}#{h.payload.get('chunk_index')}] "
-            f"{h.payload.get('text', '')}" for h in hits)
-        graph = "\n".join(
-            f"({h['space']}) {h.get('text', h.get('content', ''))[:200]}"
-            for h in kg_hits)
-        context = f"PASSAGES:\n{passages}\n\nKNOWLEDGE GRAPH:\n{graph}"
-        answer = await state.llm.generate_text(
-            f"Context:\n{context}\n\nQuestion: {question}",
-            system=RAG_SYSTEM_PROMPT)
+    @router.route("POST", "/v1/embeddings")
+    async def embeddings(req: Request):
+        """OpenAI-compatible embeddings endpoint (parity: ModelRouterAPI
+        embeddings.py:38-56 — message-style image inputs route to the
+        multimodal encoder when one is configured)."""
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        raw = body.get("input", [])
+        if isinstance(raw, str):
+            raw = [raw]
+        texts = []
+        for item in raw:
+            if isinstance(item, str):
+                texts.append(item)
+            elif isinstance(item, list):  # message-style content blocks
+                texts.append(" ".join(
+                    b.get("text", "") for b in item
+                    if isinstance(b, dict) and b.get("type") == "text"))
+            else:
+                texts.append(str(item))
+        vecs = state.embedder.encode(texts)
         return {
-            "answer": answer,
-            "sources": [
-                {"document_id": h.payload.get("document_id"),
-                 "chunk_index": h.payload.get("chunk_index"),
-                 "score": h.score} for h in hits],
+            "object": "list",
+            "model": body.get("model", "rag-tpu-encoder"),
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": v.tolist()} for i, v in enumerate(vecs)],
+            "usage": {"prompt_tokens": sum(len(t.split()) for t in texts),
+                      "total_tokens": sum(len(t.split()) for t in texts)},
         }
 
     # ------------------------------------------------------ chat (OpenAI)

@@ -1,0 +1,109 @@
+"""KGStore checkpoint / restore (graph + 4 vector spaces).
+
+The reference's graph durability is Neo4j docker volumes; here the graph
+is framework state: per-space dense shards (bf16 bitcast like the chunk
+index), payload/key tables, document/page/edge maps. Atomic-by-rename
+like index/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import KGConfig
+from .store import KGStore, Space
+
+KG_MANIFEST_VERSION = 1
+
+
+def _dump_array(x: jax.Array) -> np.ndarray:
+    if x.dtype == jnp.bfloat16:
+        return np.asarray(jax.lax.bitcast_convert_type(x, jnp.uint16))
+    return np.asarray(x)
+
+
+def save_kg(kg: KGStore, path: str) -> None:
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    arrays = {}
+    meta_spaces = {}
+    for space, table in kg.spaces.items():
+        idx = table.index
+        arrays[f"{space.value}_vecs"] = _dump_array(idx.vecs)
+        arrays[f"{space.value}_int8"] = np.asarray(idx.int8)
+        arrays[f"{space.value}_live"] = np.asarray(idx.live)
+        meta_spaces[space.value] = {
+            "size": idx.size,
+            "bf16": str(idx.vecs.dtype) == "bfloat16",
+            "payloads": table.payloads,
+            "by_key": [[list(k), v] for k, v in table.by_key.items()],
+        }
+    np.savez(os.path.join(tmp, "spaces.npz"), **arrays)
+
+    graph = {
+        "documents": kg.documents,
+        "doc_pages": {d: {str(p): r for p, r in pages.items()}
+                      for d, pages in kg.doc_pages.items()},
+        "entity_edges": {str(k): v for k, v in kg.entity_edges.items()},
+        "page_mentions": {str(k): v for k, v in kg.page_mentions.items()},
+        "column_values": {str(k): v for k, v in kg.column_values.items()},
+        "scope": kg.scope,
+    }
+    with open(os.path.join(tmp, "graph.json"), "w") as f:
+        json.dump(graph, f, default=str)
+
+    manifest = {"version": KG_MANIFEST_VERSION, "dim": kg.dim,
+                "spaces": meta_spaces}
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, default=str)
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def load_kg(path: str, config: Optional[KGConfig] = None) -> KGStore:
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["version"] > KG_MANIFEST_VERSION:
+        raise ValueError("manifest too new")
+    with open(os.path.join(path, "graph.json")) as f:
+        graph = json.load(f)
+
+    kg = KGStore(config, dim=manifest["dim"], scope=graph.get("scope") or {})
+    data = np.load(os.path.join(path, "spaces.npz"), allow_pickle=False)
+    for space in Space:
+        meta = manifest["spaces"][space.value]
+        table = kg.spaces[space]
+        vecs = data[f"{space.value}_vecs"]
+        if meta["bf16"]:
+            table.index.vecs = jax.lax.bitcast_convert_type(
+                jnp.asarray(vecs), jnp.bfloat16)
+        else:
+            table.index.vecs = jnp.asarray(vecs)
+        table.index.int8 = jnp.asarray(data[f"{space.value}_int8"])
+        table.index.live = jnp.asarray(data[f"{space.value}_live"])
+        table.index.inv_norms = jnp.zeros(
+            (table.index.vecs.shape[0], 0), dtype=jnp.float32)
+        table.index.size = int(meta["size"])
+        table.payloads = meta["payloads"]
+        table.by_key = {tuple(k): v for k, v in meta["by_key"]}
+
+    kg.documents = graph["documents"]
+    kg.doc_pages = {d: {int(p): r for p, r in pages.items()}
+                    for d, pages in graph["doc_pages"].items()}
+    kg.entity_edges = {int(k): [tuple(e) for e in v]
+                       for k, v in graph["entity_edges"].items()}
+    kg.page_mentions = {int(k): v for k, v in graph["page_mentions"].items()}
+    kg.column_values = {int(k): v for k, v in graph["column_values"].items()}
+    return kg

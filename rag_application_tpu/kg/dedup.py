@@ -152,3 +152,23 @@ def merge_duplicates(kg: KGStore, pairs: List[Tuple[int, int, float]]) -> int:
 def deduplicate(kg: KGStore, **kw) -> int:
     """One full dedup pass (parity: deduplicate_user_graph)."""
     return merge_duplicates(kg, find_duplicates(kg, **kw))
+
+
+async def deduplication_loop(kg: KGStore, *, interval: float = 300.0,
+                             stop_event=None, **kw) -> int:
+    """Background loop re-running dedup every `interval` seconds (parity:
+    start_deduplication, deduplicator.py:161-169). Stops when
+    `stop_event` (asyncio.Event) is set; returns total merges."""
+    import asyncio
+
+    total = 0
+    while stop_event is None or not stop_event.is_set():
+        total += deduplicate(kg, **kw)
+        try:
+            if stop_event is not None:
+                await asyncio.wait_for(stop_event.wait(), timeout=interval)
+            else:
+                await asyncio.sleep(interval)
+        except asyncio.TimeoutError:
+            pass
+    return total
