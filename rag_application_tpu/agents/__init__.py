@@ -22,7 +22,16 @@ def register_agent(agent_id: str):
 
 
 def get_agent_by_id(agent_id: str):
+    if not AGENT_CLASS_MAP:
+        _register_builtin()
     return AGENT_CLASS_MAP.get(agent_id)
+
+
+def _register_builtin():
+    from . import chat_agent  # noqa: F401 — registers chat/knowledge agents
+    from .deep_research import DeepResearchAgent
+
+    AGENT_CLASS_MAP.setdefault("deep_research_agent", DeepResearchAgent)
 
 
 __all__ = [

@@ -106,6 +106,14 @@ def build_app(config: Optional[Config] = None, *,
     async def health(req: Request):
         return {"status": "ok", "users": len(state.users)}
 
+    @router.route("GET", "/metrics")
+    async def metrics(req: Request):
+        from ..utils.observability import METRICS
+        from .http import Response
+
+        return Response(headers={"content-type": "text/plain; version=0.0.4"},
+                        body=METRICS.render().encode())
+
     @router.route("GET", "/v1/models")
     async def models(req: Request):
         return {"object": "list", "data": [

@@ -36,6 +36,12 @@ def bm25_idf(n_docs: int, df: np.ndarray) -> np.ndarray:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def pd_unique(a: np.ndarray) -> np.ndarray:
+    """First-occurrence-order unique for small int arrays (query terms)."""
+    _, idx = np.unique(a, return_index=True)
+    return a[np.sort(idx)]
+
+
 class SparseIndex:
     def __init__(self, config: Optional[SparseConfig] = None,
                  analyzer: Optional[Analyzer] = None):
@@ -240,15 +246,29 @@ class SparseIndex:
         t = self.cfg.max_query_terms
         dv = self.device_arrays()
         v_pad = dv["v_pad"]
-        q_rows = np.full((len(queries), t), v_pad - 1, dtype=np.int32)
-        q_terms = np.full((len(queries), t), -2, dtype=np.int32)
-        q_valid = np.zeros((len(queries), t), dtype=bool)
-        for i, qtext in enumerate(queries):
-            tids = list(dict.fromkeys(self.analyzer.encode(qtext, grow=False)))[:t]
-            for j, tid in enumerate(tids):
-                q_rows[i, j] = tid
-                q_terms[i, j] = tid
-                q_valid[i, j] = True
+        n = len(queries)
+        q_rows = np.full((n, t), v_pad - 1, dtype=np.int32)
+        q_terms = np.full((n, t), -2, dtype=np.int32)
+        q_valid = np.zeros((n, t), dtype=bool)
+        encode_batch = getattr(self.analyzer, "encode_batch", None)
+        if encode_batch is not None:
+            flat, offsets = encode_batch(queries, grow=False)
+            for i in range(n):
+                seg = flat[offsets[i]:offsets[i + 1]]
+                # first occurrence order, truncated to T
+                tids = pd_unique(seg)[:t] if seg.size else seg
+                m = len(tids)
+                q_rows[i, :m] = tids
+                q_terms[i, :m] = tids
+                q_valid[i, :m] = True
+        else:
+            for i, qtext in enumerate(queries):
+                tids = list(dict.fromkeys(
+                    self.analyzer.encode(qtext, grow=False)))[:t]
+                for j, tid in enumerate(tids):
+                    q_rows[i, j] = tid
+                    q_terms[i, j] = tid
+                    q_valid[i, j] = True
         return jnp.asarray(q_rows), jnp.asarray(q_terms), jnp.asarray(q_valid)
 
     def search(

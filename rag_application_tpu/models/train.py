@@ -82,6 +82,32 @@ def make_train_step(
     return train_step
 
 
+def save_train_state(state: TrainState, path: str) -> None:
+    """Orbax checkpoint of params + optimizer state (the reference has no
+    training, hence no model checkpointing to mirror; this is standard
+    JAX practice for the encoder fine-tuning loop)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {"params": state.params,
+                          "opt_state": state.opt_state,
+                          "step": state.step}, force=True)
+
+
+def load_train_state(path: str, optimizer, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item={
+            "params": template.params,
+            "opt_state": template.opt_state,
+            "step": template.step,
+        })
+    return TrainState(params=restored["params"],
+                      opt_state=restored["opt_state"],
+                      step=restored["step"])
+
+
 def shard_train_setup(
     mesh: Mesh,
     enc: EncoderState,

@@ -69,6 +69,7 @@ class FusedSpec(NamedTuple):
             recall_target=recall_target,
             has_filter=has_filter,
             scan_impl=scan_impl,
+            use_int8=f.quantized_limit > 0,
         )
 
 
@@ -222,6 +223,9 @@ class FusedSearcher:
     def search(self, query_embeddings, query_texts=None, k: int = 10, *,
                filter_mask=None, use_matryoshka: bool = True,
                funnel: Optional[FunnelConfig] = None):
+        from ..utils.observability import METRICS
+
+        METRICS.inc("search_queries", len(np.asarray(query_embeddings)))
         f = funnel or self.funnel
         d = self.dense
         use_sparse = (self.sparse is not None and query_texts is not None
