@@ -175,6 +175,132 @@ def build_app(config: Optional[Config] = None, *,
         return {u: sp.pipeline.queue.queue_info()
                 for u, sp in state.users.items()}
 
+    # ----------------------------------------------------- chunked upload
+
+    _uploads: Dict[str, Dict[str, Any]] = {}
+
+    @router.route("POST", "/api/v1/upload/start")
+    async def upload_start(req: Request):
+        """Chunked upload protocol (parity: approval ids + chunks +
+        completion, app/api/v1/endpoints/upload.py:8-55)."""
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        approval_id = uuid.uuid4().hex
+        _uploads[approval_id] = {"filename": body["filename"],
+                                 "user_id": body.get("user_id", "default"),
+                                 "chunks": {}}
+        return JSONResponse({"approval_id": approval_id}, 202)
+
+    @router.route("POST", "/api/v1/upload/chunk/{approval_id}/{index}")
+    async def upload_chunk(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        up = _uploads.get(req.params["approval_id"])
+        if up is None:
+            return JSONResponse({"detail": "unknown approval id"}, 404)
+        up["chunks"][int(req.params["index"])] = req.body
+        return {"received": len(req.body)}
+
+    @router.route("POST", "/api/v1/upload/complete/{approval_id}")
+    async def upload_complete(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        up = _uploads.pop(req.params["approval_id"], None)
+        if up is None:
+            return JSONResponse({"detail": "unknown approval id"}, 404)
+        data = b"".join(up["chunks"][i] for i in sorted(up["chunks"]))
+        sp = state.space(up["user_id"])
+        result = await sp.pipeline.ingest_file(up["filename"], data)
+        return JSONResponse({"document_id": result.document_id,
+                             "chunks": result.chunks}, 202)
+
+    @router.route("POST", "/webhook/storage")
+    async def storage_webhook(req: Request):
+        """S3-style object-created webhook (parity: the MinIO webhook ->
+        priority queue, app/api/v1/endpoints/minio_webhook.py:12-90).
+        Accepts inline content or a local path inside the records."""
+        body = req.json()
+        accepted = []
+        for record in body.get("Records", []):
+            key = record.get("s3", {}).get("object", {}).get("key", "")
+            user_id = record.get("user_id", "default")
+            content = record.get("content")
+            if content is None:
+                continue  # no external object store in-process
+            sp = state.space(user_id)
+            result = await sp.pipeline.ingest_file(
+                key, content.encode() if isinstance(content, str)
+                else base64.b64decode(content.get("b64", "")))
+            accepted.append(result.document_id)
+        return JSONResponse({"accepted": accepted}, 202)
+
+    # ------------------------------------------------------------ catalog
+
+    @router.route("GET", "/agents")
+    async def agents_catalog(req: Request):
+        """Agent catalog (parity: AGENT_CATALOG with capability toggles,
+        AgentAPI backend/agents/catalog.py:26-84)."""
+        from ..agents import AGENT_CLASS_MAP, _register_builtin
+
+        _register_builtin()
+        return {"agents": [
+            {"id": aid, "class": cls.__name__,
+             "capabilities": {"tools": True, "memory": True,
+                              "streaming": hasattr(cls, "astream")}}
+            for aid, cls in sorted(AGENT_CLASS_MAP.items())]}
+
+    @router.route("GET", "/api/v1/documents")
+    async def list_documents(req: Request):
+        user_id = req.query.get("user_id", "default")
+        sp = state.space(user_id)
+        docs: Dict[str, int] = {}
+        for row in range(len(sp.collection.payloads)):
+            p = sp.collection.payloads.get(row)
+            if p is not None:
+                docs[p.get("document_id", "?")] = docs.get(
+                    p.get("document_id", "?"), 0) + 1
+        return {"documents": [
+            {"document_id": d, "chunks": c} for d, c in sorted(docs.items())]}
+
+    # ---------------------------------------------- LLM passthrough (v1)
+
+    @router.route("POST", "/v1/chat/completions")
+    async def llm_passthrough(req: Request):
+        """Direct provider passthrough (parity: ModelRouterAPI chat
+        endpoint, api/v1/endpoints/chat.py:24-100) — no agent loop."""
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        from ..llm.router import ChatMessage
+
+        msgs = [ChatMessage(m.get("role", "user"), m.get("content") or "")
+                for m in body.get("messages", [])]
+        completion_id = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+        model = body.get("model", state.llm.model)
+        if body.get("stream"):
+            async def events():
+                async for delta in state.llm.stream(msgs):
+                    yield {"id": completion_id,
+                           "object": "chat.completion.chunk",
+                           "created": int(time.time()), "model": model,
+                           "choices": [{"index": 0,
+                                        "delta": {"content": delta},
+                                        "finish_reason": None}]}
+                yield {"id": completion_id,
+                       "object": "chat.completion.chunk",
+                       "created": int(time.time()), "model": model,
+                       "choices": [{"index": 0, "delta": {},
+                                    "finish_reason": "stop"}]}
+            return SSEResponse(events())
+        resp = await state.llm.chat(msgs)
+        return {"id": completion_id, "object": "chat.completion",
+                "created": int(time.time()), "model": model,
+                "choices": [{"index": 0, "message": {
+                    "role": "assistant", "content": resp.content},
+                    "finish_reason": "stop"}],
+                "usage": resp.usage}
+
     # -------------------------------------------------------------- search
 
     @router.route("POST", "/search/scout")

@@ -34,10 +34,16 @@ from .queue import NonRetryableError, Task, TaskState, TaskType, WorkQueue, task
 
 STRUCTURED_SUFFIXES = {".csv", ".tsv", ".xlsx", ".xls", ".parquet"}
 DIRECT_SUFFIXES = {".txt", ".md", ".markdown", ".rst", ".json", ".html", ".htm"}
+IMAGE_SUFFIXES = {".png", ".jpg", ".jpeg", ".gif", ".webp", ".bmp"}
+MEDIA_SUFFIXES = {".mp3", ".wav", ".flac", ".mp4", ".mov", ".avi", ".mkv"}
 
 
 def classify_file(filename: str, mime: Optional[str] = None) -> str:
-    """unstructured / structured / direct (parity: file_processor.py:38-75)."""
+    """unstructured / structured / direct / image / media (parity:
+    MIME-class routing, app/services/file_processor/file_processor.py:
+    75-109 + IndexerAPI file_processor.py:38-75). Audio/video processors
+    are declared-but-stub surface in the reference too (SURVEY §2.1
+    'Stub processors')."""
     name = filename.lower()
     for suf in STRUCTURED_SUFFIXES:
         if name.endswith(suf):
@@ -45,11 +51,21 @@ def classify_file(filename: str, mime: Optional[str] = None) -> str:
     for suf in DIRECT_SUFFIXES:
         if name.endswith(suf):
             return "direct"
+    for suf in IMAGE_SUFFIXES:
+        if name.endswith(suf):
+            return "image"
+    for suf in MEDIA_SUFFIXES:
+        if name.endswith(suf):
+            return "media"
     if mime:
         if mime.startswith("text/"):
             return "direct"
         if "spreadsheet" in mime or "csv" in mime:
             return "structured"
+        if mime.startswith("image/"):
+            return "image"
+        if mime.startswith(("audio/", "video/")):
+            return "media"
     return "unstructured"
 
 
@@ -137,6 +153,25 @@ class IngestPipeline:
         if self.kg is not None:
             self.kg.reset_document(document_id)
 
+        if kind == "image":
+            # image page: VLM description becomes the text (parity:
+            # _unstructured_processor VLM alt-text path)
+            if self.page_describer is None:
+                raise NonRetryableError(
+                    "image ingest requires a page_describer (VLM hook)")
+            await self.queue.put(Task(
+                TaskType.UNSTRUCTURED_PAGE,
+                {"document_id": document_id, "page_number": 1,
+                 "text": "", "image": p["data"]},
+                priority=task_priority(TaskType.UNSTRUCTURED_PAGE, 0),
+            ))
+            return
+        if kind == "media":
+            # declared surface, unimplemented — parity with the reference's
+            # audio/video stub processors (they return None; we fail the
+            # task into the ledger instead of silently dropping it)
+            raise NonRetryableError(
+                f"no processor for media file {p['filename']}")
         if kind == "direct":
             try:
                 text = p["data"].decode("utf-8")

@@ -220,23 +220,33 @@ class FusedSearcher:
         self.scan_bins = scan_bins
         self.scan_block_rows = scan_block_rows
 
-    def search(self, query_embeddings, query_texts=None, k: int = 10, *,
-               filter_mask=None, use_matryoshka: bool = True,
-               funnel: Optional[FunnelConfig] = None):
+    def prepare(self, query_embeddings, query_texts=None):
+        """Host-side query prep + device upload, separated from execution
+        so serving loops can overlap/pre-stage transfers."""
+        q = jax.device_put(jnp.asarray(query_embeddings, dtype=jnp.float32))
+        sparse_queries = None
+        if (self.sparse is not None and query_texts is not None
+                and len(self.sparse) > 0):
+            sparse_queries = self.sparse.encode_queries(list(query_texts))
+        return q, sparse_queries
+
+    def search_prepared(self, prepared, k: int = 10, *, filter_mask=None,
+                        use_matryoshka: bool = True,
+                        funnel: Optional[FunnelConfig] = None):
+        """Execute the fused funnel on pre-staged query tensors."""
         from ..utils.observability import METRICS
 
-        METRICS.inc("search_queries", len(np.asarray(query_embeddings)))
+        q, sparse_queries = prepared
+        METRICS.inc("search_queries", q.shape[0])
         f = funnel or self.funnel
         d = self.dense
-        use_sparse = (self.sparse is not None and query_texts is not None
-                      and len(self.sparse) > 0)
-        sparse_arrays = sparse_queries = None
+        use_sparse = sparse_queries is not None
+        sparse_arrays = None
         sparse_pool = 1024
         if use_sparse:
             dv = self.sparse.device_arrays()
             sparse_arrays = (dv["post_docs"], dv["post_weights"],
                              dv["doc_terms"], dv["doc_weights"])
-            sparse_queries = self.sparse.encode_queries(list(query_texts))
             sparse_pool = self.sparse.cfg.candidate_pool
         spec = FusedSpec.from_funnel(
             f, d.cfg.matryoshka_dims, k=k, block_size=d.cfg.block_size,
@@ -248,8 +258,16 @@ class FusedSearcher:
                    scan_block_rows=self.scan_block_rows)
         scores, ids = fused_hybrid(
             d.vecs, d.int8, d.inv_norms, d.live,
-            np.int32(d.size), jnp.asarray(query_embeddings),
+            np.int32(d.size), q,
             jnp.asarray(filter_mask) if filter_mask is not None else None,
             sparse_arrays, sparse_queries, spec,
         )
         return scores, ids
+
+    def search(self, query_embeddings, query_texts=None, k: int = 10, *,
+               filter_mask=None, use_matryoshka: bool = True,
+               funnel: Optional[FunnelConfig] = None):
+        prepared = self.prepare(query_embeddings, query_texts)
+        return self.search_prepared(
+            prepared, k, filter_mask=filter_mask,
+            use_matryoshka=use_matryoshka, funnel=funnel)

@@ -1,0 +1,116 @@
+import asyncio
+import base64
+import json
+
+import httpx
+import pytest
+
+from rag_application_tpu.api.app import build_app
+from rag_application_tpu.api.http import HTTPServer
+from rag_application_tpu.config import (
+    Config,
+    EncoderConfig,
+    FunnelConfig,
+    IndexConfig,
+    IngestConfig,
+    SparseConfig,
+)
+from rag_application_tpu.llm.router import LLMRouter, Provider
+from rag_application_tpu.models.embedder import Embedder
+
+TINY = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1, num_heads=4,
+                     mlp_dim=64, max_len=32, out_dim=32, dtype="float32")
+
+
+def small_config():
+    cfg = Config()
+    cfg.index = IndexConfig(dim=32, matryoshka_dims=(8, 16), initial_capacity=16)
+    cfg.sparse = SparseConfig(candidate_pool=64, max_query_terms=8)
+    cfg.funnel = FunnelConfig(matryoshka_limits=(8, 6), dense_limit=5,
+                              quantized_limit=5, sparse_limit=5, final_limit=5)
+    cfg.ingest = IngestConfig(chunk_chars=300, max_concurrency=4)
+    return cfg
+
+
+def with_server(fn):
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        router, state = build_app(small_config(), llm=llm, embedder=emb)
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}", timeout=60
+            ) as client:
+                await fn(client, state)
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
+
+
+def test_chunked_upload_protocol():
+    async def fn(client, state):
+        r = await client.post("/api/v1/upload/start", json={
+            "filename": "big.txt", "user_id": "u"})
+        approval = r.json()["approval_id"]
+        data = ("chunk one of the file. " * 20).encode()
+        half = len(data) // 2
+        r = await client.post(f"/api/v1/upload/chunk/{approval}/1",
+                              content=data[half:])
+        assert r.status_code == 200
+        r = await client.post(f"/api/v1/upload/chunk/{approval}/0",
+                              content=data[:half])
+        assert r.status_code == 200
+        r = await client.post(f"/api/v1/upload/complete/{approval}")
+        assert r.status_code == 202 and r.json()["chunks"] >= 1
+        # approval id is single-use
+        r = await client.post(f"/api/v1/upload/complete/{approval}")
+        assert r.status_code == 404
+    with_server(fn)
+
+
+def test_storage_webhook():
+    async def fn(client, state):
+        r = await client.post("/webhook/storage", json={"Records": [
+            {"s3": {"object": {"key": "hooked.txt"}},
+             "user_id": "w", "content": "webhook ingested text " * 10}]})
+        assert r.status_code == 202
+        assert r.json()["accepted"] == ["hooked.txt"]
+        r = await client.get("/api/v1/documents", params={"user_id": "w"})
+        docs = r.json()["documents"]
+        assert docs and docs[0]["document_id"] == "hooked.txt"
+    with_server(fn)
+
+
+def test_agents_catalog():
+    async def fn(client, state):
+        r = await client.get("/agents")
+        ids = [a["id"] for a in r.json()["agents"]]
+        assert {"chat_agent", "deep_research_agent",
+                "knowledge_search_agent"} <= set(ids)
+    with_server(fn)
+
+
+def test_llm_passthrough_non_stream_and_stream():
+    async def fn(client, state):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "passthrough hello"}]})
+        body = r.json()
+        assert body["choices"][0]["message"]["content"].startswith("[stub]")
+
+        async with client.stream("POST", "/v1/chat/completions", json={
+            "stream": True,
+            "messages": [{"role": "user", "content": "stream pass"}],
+        }) as r:
+            text = ""
+            async for line in r.aiter_lines():
+                if line.startswith("data:"):
+                    d = line[5:].strip()
+                    if d == "[DONE]":
+                        break
+                    j = json.loads(d)
+                    text += j["choices"][0]["delta"].get("content", "")
+        assert "stream pass" in text
+    with_server(fn)
