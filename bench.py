@@ -93,7 +93,7 @@ def main():
     t_dense_build = time.time() - t0
     log(f"[bench] dense build: {t_dense_build:.1f}s")
 
-    sparse = SparseIndex(SparseConfig())
+    sparse = SparseIndex(SparseConfig(candidate_pool=256))
     t0 = time.time()
     # Register the synthetic vocab so text queries analyze to the same ids.
     sparse.analyzer.vocab = {f"w{t}": t for t in range(vocab)}
@@ -117,7 +117,8 @@ def main():
         sparse_limit=50,
         final_limit=k,
     )
-    searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas")
+    searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas",
+                             scan_block_rows=16384)
 
     # measured config: int8 full-dim scan + BM25 + RRF + exact rescore
     # (the 128-d cascade stays available but adds no recall on this

@@ -225,11 +225,14 @@ class SparseIndex:
         doc_terms[r2[keep2], rank2[keep2]] = t2[keep2]
         doc_w[r2[keep2], rank2[keep2]] = w2[keep2]
 
+        # interleave terms + bitcast weights: one packed row per doc so
+        # the stage-2 candidate gather issues half the DMA segments
+        packed = np.concatenate(
+            [doc_terms, doc_w.astype(np.float32).view(np.int32)], axis=-1)
         self._device = {
             "post_docs": jnp.asarray(post_docs),
             "post_weights": jnp.asarray(post_w),
-            "doc_terms": jnp.asarray(doc_terms),
-            "doc_weights": jnp.asarray(doc_w),
+            "doc_packed": jnp.asarray(packed),
             "v_pad": v_pad,
         }
         self._dirty = False
@@ -284,8 +287,7 @@ class SparseIndex:
         dv = self.device_arrays()
         q_rows, q_terms, q_valid = self.encode_queries(queries)
         scores, ids = bm25_topk(
-            dv["post_docs"], dv["post_weights"],
-            dv["doc_terms"], dv["doc_weights"],
+            dv["post_docs"], dv["post_weights"], dv["doc_packed"],
             q_rows, q_terms, q_valid, k,
             pool=self.cfg.candidate_pool,
             filter_mask=filter_mask,

@@ -34,8 +34,68 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import use_interpret
 
 NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _match_kernel(dt_ref, dw_ref, qt_ref, qv_ref, out_ref, *, t: int):
+    """Σ_l dw[l] · [dt[l] ∈ query terms] — all tiles resident in VMEM.
+
+    dt/dw: (Qb, pool*L) flattened doc terms/weights; qt/qv: (Qb, T).
+    The T-way membership test unrolls into T VPU compare+or passes with
+    no HBM intermediate (XLA materializes the (Q, pool, L, T) broadcast
+    compare, ~35 ms at pool 512; this kernel runs it in ~1 ms).
+    """
+    dt = dt_ref[:]
+    hit = jnp.zeros(dt.shape, dtype=jnp.bool_)
+    for j in range(t):
+        qt_col = qt_ref[:, j][:, None]  # (Qb, 1)
+        valid = qv_ref[:, j][:, None]
+        hit = jnp.logical_or(hit, jnp.logical_and(dt == qt_col, valid))
+    out_ref[:] = jnp.where(hit, dw_ref[:], 0.0)
+
+
+def bm25_match_scores(dt: jax.Array, dw: jax.Array, q_terms: jax.Array,
+                      q_valid: jax.Array, *, q_block: int = 64) -> jax.Array:
+    """(Q, pool, L) doc terms/weights vs (Q, T) query terms -> (Q, pool)."""
+    q, pool, l = dt.shape
+    t = q_terms.shape[1]
+    flat = q * pool * l
+    # pad queries to a block multiple
+    qb = min(q_block, q)
+    pad = (-q) % qb
+    if pad:
+        dt = jnp.pad(dt, ((0, pad), (0, 0), (0, 0)), constant_values=-1)
+        dw = jnp.pad(dw, ((0, pad), (0, 0), (0, 0)))
+        q_terms = jnp.pad(q_terms, ((0, pad), (0, 0)), constant_values=-2)
+        q_valid = jnp.pad(q_valid, ((0, pad), (0, 0)))
+    qp = q + pad
+
+    kernel = functools.partial(_match_kernel, t=t)
+    weighted = pl.pallas_call(
+        kernel,
+        grid=(qp // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, pool * l), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, pool * l), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, pool * l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, pool * l), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=use_interpret(),
+    )(dt.reshape(qp, pool * l), dw.reshape(qp, pool * l).astype(jnp.float32),
+      q_terms, q_valid)
+    return jnp.sum(weighted.reshape(qp, pool, l), axis=-1)[:q]
 
 
 def bm25_impact_weights(
@@ -67,18 +127,27 @@ def _dedup_sorted(cand: jax.Array, pad_id: int) -> jax.Array:
     return jnp.where(dup, pad_id, s)
 
 
+def pack_doc_major(doc_terms: jax.Array, doc_weights: jax.Array) -> jax.Array:
+    """Interleave terms + weights into one (N+1, 2L) int32 array (weights
+    bitcast). The stage-2 candidate gather of small rows is DMA-segment
+    bound on TPU (~12 ms for 256k x 128 B rows); doubling the row and
+    halving the gather count nearly halves that cost."""
+    w_bits = jax.lax.bitcast_convert_type(
+        doc_weights.astype(jnp.float32), jnp.int32)
+    return jnp.concatenate([doc_terms, w_bits], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "pool", "approx"))
 def bm25_topk(
     post_docs: jax.Array,
     post_weights: jax.Array,
-    doc_terms: jax.Array,
-    doc_weights: jax.Array,
+    doc_packed: jax.Array,
     q_rows: jax.Array,
     q_terms: jax.Array,
     q_valid: jax.Array,
     k: int,
     *,
-    pool: int = 1024,
+    pool: int = 512,
     filter_mask: Optional[jax.Array] = None,
     approx: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -88,10 +157,10 @@ def bm25_topk(
       post_docs: (T_active, P) int32 — impact-ordered doc ids per posting
         row; padded slots hold ``N`` (the sentinel row of the doc-major
         view, which has zero terms).
-      post_weights: (T_active, P) f32 impact weights (0 in padding).
-      doc_terms: (N+1, L) int32 — per-doc term ids, padded with -1; row N
-        is the all-padding sentinel.
-      doc_weights: (N+1, L) f32 per-doc impact weights (0 in padding).
+      post_weights: (T_active, P) f16/f32 impact weights (0 in padding).
+      doc_packed: (N+1, 2L) int32 — per-doc term ids (cols :L, padded -1)
+        interleaved with bitcast f32 impact weights (cols L:); row N is
+        the all-padding sentinel (see :func:`pack_doc_major`).
       q_rows: (Q, T) int32 posting-row index of each query term (row
         T_active-1 must be an all-padding row for unseen terms — the
         builder guarantees one).
@@ -106,7 +175,8 @@ def bm25_topk(
     Returns: (scores (Q, k) f32, ids (Q, k) int32). Empty slots have
       score 0-able -inf and id == N (sentinel).
     """
-    n_docs = doc_terms.shape[0] - 1  # last row is the sentinel
+    n_docs = doc_packed.shape[0] - 1  # last row is the sentinel
+    l = doc_packed.shape[1] // 2
     q, t = q_rows.shape
     p = post_docs.shape[1]
 
@@ -128,16 +198,15 @@ def bm25_topk(
     # Dedup: sorted candidates, duplicates -> sentinel row.
     cand = _dedup_sorted(cand, n_docs)
 
-    # Stage 2: exact rescore from the doc-major view — broadcast term
-    # match. (A searchsorted binary search looks cheaper on paper but its
-    # take_along_axis steps lower to element-wise gathers on TPU, ~25x
-    # slower than this dense compare.)
-    dt = doc_terms[cand]  # (Q, pool, L)
-    dw = doc_weights[cand]  # (Q, pool, L)
-    match = dt[..., :, None] == q_terms[:, None, None, :]  # (Q, pool, L, T)
-    match = jnp.logical_and(match, q_valid[:, None, None, :])
-    hit = jnp.any(match, axis=-1)  # (Q, pool, L)
-    scores = jnp.sum(jnp.where(hit, dw, 0.0), axis=-1)  # (Q, pool)
+    # Stage 2: exact rescore from the doc-major view — ONE gather of the
+    # packed rows (small-row gathers are DMA-segment bound), then the
+    # fused VMEM match kernel (the XLA broadcast compare materializes a
+    # (Q, pool, L, T) tensor in HBM; both it and a searchsorted variant
+    # measured 20-70 ms at batch 512).
+    packed = doc_packed[cand]  # (Q, pool, 2L) int32
+    dt = packed[..., :l]
+    dw = jax.lax.bitcast_convert_type(packed[..., l:], jnp.float32)
+    scores = bm25_match_scores(dt, dw, q_terms, q_valid)  # (Q, pool)
 
     valid = cand < n_docs
     if filter_mask is not None:

@@ -98,6 +98,59 @@ def shard_corpus(mesh: Mesh, corpus, *, axis: str = "data") -> jax.Array:
     return jax.device_put(corpus, NamedSharding(mesh, P(axis, None)))
 
 
+def sharded_hybrid_topk(
+    mesh: Mesh,
+    vecs: jax.Array,       # (N, d) bf16/f32 row-sharded over `axis`
+    int8: jax.Array,       # (N, d) int8 row-sharded
+    queries: jax.Array,    # (Q, d) f32 replicated, unit-norm
+    k: int,
+    *,
+    axis: str = "data",
+    candidates: int = 64,
+    block_size: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-chip dense funnel: per-shard int8 scan -> per-shard exact
+    bf16 rescore of local candidates -> all-gather of (k cand/shard) ->
+    global top-k. Only candidate lists (KBs) ride the ICI; the corpus
+    never moves. The structural template for sharding the full hybrid
+    funnel (the sparse branch shards the same way: doc-major rows are
+    corpus-row-aligned)."""
+    n = vecs.shape[0]
+    n_shards = mesh.shape[axis]
+    if n % n_shards:
+        raise ValueError(f"{n} rows not divisible by {n_shards}")
+    rows_per_shard = n // n_shards
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def search(v_shard, i8_shard, q):
+        shard_id = jax.lax.axis_index(axis)
+        start = shard_id * rows_per_shard
+        q8 = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
+        _, cand = blocked_topk(
+            i8_shard, q8, candidates,
+            block_size=min(block_size, rows_per_shard), approx=True,
+        )
+        # exact local rescore at full precision
+        g = v_shard[jnp.clip(cand, 0, rows_per_shard - 1)].astype(jnp.float32)
+        exact = jnp.einsum("qd,qcd->qc", q.astype(jnp.float32), g)
+        top, pos = jax.lax.top_k(exact, min(k, candidates))
+        idx = jnp.take_along_axis(cand, pos, axis=-1) + start
+        all_v = jax.lax.all_gather(top, axis)
+        all_i = jax.lax.all_gather(idx, axis)
+        s, qn, kk = all_v.shape
+        all_v = jnp.transpose(all_v, (1, 0, 2)).reshape(qn, s * kk)
+        all_i = jnp.transpose(all_i, (1, 0, 2)).reshape(qn, s * kk)
+        out_v, out_pos = jax.lax.top_k(all_v, k)
+        return out_v, jnp.take_along_axis(all_i, out_pos, axis=-1)
+
+    return search(vecs, int8, queries)
+
+
 def sharded_topk_dryrun(mesh: Mesh) -> None:
     """Tiny-shape execution of the sharded search path (driver dry run)."""
     axis = "data"
@@ -113,3 +166,13 @@ def sharded_topk_dryrun(mesh: Mesh) -> None:
                              axis=axis, valid_n=n, approx=False)
     idx = np.asarray(idx)
     assert (idx[:, 0] == np.arange(q)).all(), f"self-retrieval failed: {idx[:, 0]}"
+
+    # the two-stage sharded funnel (int8 scan -> exact rescore -> merge)
+    int8 = np.clip(np.round(corpus * 127), -127, 127).astype(np.int8)
+    int8_sharded = jax.device_put(
+        jnp.asarray(int8), NamedSharding(mesh, P(axis, None)))
+    v2, i2 = sharded_hybrid_topk(mesh, sharded, int8_sharded,
+                                 jnp.asarray(queries), k, axis=axis,
+                                 candidates=8, block_size=32)
+    i2 = np.asarray(i2)
+    assert (i2[:, 0] == np.arange(q)).all(), f"hybrid shard failed: {i2[:, 0]}"

@@ -167,12 +167,12 @@ def fused_hybrid(
 
     # --- sparse BM25 branch ---
     if spec.sparse_limit and sparse_arrays is not None:
-        post_docs, post_w, doc_terms, doc_w = sparse_arrays
+        post_docs, post_w, doc_packed = sparse_arrays
         q_rows, q_terms, q_valid = sparse_queries
-        n_sparse = doc_terms.shape[0] - 1
+        n_sparse = doc_packed.shape[0] - 1
         fm = mask[:n_sparse]  # live ∧ payload filter, row-aligned
         sp_vals, sp_ids = bm25_topk(
-            post_docs, post_w, doc_terms, doc_w,
+            post_docs, post_w, doc_packed,
             q_rows, q_terms, q_valid, spec.sparse_limit,
             pool=spec.sparse_pool, filter_mask=fm,
         )
@@ -246,7 +246,7 @@ class FusedSearcher:
         if use_sparse:
             dv = self.sparse.device_arrays()
             sparse_arrays = (dv["post_docs"], dv["post_weights"],
-                             dv["doc_terms"], dv["doc_weights"])
+                             dv["doc_packed"])
             sparse_pool = self.sparse.cfg.candidate_pool
         spec = FusedSpec.from_funnel(
             f, d.cfg.matryoshka_dims, k=k, block_size=d.cfg.block_size,

@@ -117,8 +117,8 @@ def hybrid_search(
         if fm is not None:
             fm = fm[: len(sparse)]
         sp_scores, sp_ids = bm25_topk(
-            dv["post_docs"], dv["post_weights"], dv["doc_terms"],
-            dv["doc_weights"], q_rows, q_terms, q_valid, f.sparse_limit,
+            dv["post_docs"], dv["post_weights"], dv["doc_packed"],
+            q_rows, q_terms, q_valid, f.sparse_limit,
             pool=sparse.cfg.candidate_pool, filter_mask=fm,
         )
         sp_valid = jnp.isfinite(sp_scores)
