@@ -312,6 +312,29 @@ class BaseAgent:
         cp = self.checkpointer.save(thread_id, state.to_dict())
         yield {"type": "done", "checkpoint_id": cp}
 
+    async def abatch(self, inputs: Sequence[str], *,
+                     thread_prefix: str = "batch") -> List[Dict[str, Any]]:
+        """Concurrent independent invocations (parity: BaseAgent.abatch,
+        base_agent.py:808-939). Each input gets its own thread."""
+        return list(await asyncio.gather(*(
+            self.ainvoke(x, thread_id=f"{thread_prefix}-{i}")
+            for i, x in enumerate(inputs))))
+
+    async def astream_events(self, user_input: str, *,
+                             thread_id: str = "default"):
+        """Event-stream variant with typed envelopes (parity:
+        astream_events): on_tool_start/on_tool_end/on_message/on_end."""
+        async for ev in self.astream(user_input, thread_id=thread_id):
+            if ev["type"] == "tool":
+                yield {"event": ("on_tool_start" if ev["status"] == "started"
+                                 else "on_tool_end"),
+                       "name": ev["name"]}
+            elif ev["type"] == "message":
+                yield {"event": "on_message", "data": ev["delta"]}
+            else:
+                yield {"event": "on_end",
+                       "checkpoint_id": ev.get("checkpoint_id")}
+
     async def drain_reflections(self) -> None:
         """Await background memory writes (tests / clean shutdown)."""
         if self._reflection_tasks:

@@ -146,6 +146,22 @@ class GraphIndex:
             prefix_dim=p.prefix_dim, filter_mask=mask,
         )
 
+    # -------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Adjacency + entry sample to an npz (the dense shard checkpoints
+        separately via index/checkpoint.py)."""
+        np.savez(path, adj=np.asarray(self.adj), entry_ids=self.entry_ids,
+                 m=self.m, built_size=self.built_size)
+
+    @classmethod
+    def load(cls, path: str, dense: DenseIndex) -> "GraphIndex":
+        d = np.load(path)
+        import jax.numpy as jnp
+
+        return cls(dense, jnp.asarray(d["adj"]), d["entry_ids"],
+                   m=int(d["m"]), built_size=int(d["built_size"]))
+
     # ------------------------------------------------------------- updates
 
     def insert_batch(self, rows: np.ndarray, *, link_ef: int = 64) -> None:

@@ -47,6 +47,39 @@ class Collection:
         qdrant_handler.py:380,388-412 — applied when funnel.rerank)."""
         self.reranker = reranker
 
+    # ------------------------------------------------------------ graph ANN
+
+    def build_ann(self, *, m: int = 32, k_build: int = 64,
+                  entry_size: int = 512, **kw) -> None:
+        """Build the graph-ANN engine over the current rows (the
+        HNSW-equivalent for sublinear / low-latency queries; `ef` at
+        query time parities `hnsw_ef`)."""
+        from ..index.ann import GraphIndex
+
+        self.ann = GraphIndex.build(self.dense, m=m, k_build=k_build,
+                                    entry_size=entry_size, **kw)
+
+    def ann_search(self, query_embedding, limit: int = 10, *, ef: int = 128,
+                   **filters) -> List[SearchHit]:
+        """Graph-ANN query with payload join + filters."""
+        if getattr(self, "ann", None) is None:
+            raise RuntimeError("call build_ann() first")
+        from ..index.ann import GraphSearchParams
+
+        mask = self.payloads.filter_mask(self.dense.capacity, **filters)
+        vals, ids = self.ann.search(
+            np.asarray(query_embedding)[None, :], limit,
+            params=GraphSearchParams(ef=ef),
+            filter_mask=jnp.asarray(mask) if mask is not None else None)
+        hits = []
+        for score, row in zip(np.asarray(vals)[0], np.asarray(ids)[0]):
+            if not np.isfinite(score):
+                continue
+            payload = self.payloads.get(int(row))
+            if payload is not None:
+                hits.append(SearchHit(float(score), int(row), payload))
+        return hits
+
     # ------------------------------------------------------------- writes
 
     def store_document_vectors(
