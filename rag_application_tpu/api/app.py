@@ -175,6 +175,51 @@ def build_app(config: Optional[Config] = None, *,
         return {u: sp.pipeline.queue.queue_info()
                 for u, sp in state.users.items()}
 
+    # ----------------------------------------------------------- durability
+
+    @router.route("POST", "/admin/checkpoint")
+    async def admin_checkpoint(req: Request):
+        """Persist a user space (chunk index + KG) to a directory — the
+        framework-owned durability the reference delegates to docker
+        volumes (SURVEY §5.4)."""
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        import os
+
+        from ..index.checkpoint import save_collection
+        from ..kg.checkpoint import save_kg
+
+        sp = state.space(body.get("user_id", "default"))
+        path = body["path"]
+        os.makedirs(path, exist_ok=True)
+        save_collection(sp.collection, os.path.join(path, "collection"))
+        save_kg(sp.kg, os.path.join(path, "kg"))
+        return {"saved": path,
+                "chunks": sp.collection.chunk_count(),
+                "kg": sp.kg.stats()}
+
+    @router.route("POST", "/admin/restore")
+    async def admin_restore(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        import os
+
+        from ..index.checkpoint import load_collection
+        from ..ingest.pipeline import IngestPipeline
+        from ..kg.checkpoint import load_kg
+
+        user_id = body.get("user_id", "default")
+        path = body["path"]
+        col = load_collection(os.path.join(path, "collection"), state.config)
+        kg = load_kg(os.path.join(path, "kg"), state.config.kg)
+        pipe = IngestPipeline(col, state.embedder, kg=kg,
+                              config=state.config.ingest)
+        state.users[user_id] = UserSpace(col, kg, pipe)
+        return {"restored": path, "chunks": col.chunk_count(),
+                "kg": kg.stats()}
+
     # ----------------------------------------------------- chunked upload
 
     _uploads: Dict[str, Dict[str, Any]] = {}

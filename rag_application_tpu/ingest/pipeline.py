@@ -133,6 +133,12 @@ class IngestPipeline:
     # ---------------------------------------------------------------- tasks
 
     async def _handle(self, task: Task) -> None:
+        from ..utils.observability import METRICS
+
+        with METRICS.stage_timer("ingest", task_type=task.task_type.value):
+            await self._dispatch(task)
+
+    async def _dispatch(self, task: Task) -> None:
         if task.task_type == TaskType.FILE:
             await self._handle_file(task)
         elif task.task_type == TaskType.DIRECT_CHUNK:

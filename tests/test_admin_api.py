@@ -1,0 +1,66 @@
+import asyncio
+
+import httpx
+import pytest
+
+from rag_application_tpu.api.app import build_app
+from rag_application_tpu.api.http import HTTPServer
+from rag_application_tpu.config import (
+    Config,
+    EncoderConfig,
+    FunnelConfig,
+    IndexConfig,
+    IngestConfig,
+    SparseConfig,
+)
+from rag_application_tpu.llm.router import LLMRouter, Provider
+from rag_application_tpu.models.embedder import Embedder
+
+TINY = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1, num_heads=4,
+                     mlp_dim=64, max_len=32, out_dim=32, dtype="float32")
+
+
+def small_config():
+    cfg = Config()
+    cfg.index = IndexConfig(dim=32, matryoshka_dims=(8, 16), initial_capacity=16)
+    cfg.sparse = SparseConfig(candidate_pool=64, max_query_terms=8)
+    cfg.funnel = FunnelConfig(matryoshka_limits=(8, 6), dense_limit=5,
+                              quantized_limit=5, sparse_limit=5, final_limit=5)
+    cfg.ingest = IngestConfig(chunk_chars=300, max_concurrency=4)
+    # KG dim must fit the tiny encoder
+    cfg.kg.entity_dim = 32
+    return cfg
+
+
+def test_checkpoint_restore_roundtrip(tmp_path):
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        router, state = build_app(small_config(), llm=llm, embedder=emb)
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        path = str(tmp_path / "snap")
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}", timeout=60
+            ) as c:
+                await c.post("/ingest/raw-text", json={
+                    "text": "durable state over restarts " * 10,
+                    "document_id": "dur", "user_id": "u"})
+                r = await c.post("/admin/checkpoint",
+                                 json={"user_id": "u", "path": path})
+                assert r.status_code == 200 and r.json()["chunks"] >= 1
+
+                # wipe the space, restore, search again
+                state.users.pop("u")
+                r = await c.post("/admin/restore",
+                                 json={"user_id": "u", "path": path})
+                assert r.status_code == 200
+                r = await c.post("/api/v1/search/hybrid", json={
+                    "query": "durable state", "user_id": "u"})
+                hits = r.json()["results"]
+                assert hits and hits[0]["payload"]["document_id"] == "dur"
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
