@@ -202,6 +202,20 @@ def main():
     log(f"[bench] single-query p50 latency: {p50_single:.1f} ms "
         f"(incl {rtt*1e3:.1f} ms attach RTT)")
 
+    # ---------------- index memory ----------------
+    # vs the reference's Qdrant layout for the same corpus: fp32 dense
+    # (3072B) + int8 copy (768B) + 3 matryoshka fp32 copies (64+128+256 =
+    # 448 dims -> 1792B) + HNSW adjacency (~m=32 x 4B = 128B) per row.
+    dv = sparse.device_arrays()
+    dense_bytes = (dense.vecs.nbytes + dense.int8.nbytes
+                   + dense.inv_norms.nbytes + dense.live.nbytes)
+    sparse_bytes = (dv["post_docs"].nbytes + dv["post_weights"].nbytes
+                    + dv["doc_packed"].nbytes)
+    qdrant_equiv = n * (3072 + 768 + 1792 + 128)
+    log(f"[bench] index memory: dense {dense_bytes/2**30:.2f} GiB + "
+        f"sparse {sparse_bytes/2**30:.2f} GiB "
+        f"(qdrant-equivalent dense layout ~{qdrant_equiv/2**30:.2f} GiB)")
+
     result = {
         "metric": "hybrid_qps_1m_768_recall10" if not small else "hybrid_qps_small",
         "value": round(qps, 1),
@@ -217,6 +231,9 @@ def main():
         "sync_rtt_ms": round(rtt * 1e3, 1),
         "dense_build_s": round(t_dense_build, 1),
         "sparse_build_s": round(t_sparse_build, 1),
+        "index_dense_gib": round(dense_bytes / 2**30, 3),
+        "index_sparse_gib": round(sparse_bytes / 2**30, 3),
+        "qdrant_equiv_dense_gib": round(qdrant_equiv / 2**30, 3),
         "backend": jax.default_backend(),
         "total_bench_s": round(time.time() - t_start, 1),
     }

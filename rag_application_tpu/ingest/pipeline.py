@@ -86,6 +86,7 @@ class IngestPipeline:
         kg=None,
         kg_extractor: Optional[Callable[[str], Any]] = None,
         page_describer: Optional[Callable[[bytes], str]] = None,
+        contextualizer=None,  # LLMRouter: enables contextual augmentation
         config: Optional[IngestConfig] = None,
     ):
         self.collection = collection
@@ -93,11 +94,40 @@ class IngestPipeline:
         self.kg = kg
         self.kg_extractor = kg_extractor  # text -> {entities, relationships}
         self.page_describer = page_describer  # image bytes -> description
+        self.contextualizer = contextualizer
         self.cfg = config or IngestConfig()
         self.queue = WorkQueue(
             max_retries=self.cfg.max_retries,
             max_concurrency=self.cfg.max_concurrency,
         )
+
+    # --------------------------------------------------- contextualization
+
+    async def _contextualize(self, chunks: List[str]) -> List[str]:
+        """Contextual chunk augmentation (parity: text_processor.py:214-309
+        — one doc-summary LLM call, then per-chunk context generated from
+        the summary plus the ±2 neighboring chunks, all in parallel). The
+        returned strings are stored alongside the chunk and prepended for
+        embedding (context_version-style payload field)."""
+        if self.contextualizer is None or not chunks:
+            return ["" for _ in chunks]
+        doc_text = "\n\n".join(chunks)[:16000]
+        summary = await self.contextualizer.generate_text(
+            f"Summarize this document in 3-5 sentences:\n{doc_text}",
+            system="You write terse document summaries.")
+
+        async def ctx(i: int) -> str:
+            lo, hi = max(0, i - 2), min(len(chunks), i + 3)
+            neighbors = "\n---\n".join(chunks[lo:hi])
+            return await self.contextualizer.generate_text(
+                f"Document summary: {summary}\n"
+                f"Surrounding chunks:\n{neighbors[:6000]}\n"
+                f"Target chunk:\n{chunks[i][:4000]}\n"
+                "Write 1-2 sentences situating the target chunk within the "
+                "document (for retrieval).",
+                system="You write chunk context for retrieval augmentation.")
+
+        return list(await asyncio.gather(*(ctx(i) for i in range(len(chunks)))))
 
     # ------------------------------------------------------------- ingest API
 
@@ -184,11 +214,12 @@ class IngestPipeline:
             except UnicodeDecodeError as e:
                 raise NonRetryableError(f"not utf-8 text: {e}") from e
             chunks = chunk_words(text, self.cfg.chunk_chars)
-            for i, chunk in enumerate(chunks):
+            contexts = await self._contextualize(chunks)
+            for i, (chunk, ctx) in enumerate(zip(chunks, contexts)):
                 await self.queue.put(Task(
                     TaskType.DIRECT_CHUNK,
                     {"document_id": document_id, "chunk_index": i,
-                     "text": chunk},
+                     "text": chunk, "context": ctx},
                     priority=task_priority(TaskType.DIRECT_CHUNK, i),
                 ))
         elif kind == "structured":
@@ -244,12 +275,16 @@ class IngestPipeline:
     async def _handle_direct_chunk(self, task: Task) -> None:
         p = task.payload
         text = p["text"]
+        ctx = p.get("context", "")
+        # context prepended for embedding (parity: contextualized chunk
+        # embeddings, text_processor.py:311-333), raw text kept for display
+        embed_text = f"{ctx}\n\n{text}" if ctx else text
         kg_data = await self._extract_kg(text)
-        emb = await asyncio.to_thread(self.embedder.encode, [text])
+        emb = await asyncio.to_thread(self.embedder.encode, [embed_text])
         self.collection.store_document_vectors(
             p["document_id"],
-            [{"text": text, "chunk_index": p["chunk_index"],
-              "source": "direct"}],
+            [{"text": text, "context": ctx,
+              "chunk_index": p["chunk_index"], "source": "direct"}],
             emb,
         )
         await self._store_kg(p["document_id"], p["chunk_index"], text,

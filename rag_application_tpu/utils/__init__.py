@@ -6,6 +6,7 @@ from .runtime import (
     round_up,
     use_interpret,
 )
+from .observability import METRICS, Metrics, device_trace
 
 __all__ = [
     "cdiv",
@@ -14,4 +15,7 @@ __all__ = [
     "pad_to_multiple",
     "round_up",
     "use_interpret",
+    "METRICS",
+    "Metrics",
+    "device_trace",
 ]

@@ -204,3 +204,29 @@ def test_ingest_empty_csv_nonretryable(pipeline):
     assert res.chunks == 0
     assert len(pipeline.queue.failed) == 1
     assert pipeline.queue.failed[0].attempts == 0  # straight to failed
+
+
+def test_ingest_contextualized(pipeline):
+    """Contextual chunk augmentation (text_processor.py:214-309 parity):
+    doc summary + per-chunk context stored and used for embedding."""
+    from rag_application_tpu.llm.router import LLMRouter, Provider
+
+    llm = LLMRouter(Provider.STUB)
+    llm.stub.on(r"Summarize this document", lambda _: "a doc about retrieval")
+    llm.stub.on(r"situating the target chunk", lambda _: "context: part of the retrieval doc")
+    pipeline.contextualizer = llm
+    res = asyncio.run(pipeline.ingest_text(
+        "retrieval systems need context. " * 40, document_id="ctxdoc"))
+    assert res.chunks >= 2
+    rows = pipeline.collection.payloads.rows_where(document_id="ctxdoc")
+    payload = pipeline.collection.payloads.get(rows[0])
+    assert payload["context"] == "context: part of the retrieval doc"
+    pipeline.contextualizer = None
+
+
+def test_ingest_image_without_vlm_fails_cleanly(pipeline):
+    res = asyncio.run(pipeline.ingest_file("pic.png", b"\x89PNG...",
+                                           document_id="img"))
+    assert res.chunks == 0
+    assert pipeline.queue.failed
+    assert "page_describer" in pipeline.queue.failed[-1].error
