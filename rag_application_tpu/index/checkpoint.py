@@ -124,6 +124,11 @@ def load_collection(path: str, config=None) -> "Collection":
         raise ValueError(
             f"config dim {col.cfg.index.dim} != checkpoint dim {manifest['dim']}"
         )
+    if list(col.cfg.index.matryoshka_dims) != manifest["matryoshka_dims"]:
+        raise ValueError(
+            f"config matryoshka dims {col.cfg.index.matryoshka_dims} != "
+            f"checkpoint {manifest['matryoshka_dims']} — the inv_norms "
+            "columns would be misinterpreted")
 
     d = np.load(os.path.join(path, "dense.npz"))
     dense = col.dense
