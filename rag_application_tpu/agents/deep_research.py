@@ -26,7 +26,7 @@ from typing import Any, Dict, List, Optional, Sequence
 from ..llm.router import LLMRouter
 from ..tools.registry import ToolRegistry
 from .base_agent import BaseAgent
-from .memory import ThreadCheckpointer, VectorMemoryStore
+from .memory import VectorMemoryStore
 
 CONTRACT_SCHEMA = {
     "type": "object",

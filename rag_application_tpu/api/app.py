@@ -36,11 +36,11 @@ from ..agents.base_agent import BaseAgent
 from ..agents.memory import ThreadCheckpointer, VectorMemoryStore
 from ..config import Config
 from ..ingest.pipeline import IngestPipeline
-from ..kg.store import KGStore, Space
+from ..kg.store import KGStore
 from ..llm.router import LLMRouter
 from ..models.embedder import Embedder
 from ..search.orchestration import SearchOrchestrator
-from ..store.collection import Collection, VectorStore
+from ..store.collection import Collection
 from ..tools.knowledge import KnowledgeSearchToolbox
 from .http import JSONResponse, Request, Router, SSEResponse
 

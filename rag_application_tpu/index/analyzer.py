@@ -12,7 +12,7 @@ as the posting-row map for the device arrays.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 

@@ -29,7 +29,6 @@ import numpy as np
 from ..config import IndexConfig
 from ..ops.quant import prepare_vectors_xla, quantize_int8
 from ..ops.topk import blocked_topk, gather_rescore
-from ..utils import round_up
 import functools
 
 

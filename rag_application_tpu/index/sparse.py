@@ -19,7 +19,7 @@ likewise re-upserts whole pages, IndexerAPI neo4j_handler.py:154-203).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import List, Optional, Sequence, Set, Tuple
 
 import jax
 import jax.numpy as jnp

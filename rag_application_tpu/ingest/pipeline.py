@@ -21,16 +21,16 @@ from __future__ import annotations
 
 import asyncio
 import io
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
 from ..config import IngestConfig
 from ..models.embedder import Embedder
 from ..store.collection import Collection
-from .chunker import chunk_text, chunk_words
-from .queue import NonRetryableError, Task, TaskState, TaskType, WorkQueue, task_priority
+from .chunker import chunk_words
+from .queue import NonRetryableError, Task, TaskType, WorkQueue, task_priority
 
 STRUCTURED_SUFFIXES = {".csv", ".tsv", ".xlsx", ".xls", ".parquet"}
 DIRECT_SUFFIXES = {".txt", ".md", ".markdown", ".rst", ".json", ".html", ".htm"}

@@ -18,7 +18,7 @@ The extractor returns the pipeline's canonical shape:
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 from ..llm.router import LLMRouter
 

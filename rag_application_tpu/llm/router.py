@@ -20,7 +20,6 @@ without network dependencies (SURVEY §7.4).
 
 from __future__ import annotations
 
-import asyncio
 import enum
 import json
 import re

@@ -10,9 +10,9 @@ or stub).
 from __future__ import annotations
 
 import hashlib
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
-from .router import ChatMessage, LLMRouter
+from .router import LLMRouter
 
 DESCRIBE_PROMPT = ("Describe this image for a text-only reader: layout, "
                    "text content, tables, figures.")

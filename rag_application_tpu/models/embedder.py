@@ -10,7 +10,6 @@ lands on the MXU at full tile occupancy.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence
 
 import jax

@@ -21,7 +21,7 @@ reranker (parity: jina-colbert-v2 rerank, qdrant_handler.py:20,388-412).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -13,15 +13,15 @@ matrix automatically — in-batch negatives span the *global* batch.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..parallel.mesh import batch_sharding, param_shardings, replicated
+from ..parallel.mesh import batch_sharding, param_shardings
 from .encoder import EncoderState
 
 

@@ -19,7 +19,7 @@ no host round-trip between retrieval branches and fusion.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..utils import cdiv, round_up
+from ..utils import cdiv
 
 NEG_INF = jnp.float32(-jnp.inf)
 

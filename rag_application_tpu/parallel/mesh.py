@@ -18,7 +18,7 @@ MoE (SURVEY §2.6, §5.7) — the corpus axis takes their place.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -20,8 +20,6 @@ import asyncio
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence
 
-import numpy as np
-
 from ..config import FunnelConfig
 from ..kg.store import KGStore, Space
 from ..llm.router import LLMRouter

@@ -17,8 +17,7 @@ reference) — storing them for the whole corpus would be ~100x the index.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

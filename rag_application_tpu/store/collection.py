@@ -10,7 +10,7 @@ maps them to Qdrant collection names (`create_collection`, :34-117).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
@@ -21,7 +21,6 @@ from ..index.dense import DenseIndex
 from ..index.payload import PayloadStore
 from ..index.sparse import SparseIndex
 from ..search.fused import FusedSearcher
-from ..search.hybrid import HybridResult, hybrid_search
 from ..search.params import adaptive_funnel
 
 

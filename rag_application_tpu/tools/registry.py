@@ -15,8 +15,8 @@ import asyncio
 import inspect
 import json
 import logging
-from dataclasses import dataclass, field
-from typing import Any, Awaitable, Callable, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional
 
 logger = logging.getLogger("rag_application_tpu.tools")
 
