@@ -105,3 +105,47 @@ def test_mcp_client_http_transport():
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_browser_agent_loop():
+    import json as _json
+
+    from rag_application_tpu.llm.router import LLMRouter, Provider
+    from rag_application_tpu.tools.browser import browser_tool
+
+    class FakeDriver:
+        def __init__(self):
+            self.pages = {"http://site": "welcome page with a search box"}
+            self.log = []
+
+        async def navigate(self, url):
+            self.log.append(("navigate", url))
+            return self.pages.get(url, "404")
+
+        async def click(self, sel):
+            self.log.append(("click", sel))
+            return "results page: the answer is 42"
+
+        async def type_text(self, sel, text):
+            self.log.append(("type", sel, text))
+            return "typed"
+
+        async def page_text(self):
+            return "results page: the answer is 42"
+
+    llm = LLMRouter(Provider.STUB)
+    state = {"n": 0}
+
+    def decide(_):
+        state["n"] += 1
+        if state["n"] == 1:
+            return _json.dumps({"action": "click", "target": "#search"})
+        return _json.dumps({"action": "finish", "answer": "42"})
+
+    llm.stub.on(r"next browser action", decide)
+    driver = FakeDriver()
+    t = browser_tool(llm, driver)
+    out = asyncio.run(t.call(task="find the answer", start_url="http://site"))
+    assert out["answer"] == "42"
+    assert ("click", "#search") in driver.log
+    assert out["steps"][0]["action"] == "navigate"
