@@ -37,7 +37,8 @@ import functools
 def _insert_update(vecs, int8, inv_norms, live, x, start, *, dims):
     """One compiled, buffer-donating index update: derive all views of the
     batch and splice them into the capacity arrays at ``start``."""
-    norm, i8, inv = prepare_vectors_xla(x, dims, out_dtype=vecs.dtype)
+    norm, i8, inv = prepare_vectors_xla(x.astype(jnp.float32), dims,
+                                        out_dtype=vecs.dtype)
     n = x.shape[0]
     vecs = jax.lax.dynamic_update_slice_in_dim(vecs, norm, start, 0)
     int8 = jax.lax.dynamic_update_slice_in_dim(int8, i8, start, 0)
@@ -83,9 +84,13 @@ class DenseIndex:
         """Normalize + derive views + append a batch. Returns row ids.
 
         The whole update is one compiled, buffer-donating program — no
-        per-op dispatches, no copies of the capacity arrays.
+        per-op dispatches, no copies of the capacity arrays. Half-width
+        inputs (f16/bf16) upload as-is and cast on device — feeding f16
+        halves host->device traffic on thin attaches.
         """
-        x = jnp.asarray(embeddings, dtype=jnp.float32)
+        x = jnp.asarray(embeddings)
+        if x.dtype not in (jnp.float16, jnp.bfloat16, jnp.float32):
+            x = x.astype(jnp.float32)
         n = x.shape[0]
         if self.size + n > self.capacity:
             self._grow(self.size + n)
