@@ -280,6 +280,89 @@ def build_app(config: Optional[Config] = None, *,
             accepted.append(result.document_id)
         return JSONResponse({"accepted": accepted}, 202)
 
+    # -------------------------------------------------------- users/agents
+
+    from .users import AgentConfigRegistry, UserRegistry
+
+    state.user_registry = UserRegistry()
+    state.agent_registry = AgentConfigRegistry()
+
+    @router.route("POST", "/api/v1/users/signup")
+    async def signup(req: Request):
+        body = req.json()
+        try:
+            user = state.user_registry.signup(
+                body["username"], body["password"], body.get("email", ""))
+        except ValueError as e:
+            return JSONResponse({"detail": str(e)}, 422)
+        return JSONResponse(user, 201)
+
+    @router.route("POST", "/api/v1/users/signin")
+    async def signin(req: Request):
+        body = req.json()
+        token = state.user_registry.signin(body.get("username", ""),
+                                           body.get("password", ""))
+        if token is None:
+            return JSONResponse({"detail": "invalid credentials"}, 401)
+        return {"access_token": token, "token_type": "bearer"}
+
+    @router.route("GET", "/api/v1/users")
+    async def list_users(req: Request):
+        return {"users": state.user_registry.list()}
+
+    @router.route("GET", "/api/v1/users/{user_id}")
+    async def get_user(req: Request):
+        user = state.user_registry.get(req.params["user_id"])
+        return user or JSONResponse({"detail": "not found"}, 404)
+
+    @router.route("PUT", "/api/v1/users/{user_id}")
+    async def update_user(req: Request):
+        user = state.user_registry.update(req.params["user_id"],
+                                          **(req.json() or {}))
+        return user or JSONResponse({"detail": "not found"}, 404)
+
+    @router.route("DELETE", "/api/v1/users/{user_id}")
+    async def delete_user(req: Request):
+        ok = state.user_registry.delete(req.params["user_id"])
+        return ({"deleted": True} if ok
+                else JSONResponse({"detail": "not found"}, 404))
+
+    @router.route("POST", "/api/v1/agents")
+    async def create_agent(req: Request):
+        body = req.json()
+        try:
+            cfg = state.agent_registry.create(
+                body["name"], base=body.get("base", "chat_agent"),
+                system_prompt=body.get("system_prompt", ""),
+                capabilities=body.get("capabilities"))
+        except ValueError as e:
+            return JSONResponse({"detail": str(e)}, 422)
+        return JSONResponse(cfg, 201)
+
+    @router.route("GET", "/api/v1/agents")
+    async def list_custom_agents(req: Request):
+        return {"agents": state.agent_registry.list()}
+
+    @router.route("PUT", "/api/v1/agents/{agent_id}")
+    async def update_agent(req: Request):
+        cfg = state.agent_registry.update(req.params["agent_id"],
+                                          **(req.json() or {}))
+        return cfg or JSONResponse({"detail": "not found"}, 404)
+
+    @router.route("DELETE", "/api/v1/agents/{agent_id}")
+    async def delete_agent(req: Request):
+        ok = state.agent_registry.delete(req.params["agent_id"])
+        return ({"deleted": True} if ok
+                else JSONResponse({"detail": "not found"}, 404))
+
+    @router.route("GET", "/v1/tools")
+    async def list_tools(req: Request):
+        """Parity: AgentAPI tools route (api/routes/tools.py)."""
+        sp = state.space(req.query.get("user_id", "default"))
+        toolbox = KnowledgeSearchToolbox(sp.collection, sp.kg,
+                                         state.embedder).build()
+        return {"tools": toolbox.names()}
+
     # ------------------------------------------------------------ catalog
 
     @router.route("GET", "/agents")

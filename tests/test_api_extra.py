@@ -114,3 +114,56 @@ def test_llm_passthrough_non_stream_and_stream():
                     text += j["choices"][0]["delta"].get("content", "")
         assert "stream pass" in text
     with_server(fn)
+
+
+def test_user_signup_signin_crud():
+    async def fn(client, state):
+        r = await client.post("/api/v1/users/signup", json={
+            "username": "vivek", "password": "s3cret", "email": "v@x.io"})
+        assert r.status_code == 201
+        uid = r.json()["user_id"]
+        # duplicate username rejected
+        r = await client.post("/api/v1/users/signup", json={
+            "username": "vivek", "password": "other"})
+        assert r.status_code == 422
+        # signin
+        r = await client.post("/api/v1/users/signin", json={
+            "username": "vivek", "password": "s3cret"})
+        token = r.json()["access_token"]
+        assert state.user_registry.verify_token(token) == uid
+        r = await client.post("/api/v1/users/signin", json={
+            "username": "vivek", "password": "wrong"})
+        assert r.status_code == 401
+        # CRUD
+        r = await client.get(f"/api/v1/users/{uid}")
+        assert r.json()["email"] == "v@x.io"
+        r = await client.put(f"/api/v1/users/{uid}",
+                             json={"email": "new@x.io"})
+        assert r.json()["email"] == "new@x.io"
+        r = await client.request("DELETE", f"/api/v1/users/{uid}")
+        assert r.json()["deleted"]
+        r = await client.get(f"/api/v1/users/{uid}")
+        assert r.status_code == 404
+    with_server(fn)
+
+
+def test_agent_config_crud_and_tools_listing():
+    async def fn(client, state):
+        r = await client.post("/api/v1/agents", json={
+            "name": "support bot", "base": "chat_agent",
+            "system_prompt": "be nice"})
+        assert r.status_code == 201
+        aid = r.json()["agent_id"]
+        r = await client.post("/api/v1/agents", json={
+            "name": "x", "base": "nope"})
+        assert r.status_code == 422
+        r = await client.get("/api/v1/agents")
+        assert any(a["agent_id"] == aid for a in r.json()["agents"])
+        r = await client.put(f"/api/v1/agents/{aid}", json={"name": "bot2"})
+        assert r.json()["name"] == "bot2"
+        r = await client.request("DELETE", f"/api/v1/agents/{aid}")
+        assert r.json()["deleted"]
+        # tools listing
+        r = await client.get("/v1/tools")
+        assert len(r.json()["tools"]) >= 21
+    with_server(fn)
