@@ -378,18 +378,43 @@ def build_app(config: Optional[Config] = None, *,
                               "streaming": hasattr(cls, "astream")}}
             for aid, cls in sorted(AGENT_CLASS_MAP.items())]}
 
-    @router.route("GET", "/api/v1/documents")
-    async def list_documents(req: Request):
-        user_id = req.query.get("user_id", "default")
+    def _doc_counts(user_id: str) -> Dict[str, int]:
         sp = state.space(user_id)
         docs: Dict[str, int] = {}
         for row in range(len(sp.collection.payloads)):
             p = sp.collection.payloads.get(row)
             if p is not None:
-                docs[p.get("document_id", "?")] = docs.get(
-                    p.get("document_id", "?"), 0) + 1
+                did = p.get("document_id", "?")
+                docs[did] = docs.get(did, 0) + 1
+        return docs
+
+    @router.route("GET", "/api/v1/documents")
+    async def list_documents(req: Request):
+        docs = _doc_counts(req.query.get("user_id", "default"))
         return {"documents": [
             {"document_id": d, "chunks": c} for d, c in sorted(docs.items())]}
+
+    @router.route("GET", "/api/v1/documents/{document_id}")
+    async def get_document(req: Request):
+        user_id = req.query.get("user_id", "default")
+        did = req.params["document_id"]
+        docs = _doc_counts(user_id)
+        if did not in docs:
+            return JSONResponse({"detail": "not found"}, 404)
+        sp = state.space(user_id)
+        meta = sp.kg.get_document(did) or {}
+        return {"document_id": did, "chunks": docs[did],
+                "pages": len(sp.kg.get_pages(did)), **meta}
+
+    @router.route("DELETE", "/api/v1/documents/{document_id}")
+    async def delete_document_rest(req: Request):
+        user_id = req.query.get("user_id", "default")
+        sp = state.space(user_id)
+        removed = sp.collection.delete_document(req.params["document_id"])
+        sp.kg.delete_document(req.params["document_id"])
+        if removed == 0:
+            return JSONResponse({"detail": "not found"}, 404)
+        return {"deleted_chunks": removed}
 
     # ---------------------------------------------- LLM passthrough (v1)
 

@@ -167,3 +167,23 @@ def test_agent_config_crud_and_tools_listing():
         r = await client.get("/v1/tools")
         assert len(r.json()["tools"]) >= 21
     with_server(fn)
+
+
+def test_documents_rest_crud():
+    async def fn(client, state):
+        await client.post("/ingest/raw-text", json={
+            "text": "document body text " * 20, "document_id": "docA",
+            "user_id": "d"})
+        r = await client.get("/api/v1/documents/docA",
+                             params={"user_id": "d"})
+        assert r.status_code == 200 and r.json()["chunks"] >= 1
+        r = await client.get("/api/v1/documents/missing",
+                             params={"user_id": "d"})
+        assert r.status_code == 404
+        r = await client.request("DELETE", "/api/v1/documents/docA",
+                                 params={"user_id": "d"})
+        assert r.json()["deleted_chunks"] >= 1
+        r = await client.request("DELETE", "/api/v1/documents/docA",
+                                 params={"user_id": "d"})
+        assert r.status_code == 404
+    with_server(fn)
