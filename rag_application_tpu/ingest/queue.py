@@ -106,7 +106,14 @@ class WorkQueue:
     async def put(self, task: Task) -> None:
         async with self._cv:
             if len(self._heap) >= self.max_length:
-                heapq.heappop(self._heap)  # drop-head
+                # bounded queue: evict the lowest-priority / oldest entry
+                # (heap[0] would be the HIGHEST priority — rmq's drop-head
+                # sheds the least-urgent backlog, not the next task)
+                worst = max(range(len(self._heap)),
+                            key=lambda i: self._heap[i][:2])
+                self._heap[worst] = self._heap[-1]
+                self._heap.pop()
+                heapq.heapify(self._heap)
             if not task.task_id:
                 task.task_id = f"t{next(self._counter)}"
             heapq.heappush(

@@ -230,3 +230,23 @@ def test_ingest_image_without_vlm_fails_cleanly(pipeline):
     assert res.chunks == 0
     assert pipeline.queue.failed
     assert "page_describer" in pipeline.queue.failed[-1].error
+
+
+def test_queue_bound_evicts_lowest_priority():
+    """Bounded queue sheds the least-urgent backlog, never the next task."""
+    async def main():
+        q = WorkQueue(max_concurrency=1, max_length=3)
+        await q.put(Task(TaskType.FILE, {"n": "hi"}, priority=255))
+        await q.put(Task(TaskType.DIRECT_CHUNK, {"n": "mid"}, priority=100))
+        await q.put(Task(TaskType.UNSTRUCTURED_PAGE, {"n": "low"}, priority=1))
+        await q.put(Task(TaskType.DIRECT_CHUNK, {"n": "mid2"}, priority=90))
+        order = []
+
+        async def handler(task):
+            order.append(task.payload["n"])
+
+        await q.run(handler)
+        assert "hi" in order and "low" not in order
+        assert order[0] == "hi"
+
+    asyncio.run(main())
