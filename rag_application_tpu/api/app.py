@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -73,7 +74,15 @@ class AppState:
             col = Collection(f"user_{user_id}", self.config)
             kg = KGStore(self.config.kg, dim=min(self.embedder.dim, 2048),
                          scope={"user_id": user_id})
+            objects = None
+            if self.config.ingest.object_store_dir:
+                from ..store.objects import ObjectStore
+
+                objects = ObjectStore(
+                    os.path.join(self.config.ingest.object_store_dir,
+                                 f"user_{user_id}"))
             pipe = IngestPipeline(col, self.embedder, kg=kg,
+                                  object_store=objects,
                                   config=self.config.ingest)
             self.users[user_id] = UserSpace(col, kg, pipe)
         return self.users[user_id]
@@ -168,7 +177,13 @@ def build_app(config: Optional[Config] = None, *,
         sp = state.space(body.get("user_id", "default"))
         removed = sp.collection.delete_document(body["document_id"])
         kg_removed = sp.kg.delete_document(body["document_id"])
-        return {"deleted_chunks": removed, "deleted_graph_nodes": kg_removed}
+        objects_removed = 0
+        if sp.pipeline.object_store is not None:
+            # graph + chunk + object cascade (parity: delete.py:10-60)
+            objects_removed = await sp.pipeline.object_store.adelete_prefix(
+                body["document_id"])
+        return {"deleted_chunks": removed, "deleted_graph_nodes": kg_removed,
+                "deleted_objects": objects_removed}
 
     @router.route("GET", "/queue/info")
     async def queue_info(req: Request):

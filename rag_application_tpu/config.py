@@ -131,6 +131,9 @@ class IngestConfig:
     max_concurrency: int = 10
     max_retries: int = 5
     encode_batch_size: int = 256
+    # Directory for the filesystem object store (page-payload handoff +
+    # original uploads, parity: MinIO/S3). Empty = inline payloads.
+    object_store_dir: str = ""
 
 
 @dataclass

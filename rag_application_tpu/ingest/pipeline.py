@@ -87,6 +87,7 @@ class IngestPipeline:
         kg_extractor: Optional[Callable[[str], Any]] = None,
         page_describer: Optional[Callable[[bytes], str]] = None,
         contextualizer=None,  # LLMRouter: enables contextual augmentation
+        object_store=None,  # store.objects.ObjectStore: page-payload handoff
         config: Optional[IngestConfig] = None,
     ):
         self.collection = collection
@@ -95,6 +96,7 @@ class IngestPipeline:
         self.kg_extractor = kg_extractor  # text -> {entities, relationships}
         self.page_describer = page_describer  # image bytes -> description
         self.contextualizer = contextualizer
+        self.object_store = object_store
         self.cfg = config or IngestConfig()
         self.queue = WorkQueue(
             max_retries=self.cfg.max_retries,
@@ -188,6 +190,13 @@ class IngestPipeline:
         self.collection.delete_document(document_id)
         if self.kg is not None:
             self.kg.reset_document(document_id)
+        if self.object_store is not None:
+            # keep the original upload (parity: S3 original + delete
+            # cascade, IndexerAPI file_processor.py:132-148)
+            await self.object_store.adelete_prefix(document_id)
+            base = p["filename"].rsplit("/", 1)[-1]
+            await self.object_store.aput_object(
+                f"{document_id}/original/{base}", p["data"])
 
         if kind == "image":
             # image page: VLM description becomes the text (parity:
@@ -234,11 +243,29 @@ class IngestPipeline:
         else:
             pages = self._split_unstructured(p["filename"], p["data"])
             for i, page in enumerate(pages):
+                payload: Dict[str, Any] = {
+                    "document_id": document_id, "page_number": i + 1,
+                    "text": page.get("text", ""),
+                    "image": page.get("image"),
+                }
+                if self.object_store is not None:
+                    # per-page payload handoff through the object store
+                    # (parity: page PDFs uploaded to S3 and re-fetched by
+                    # the page task, file_processor.py:150-184) — the task
+                    # carries keys, not bytes, so the queue stays light and
+                    # a restarted consumer can re-read its input.
+                    text_key = f"{document_id}/pages/{i + 1}.txt"
+                    await self.object_store.aput_object(
+                        text_key, payload["text"].encode())
+                    payload = {"document_id": document_id,
+                               "page_number": i + 1, "text_key": text_key}
+                    if page.get("image") is not None:
+                        img_key = f"{document_id}/pages/{i + 1}.img"
+                        await self.object_store.aput_object(
+                            img_key, page["image"])
+                        payload["image_key"] = img_key
                 await self.queue.put(Task(
-                    TaskType.UNSTRUCTURED_PAGE,
-                    {"document_id": document_id, "page_number": i + 1,
-                     "text": page.get("text", ""),
-                     "image": page.get("image")},
+                    TaskType.UNSTRUCTURED_PAGE, payload,
                     priority=task_priority(TaskType.UNSTRUCTURED_PAGE, i),
                 ))
 
@@ -292,9 +319,24 @@ class IngestPipeline:
 
     async def _handle_unstructured_page(self, task: Task) -> None:
         p = task.payload
-        text = p["text"]
-        if p.get("image") is not None and self.page_describer is not None:
-            desc = await asyncio.to_thread(self.page_describer, p["image"])
+        if "text_key" in p:
+            # object-store handoff: re-read the page payload; a missing
+            # key is non-retryable (parity: NoSuchKey fast path,
+            # rabbitmq_handler.py:37-63)
+            from ..store.objects import NoSuchKeyError
+
+            try:
+                text = (await self.object_store.aget_object(p["text_key"])
+                        ).decode("utf-8")
+                image = (await self.object_store.aget_object(p["image_key"])
+                         if "image_key" in p else None)
+            except NoSuchKeyError as e:
+                raise NonRetryableError(f"missing page object: {e}") from e
+        else:
+            text = p["text"]
+            image = p.get("image")
+        if image is not None and self.page_describer is not None:
+            desc = await asyncio.to_thread(self.page_describer, image)
             text = f"{text}\n\n{desc}" if text else desc
         kg_data = await self._extract_kg(text)
         emb = await asyncio.to_thread(self.embedder.encode, [text])
