@@ -92,7 +92,12 @@ def main():
     t_dense_build = time.time() - t0
     log(f"[bench] dense build (on-device gen): {t_dense_build:.1f}s")
 
-    sparse = SparseIndex(SparseConfig(candidate_pool=256))
+    # P=256 impact-ordered truncation: stage-1 gathers + top-pool scale
+    # with T*P, and the tail of a term's impact-sorted postings can only
+    # displace pool candidates that outrank it anyway (override to taste).
+    sparse = SparseIndex(SparseConfig(
+        candidate_pool=256,
+        max_postings_per_term=int(os.environ.get("BENCH_POSTINGS", 256))))
     t0 = time.time()
     # Register the synthetic vocab so text queries analyze to the same ids.
     sparse.analyzer.vocab = {f"w{t}": t for t in range(vocab)}
@@ -217,7 +222,8 @@ def main():
     dv = sparse.device_arrays()
     dense_bytes = (dense.vecs.nbytes + dense.int8.nbytes
                    + dense.inv_norms.nbytes + dense.live.nbytes)
-    sparse_bytes = (dv["post_docs"].nbytes + dv["post_weights"].nbytes
+    pw = dv["post_weights"]  # None when postings are packed into one int32
+    sparse_bytes = (dv["post_docs"].nbytes + (pw.nbytes if pw is not None else 0)
                     + dv["doc_packed"].nbytes)
     qdrant_equiv = n * (3072 + 768 + 1792 + 128)
     log(f"[bench] index memory: dense {dense_bytes/2**30:.2f} GiB + "

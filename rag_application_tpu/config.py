@@ -36,6 +36,12 @@ class IndexConfig:
     initial_capacity: int = 4096
     # recall target handed to approx_max_k on the first cascade stage
     approx_recall_target: float = 0.95
+    # Contiguous int8 copy of the normalized first-`scan_prefix_dim`
+    # columns, used as the funnel's candidate-generation scan table.
+    # The full-dim scan is MXU-bound (Q·N·d int8 MACs); a 128-d prefix
+    # cuts both compute and HBM bytes 6x for d=768. 0 disables (scan the
+    # full-dim int8 table). Must be a multiple of 128 (lane tiling).
+    scan_prefix_dim: int = 0
 
 
 @dataclass

@@ -140,6 +140,17 @@ def load_collection(path: str, config=None) -> "Collection":
     dense.inv_norms = jnp.asarray(d["inv_norms"])
     dense.live = jnp.asarray(d["live"])
     dense.size = int(manifest["size"])
+    if dense.prefix_int8 is not None:
+        # derived view — recompute from vecs instead of storing it
+        # (prefix renormalization is scale-invariant, so normalized rows
+        # give the same table as the original inserts)
+        from .dense import _prefix_update
+
+        dense.prefix_int8 = _prefix_update(
+            jnp.zeros((dense.vecs.shape[0], dense.cfg.scan_prefix_dim),
+                      dtype=jnp.int8),
+            dense.vecs, np.int32(0),
+            prefix_dim=dense.cfg.scan_prefix_dim)
 
     s = np.load(os.path.join(path, "sparse.npz"))
     with open(os.path.join(path, "vocab.json")) as f:

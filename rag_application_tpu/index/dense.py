@@ -49,6 +49,19 @@ def _insert_update(vecs, int8, inv_norms, live, x, start, *, dims):
     return vecs, int8, inv_norms, live
 
 
+@functools.partial(jax.jit, static_argnames=("prefix_dim",),
+                   donate_argnums=(0,))
+def _prefix_update(prefix_int8, x, start, *, prefix_dim):
+    """Derive + splice the contiguous prefix scan table: int8 of the
+    renormalized first `prefix_dim` columns (so the raw int8 dot IS the
+    prefix cosine, no inverse-norm multiply in the scan kernel)."""
+    xp = x.astype(jnp.float32)[:, :prefix_dim]
+    xp = xp * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(xp * xp, axis=-1, keepdims=True), 1e-12))
+    i8 = jnp.clip(jnp.round(xp * 127.0), -127, 127).astype(jnp.int8)
+    return jax.lax.dynamic_update_slice_in_dim(prefix_int8, i8, start, 0)
+
+
 class DenseIndex:
     def __init__(self, config: Optional[IndexConfig] = None):
         self.cfg = config or IndexConfig()
@@ -60,6 +73,11 @@ class DenseIndex:
         self.int8 = jnp.zeros((cap, d), dtype=jnp.int8)
         self.inv_norms = jnp.zeros((cap, m), dtype=jnp.float32)
         self.live = jnp.zeros((cap,), dtype=bool)
+        p = self.cfg.scan_prefix_dim
+        if p and (p % 128 != 0 or p >= d):
+            raise ValueError(
+                f"scan_prefix_dim must be a multiple of 128 below dim, got {p}")
+        self.prefix_int8 = jnp.zeros((cap, p), dtype=jnp.int8) if p else None
         self.size = 0  # rows [0, size) are allocated (live unless deleted)
 
     @property
@@ -79,6 +97,8 @@ class DenseIndex:
         self.int8 = jnp.pad(self.int8, ((0, pad), (0, 0)))
         self.inv_norms = jnp.pad(self.inv_norms, ((0, pad), (0, 0)))
         self.live = jnp.pad(self.live, (0, pad))
+        if self.prefix_int8 is not None:
+            self.prefix_int8 = jnp.pad(self.prefix_int8, ((0, pad), (0, 0)))
 
     def insert(self, embeddings: jax.Array | np.ndarray) -> np.ndarray:
         """Normalize + derive views + append a batch. Returns row ids.
@@ -99,6 +119,10 @@ class DenseIndex:
             self.vecs, self.int8, self.inv_norms, self.live,
             x, np.int32(start), dims=self.cfg.matryoshka_dims,
         )
+        if self.prefix_int8 is not None:
+            self.prefix_int8 = _prefix_update(
+                self.prefix_int8, x, np.int32(start),
+                prefix_dim=self.cfg.scan_prefix_dim)
         self.size += n
         return np.arange(start, start + n)
 

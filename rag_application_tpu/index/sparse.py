@@ -199,13 +199,30 @@ class SparseIndex:
             max_plen = 1
         p = max(128, min(cfg.max_postings_per_term, round_up(max_plen, 128)))
         keep = rank < p
-        post_docs = np.full((v_pad, p), n, dtype=np.int32)
-        # f16 is plenty for impact-ordered candidate generation (exact
-        # scores come from the f32 doc-major view) and halves the
-        # host->device transfer of the largest array.
-        post_w = np.zeros((v_pad, p), dtype=np.float16)
-        post_docs[t_sorted[keep], rank[keep]] = r_sorted[keep]
-        post_w[t_sorted[keep], rank[keep]] = w_sorted[keep]
+        if n + 1 <= 1 << 21:
+            # packed postings: (impact quantized to 10 bits << 21) | doc id
+            # — one int32 per posting, so stage 1 is a single gather and
+            # ranks candidates by bitcasting the ints to f32 (monotone for
+            # positive int32). Exactness is unaffected: stage 2 rescores
+            # from the f32 doc-major view; the 10 bits only order the
+            # pool cutoff. Corpora beyond 2^21-1 docs per shard fall back
+            # to the two-array layout.
+            w_keep = w_sorted[keep]
+            wmax = float(w_keep.max()) if w_keep.size else 1.0
+            wq = np.clip(np.ceil(w_keep / max(wmax, 1e-12) * 1023.0),
+                         1, 1023).astype(np.int64)
+            post_docs = np.full((v_pad, p), n, dtype=np.int32)  # impact 0
+            post_docs[t_sorted[keep], rank[keep]] = (
+                (wq << 21) | r_sorted[keep]).astype(np.int32)
+            post_w = None
+        else:
+            post_docs = np.full((v_pad, p), n, dtype=np.int32)
+            # f16 is plenty for impact-ordered candidate generation (exact
+            # scores come from the f32 doc-major view) and halves the
+            # host->device transfer of the largest array.
+            post_w = np.zeros((v_pad, p), dtype=np.float16)
+            post_docs[t_sorted[keep], rank[keep]] = r_sorted[keep]
+            post_w[t_sorted[keep], rank[keep]] = w_sorted[keep]
 
         # --- doc-major view: sort by (row, -weight), rank within doc
         if rows.size:
@@ -231,7 +248,7 @@ class SparseIndex:
             [doc_terms, doc_w.astype(np.float32).view(np.int32)], axis=-1)
         self._device = {
             "post_docs": jnp.asarray(post_docs),
-            "post_weights": jnp.asarray(post_w),
+            "post_weights": jnp.asarray(post_w) if post_w is not None else None,
             "doc_packed": jnp.asarray(packed),
             "v_pad": v_pad,
         }

@@ -156,8 +156,11 @@ def bm25_topk(
     Args:
       post_docs: (T_active, P) int32 — impact-ordered doc ids per posting
         row; padded slots hold ``N`` (the sentinel row of the doc-major
-        view, which has zero terms).
-      post_weights: (T_active, P) f16/f32 impact weights (0 in padding).
+        view, which has zero terms). When ``post_weights`` is None this is
+        the PACKED layout instead: ``(impact_q10 << 21) | doc_id`` per
+        slot (padding = ``N``), see SparseIndex.rebuild.
+      post_weights: (T_active, P) f16/f32 impact weights (0 in padding),
+        or None for packed postings.
       doc_packed: (N+1, 2L) int32 — per-doc term ids (cols :L, padded -1)
         interleaved with bitcast f32 impact weights (cols L:); row N is
         the all-padding sentinel (see :func:`pack_doc_major`).
@@ -179,21 +182,39 @@ def bm25_topk(
     l = doc_packed.shape[1] // 2
     q, t = q_rows.shape
     p = post_docs.shape[1]
-
-    # Stage 1: gather postings for the query's terms.
-    cand_docs = post_docs[q_rows]  # (Q, T, P)
-    cand_w = post_weights[q_rows].astype(jnp.float32)  # (Q, T, P)
-    cand_w = jnp.where(q_valid[..., None], cand_w, 0.0)
-    flat_docs = cand_docs.reshape(q, t * p)
-    flat_w = cand_w.reshape(q, t * p)
-    flat_w = jnp.where(flat_docs < n_docs, flat_w, 0.0)
-
     pool_eff = min(pool, t * p)
-    if approx and t * p > 2 * pool_eff:
-        _, pos = jax.lax.approx_max_k(flat_w, pool_eff)
+
+    if post_weights is None:
+        # Packed postings: (quantized impact << 21) | doc id in ONE int32
+        # (see SparseIndex.rebuild). One gather instead of two, and the
+        # top-pool ranks the raw ints bitcast to f32 (positive int32 ->
+        # f32 is monotone). Stage 2 rescores exactly, so the 10-bit
+        # impact only orders the candidate cutoff.
+        pk = post_docs[q_rows]  # (Q, T, P) int32
+        # invalid query slots -> sentinel (impact 0, doc = n_docs)
+        pk = jnp.where(q_valid[..., None], pk, n_docs)
+        flat = pk.reshape(q, t * p)
+        fw = jax.lax.bitcast_convert_type(flat, jnp.float32)
+        if approx and t * p > 2 * pool_eff:
+            _, pos = jax.lax.approx_max_k(fw, pool_eff)
+        else:
+            _, pos = jax.lax.top_k(fw, pool_eff)
+        cand = jnp.take_along_axis(flat, pos, axis=-1) & ((1 << 21) - 1)
+        cand = jnp.minimum(cand, n_docs)  # padding rows decode to n_docs
     else:
-        _, pos = jax.lax.top_k(flat_w, pool_eff)
-    cand = jnp.take_along_axis(flat_docs, pos, axis=-1)  # (Q, pool)
+        # Stage 1: gather postings for the query's terms.
+        cand_docs = post_docs[q_rows]  # (Q, T, P)
+        cand_w = post_weights[q_rows].astype(jnp.float32)  # (Q, T, P)
+        cand_w = jnp.where(q_valid[..., None], cand_w, 0.0)
+        flat_docs = cand_docs.reshape(q, t * p)
+        flat_w = cand_w.reshape(q, t * p)
+        flat_w = jnp.where(flat_docs < n_docs, flat_w, 0.0)
+
+        if approx and t * p > 2 * pool_eff:
+            _, pos = jax.lax.approx_max_k(flat_w, pool_eff)
+        else:
+            _, pos = jax.lax.top_k(flat_w, pool_eff)
+        cand = jnp.take_along_axis(flat_docs, pos, axis=-1)  # (Q, pool)
 
     # Dedup: sorted candidates, duplicates -> sentinel row.
     cand = _dedup_sorted(cand, n_docs)

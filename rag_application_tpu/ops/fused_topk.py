@@ -41,19 +41,30 @@ NEG = -3.0e38  # python float: becomes an inline kernel constant, not a captured
 LANES = 128  # bins per block == the VPU lane count
 
 
+def _packed_fits(d: int, block_rows: int) -> bool:
+    """Packed int32 bin-max is exact iff |score|*rows + rows fits int32
+    (|score| <= d*127*127 for int8 x int8 dots)."""
+    rows = block_rows // LANES
+    max_abs = d * 127 * 127
+    # sentinel must sit below any real score, and packing must not
+    # overflow int32
+    return max_abs < (1 << 24) - 1 and (max_abs + 1) * rows < 2**31
+
+
 def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
                  *, valid_n: int | None, block_rows: int,
-                 int8_mode: bool):
+                 int8_mode: bool, packed: bool = False):
     i = pl.program_id(0)
     q = q_ref[:]
     c = c_ref[:]
     acc = jnp.int32 if int8_mode else jnp.float32
     scores = jax.lax.dot_general(
         q, c, (((1,), (1,)), ((), ())), preferred_element_type=acc
-    ).astype(jnp.float32)  # (Q, B)
+    )  # (Q, B)
 
-    if inv_ref is not None:
-        scores = scores * inv_ref[:][None, :]
+    qn, b = scores.shape
+    rows = b // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
 
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     gcol = col + i * block_rows
@@ -62,21 +73,38 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
         valid = gcol < valid_n
     if mask_ref is not None:
         valid = jnp.logical_and(valid, mask_ref[:][None, :])
-    scores = jnp.where(valid, scores, NEG)
 
     # Bin along lanes: flat column c = r*LANES + lane, so the reshape
     # (Q, B) -> (Q, B/LANES, LANES) preserves the minor-dim tiling (an
     # arbitrary minor-dim split is an unsupported Mosaic shape cast).
     # Bin `lane` holds the strided columns {lane, lane+128, ...}; the
     # sublane reduce takes each bin's max.
-    qn, b = scores.shape
-    rows = b // LANES
+    if packed:
+        # int8 fast path: pack (score, rows-1-row) into one int32 so a
+        # single sublane max yields the bin max AND its row — one reduce
+        # pass instead of max + compare + select (same winners incl.
+        # min-row tie-breaking; verified vs the general path on TPU).
+        sentinel = -(1 << 24) + 1  # below any real int8 dot (d <= 1040)
+        s = jnp.where(valid, scores, sentinel)
+        s3 = s.reshape(qn, rows, LANES)
+        row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        m = jnp.max(s3 * rows + (rows - 1 - row), axis=1)  # (Q, LANES)
+        vals = m // rows
+        local_row = (rows - 1) - (m - vals * rows)
+        vals_ref[0] = jnp.where(vals <= sentinel, NEG,
+                                vals.astype(jnp.float32))
+        idx_ref[0] = local_row * LANES + lane + i * block_rows
+        return
+
+    scores = scores.astype(jnp.float32)
+    if inv_ref is not None:
+        scores = scores * inv_ref[:][None, :]
+    scores = jnp.where(valid, scores, NEG)
     s3 = scores.reshape(qn, rows, LANES)
     m = jnp.max(s3, axis=1)  # (Q, LANES)
     iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
     hit = s3 == m[:, None, :]
     local_row = jnp.min(jnp.where(hit, iota, rows), axis=1)  # (Q, LANES)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
     vals_ref[0] = m
     idx_ref[0] = local_row * LANES + lane + i * block_rows
 
@@ -138,6 +166,8 @@ def fused_scan_topk(
         valid_n=valid_n,
         block_rows=block_rows,
         int8_mode=int8_mode,
+        packed=(int8_mode and inv_norms is None
+                and _packed_fits(d_load, block_rows)),
     )
 
     in_specs = [

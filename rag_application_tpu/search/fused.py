@@ -48,6 +48,11 @@ class FusedSpec(NamedTuple):
     scan_impl: str = "xla"
     scan_bins: int = 256
     scan_block_rows: int = 8192
+    # >0: the int8 candidate scan reads the contiguous prefix table
+    # (IndexConfig.scan_prefix_dim) instead of the full-dim int8 copy —
+    # d/prefix times less MXU work and HBM traffic, recovered by the
+    # exact rescore.
+    scan_prefix_dim: int = 0
 
     @classmethod
     def from_funnel(cls, f: FunnelConfig, dims: Tuple[int, ...], *,
@@ -106,6 +111,7 @@ def fused_hybrid(
     sparse_arrays: Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
     sparse_queries: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
     spec: FusedSpec,
+    prefix_int8: Optional[jax.Array] = None,  # (cap, scan_prefix_dim)
 ) -> Tuple[jax.Array, jax.Array]:
     """One-dispatch hybrid funnel. Returns (scores (Q,k), ids (Q,k));
     invalid slots have score -inf and id INVALID_ID."""
@@ -158,8 +164,18 @@ def fused_hybrid(
 
     # --- int8 branch ---
     if spec.use_int8:
-        q8 = quantize_int8(q)
-        i_vals, i_ids = corpus_scan(int8, q8, spec.quantized_limit)
+        if spec.scan_prefix_dim and prefix_int8 is not None:
+            # prefix scan table: renormalized prefix quantized at insert;
+            # renormalize the query prefix too for full int8 resolution
+            # (per-query scaling never changes the ranking)
+            qp = q[:, : spec.scan_prefix_dim]
+            qp = qp / jnp.maximum(
+                jnp.linalg.norm(qp, axis=-1, keepdims=True), 1e-12)
+            i_vals, i_ids = corpus_scan(prefix_int8, quantize_int8(qp),
+                                        spec.quantized_limit)
+        else:
+            q8 = quantize_int8(q)
+            i_vals, i_ids = corpus_scan(int8, q8, spec.quantized_limit)
         i_vals, i_ids = _exact_rescore(vecs, q, i_ids, jnp.isfinite(i_vals),
                                        spec.dense_limit)
         rrf_lists.append((i_ids, jnp.isfinite(i_vals)))
@@ -255,12 +271,15 @@ class FusedSearcher:
             recall_target=d.cfg.approx_recall_target,
             scan_impl=self.scan_impl,
         )._replace(scan_bins=self.scan_bins,
-                   scan_block_rows=self.scan_block_rows)
+                   scan_block_rows=self.scan_block_rows,
+                   scan_prefix_dim=(d.cfg.scan_prefix_dim
+                                    if d.prefix_int8 is not None else 0))
         scores, ids = fused_hybrid(
             d.vecs, d.int8, d.inv_norms, d.live,
             np.int32(d.size), q,
             jnp.asarray(filter_mask) if filter_mask is not None else None,
             sparse_arrays, sparse_queries, spec,
+            prefix_int8=d.prefix_int8,
         )
         return scores, ids
 

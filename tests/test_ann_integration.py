@@ -21,7 +21,9 @@ def small_config():
 
 
 @pytest.fixture(scope="module")
-def col(rng):
+def col():
+    # own generator: the shared `rng` fixture is function-scoped
+    rng = np.random.default_rng(1234)
     col = Collection("ann", small_config())
     embs = rng.standard_normal((300, 32)).astype(np.float32)
     col.store_document_vectors(

@@ -96,3 +96,46 @@ def test_bm25_batched_queries():
     scores, rows = idx.search(["fox", "embeddings"], k=3, approx=False)
     assert np.isfinite(scores[0]).any() and np.isfinite(scores[1]).any()
     assert rows.shape == (2, 3)
+
+
+def test_bm25_packed_postings_layout():
+    """rebuild emits packed postings for small corpora: one int32 per
+    posting, (impact<<21)|doc, padding rows = sentinel doc id."""
+    idx = make_index()
+    dv = idx.device_arrays()
+    assert dv["post_weights"] is None
+    pd = np.asarray(dv["post_docs"])
+    n = len(DOCS)
+    docs = pd & ((1 << 21) - 1)
+    wq = pd >> 21
+    # padding slots: sentinel doc, zero impact; real slots: valid doc + impact
+    real = docs < n
+    assert (wq[real] >= 1).all() and (wq[real] <= 1023).all()
+    assert (docs[~real] == n).all() and (wq[~real] == 0).all()
+
+
+def test_bm25_packed_matches_two_array():
+    """Packed and two-array stage-1 layouts give identical final results
+    (stage 2 is exact; with pool >= all postings the cutoff can't differ)."""
+    import jax.numpy as jnp
+
+    from rag_application_tpu.ops.bm25 import bm25_topk
+
+    idx = make_index()
+    dv = idx.device_arrays()
+    q_rows, q_terms, q_valid = idx.encode_queries(["fox dog", "tensor units"])
+    packed = bm25_topk(dv["post_docs"], None, dv["doc_packed"],
+                       q_rows, q_terms, q_valid, 4, pool=128, approx=False)
+
+    # rebuild the two-array layout from the packed one: weights only rank
+    # the cutoff, so any monotone weights reproduce the same candidates
+    pd = np.asarray(dv["post_docs"])
+    n = len(DOCS)
+    docs = (pd & ((1 << 21) - 1)).astype(np.int32)
+    w = (pd >> 21).astype(np.float16)
+    two = bm25_topk(jnp.asarray(docs), jnp.asarray(w), dv["doc_packed"],
+                    q_rows, q_terms, q_valid, 4, pool=128, approx=False)
+
+    np.testing.assert_array_equal(np.asarray(packed[1]), np.asarray(two[1]))
+    np.testing.assert_allclose(np.asarray(packed[0]), np.asarray(two[0]),
+                               rtol=1e-6)

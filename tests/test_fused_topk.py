@@ -86,3 +86,78 @@ def test_pipeline_with_pallas_scan_matches_xla(rng):
                        for i in range(6)])
     assert overlap >= 0.9, overlap
     assert (ip[:, 0] == ix[:, 0]).all()
+
+
+def test_prefix_scan_table_contents(rng):
+    """prefix_int8 rows = int8 of the renormalized first-p columns."""
+    dense = DenseIndex(IndexConfig(dim=256, matryoshka_dims=(64, 128),
+                                   initial_capacity=512, block_size=256,
+                                   scan_prefix_dim=128))
+    x = (rng.standard_normal((300, 256))
+         * np.exp(-0.02 * np.arange(256))).astype(np.float32)
+    dense.insert(x)
+    got = np.asarray(dense.prefix_int8[:300])
+    xp = x[:, :128]
+    xp = xp / np.linalg.norm(xp, axis=-1, keepdims=True)
+    want = np.clip(np.round(xp * 127), -127, 127).astype(np.int8)
+    # bf16-free path: derived from raw f32 on insert, must match exactly
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+    # rows beyond size stay zero
+    assert not np.asarray(dense.prefix_int8[300:]).any()
+
+
+def test_prefix_scan_dim_validation():
+    with pytest.raises(ValueError):
+        DenseIndex(IndexConfig(dim=256, scan_prefix_dim=100))
+    with pytest.raises(ValueError):
+        DenseIndex(IndexConfig(dim=128, scan_prefix_dim=128))
+
+
+def test_fused_prefix_scan_recall(rng):
+    """Funnel with the contiguous prefix scan keeps exact-rescore recall
+    on a spectrally-decaying corpus (the realistic energy profile)."""
+    cfg = IndexConfig(dim=256, matryoshka_dims=(64, 128),
+                      initial_capacity=1024, block_size=512,
+                      scan_prefix_dim=128)
+    dense = DenseIndex(cfg)
+    embs = (rng.standard_normal((800, 256))
+            * np.exp(-0.01 * np.arange(256))).astype(np.float32)
+    dense.insert(embs)
+    queries = embs[:8] + 0.02 * rng.standard_normal((8, 256)).astype(np.float32)
+    funnel = FunnelConfig(matryoshka_limits=(32, 24), dense_limit=16,
+                          quantized_limit=64, sparse_limit=0, final_limit=10)
+
+    s_pref = FusedSearcher(dense, None, funnel, scan_impl="pallas",
+                           scan_bins=64, scan_block_rows=256)
+    vals, ids = s_pref.search(queries, None, 10, use_matryoshka=False)
+    ids = np.asarray(ids)
+    # exact oracle
+    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+    cn = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
+    exact = np.argsort(-(qn @ cn.T), axis=-1)[:, :10]
+    recall = np.mean([np.isin(exact[i], ids[i]).mean() for i in range(8)])
+    assert recall >= 0.9, recall
+    assert (ids[:, 0] == np.arange(8)).all()
+
+
+def test_prefix_table_survives_checkpoint(rng, tmp_path):
+    from rag_application_tpu.config import Config, SparseConfig
+    from rag_application_tpu.index.checkpoint import (load_collection,
+                                                      save_collection)
+    from rag_application_tpu.store.collection import Collection
+
+    cfg = Config()
+    cfg.index = IndexConfig(dim=256, matryoshka_dims=(64, 128),
+                            initial_capacity=256, block_size=256,
+                            scan_prefix_dim=128)
+    cfg.sparse = SparseConfig(candidate_pool=64, max_query_terms=8)
+    col = Collection("ck", cfg)
+    x = (rng.standard_normal((100, 256))
+         * np.exp(-0.01 * np.arange(256))).astype(np.float32)
+    col.store_document_vectors("d1", [{"text": f"t{i}"} for i in range(100)], x)
+    save_collection(col, str(tmp_path / "ck"))
+    col2 = load_collection(str(tmp_path / "ck"), cfg)
+    a = np.asarray(col.dense.prefix_int8[:100]).astype(np.int32)
+    b = np.asarray(col2.dense.prefix_int8[:100]).astype(np.int32)
+    # restored table re-derived from bf16 vecs: within quantization step
+    assert np.abs(a - b).max() <= 1

@@ -128,7 +128,7 @@ def test_gather_rescore(rng):
         jnp.asarray(corpus), jnp.asarray(queries), jnp.asarray(cand)
     )
     ref = queries @ corpus[:10].T
-    np.testing.assert_allclose(np.asarray(scores), ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores), ref, rtol=1e-5, atol=1e-6)
 
 
 def test_k_larger_than_block(rng):
