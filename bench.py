@@ -96,7 +96,7 @@ def main():
     # with T*P, and the tail of a term's impact-sorted postings can only
     # displace pool candidates that outrank it anyway (override to taste).
     sparse = SparseIndex(SparseConfig(
-        candidate_pool=256,
+        candidate_pool=int(os.environ.get("BENCH_POOL", 128)),
         max_postings_per_term=int(os.environ.get("BENCH_POSTINGS", 256))))
     t0 = time.time()
     # Register the synthetic vocab so text queries analyze to the same ids.
@@ -129,7 +129,7 @@ def main():
         final_limit=k,
     )
     searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas",
-                             scan_block_rows=16384)
+                             scan_block_rows=16384, scan_approx_sheet=True)
 
     # measured config: int8 full-dim scan + BM25 + RRF + exact rescore
     # (the 128-d cascade stays available but adds no recall on this

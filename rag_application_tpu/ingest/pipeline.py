@@ -30,6 +30,7 @@ from ..config import IngestConfig
 from ..models.embedder import Embedder
 from ..store.collection import Collection
 from .chunker import chunk_words
+from .filetype import detect_mime
 from .queue import NonRetryableError, Task, TaskType, WorkQueue, task_priority
 
 STRUCTURED_SUFFIXES = {".csv", ".tsv", ".xlsx", ".xls", ".parquet"}
@@ -58,10 +59,10 @@ def classify_file(filename: str, mime: Optional[str] = None) -> str:
         if name.endswith(suf):
             return "media"
     if mime:
-        if mime.startswith("text/"):
-            return "direct"
-        if "spreadsheet" in mime or "csv" in mime:
+        if "spreadsheet" in mime or "csv" in mime or "parquet" in mime:
             return "structured"
+        if mime.startswith("text/") or mime == "application/json":
+            return "direct"
         if mime.startswith("image/"):
             return "image"
         if mime.startswith(("audio/", "video/")):
@@ -185,7 +186,10 @@ class IngestPipeline:
     async def _handle_file(self, task: Task) -> None:
         p = task.payload
         document_id = p["document_id"]
-        kind = classify_file(p["filename"], p.get("mime"))
+        # content sniff when the caller gave no MIME (parity: python-magic
+        # on the first 2KB, file_processor.py:60-64; magika in v2)
+        mime = p.get("mime") or detect_mime(p["data"], p["filename"])
+        kind = classify_file(p["filename"], mime)
         # idempotent re-ingest: reset previous state first
         self.collection.delete_document(document_id)
         if self.kg is not None:
@@ -232,7 +236,7 @@ class IngestPipeline:
                     priority=task_priority(TaskType.DIRECT_CHUNK, i),
                 ))
         elif kind == "structured":
-            sheets = self._read_structured(p["filename"], p["data"])
+            sheets = self._read_structured(p["filename"], p["data"], mime)
             for i, (sheet_name, df) in enumerate(sheets):
                 await self.queue.put(Task(
                     TaskType.STRUCTURED_CHUNK,
@@ -269,19 +273,21 @@ class IngestPipeline:
                     priority=task_priority(TaskType.UNSTRUCTURED_PAGE, i),
                 ))
 
-    def _read_structured(self, filename: str, data: bytes):
+    def _read_structured(self, filename: str, data: bytes,
+                         mime: Optional[str] = None):
         import pandas as pd
 
         name = filename.lower()
+        mime = mime or ""
         try:
-            if name.endswith((".csv", ".tsv")):
+            if name.endswith((".csv", ".tsv")) or "csv" in mime:
                 sep = "\t" if name.endswith(".tsv") else ","
                 df = pd.read_csv(io.BytesIO(data), sep=sep)
                 return [(filename.rsplit("/", 1)[-1], df)]
-            if name.endswith((".xlsx", ".xls")):
+            if name.endswith((".xlsx", ".xls")) or "spreadsheet" in mime:
                 book = pd.read_excel(io.BytesIO(data), sheet_name=None)
                 return list(book.items())
-            if name.endswith(".parquet"):
+            if name.endswith(".parquet") or "parquet" in mime:
                 return [(filename, pd.read_parquet(io.BytesIO(data)))]
         except pd.errors.EmptyDataError as e:
             raise NonRetryableError(f"empty sheet: {e}") from e

@@ -111,7 +111,8 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "bins", "block_rows", "valid_n", "prefix_dim"),
+    static_argnames=("k", "bins", "block_rows", "valid_n", "prefix_dim",
+                     "approx_sheet"),
 )
 def fused_scan_topk(
     corpus: jax.Array,
@@ -126,6 +127,8 @@ def fused_scan_topk(
     prefix_dim: Optional[int] = None,
     inv_norms: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
+    approx_sheet: bool = False,  # approx_max_k over the candidate sheet
+                                 # (fine when an exact rescore follows)
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate top-k via fused scan. Returns (vals (Q,k), idx (Q,k)).
 
@@ -230,7 +233,10 @@ def fused_scan_topk(
     sheet_vals = jnp.transpose(vals, (1, 0, 2)).reshape(q_count, nb * bins)
     sheet_idx = jnp.transpose(idx, (1, 0, 2)).reshape(q_count, nb * bins)
     k_eff = min(k, nb * bins)
-    top, pos = jax.lax.top_k(sheet_vals, k_eff)
+    if approx_sheet and nb * bins > 2 * k_eff:
+        top, pos = jax.lax.approx_max_k(sheet_vals, k_eff)
+    else:
+        top, pos = jax.lax.top_k(sheet_vals, k_eff)
     out_idx = jnp.take_along_axis(sheet_idx, pos, axis=-1)
     top = jnp.where(top <= NEG, -jnp.inf, top)
     return top, out_idx

@@ -53,6 +53,9 @@ class FusedSpec(NamedTuple):
     # d/prefix times less MXU work and HBM traffic, recovered by the
     # exact rescore.
     scan_prefix_dim: int = 0
+    # approx_max_k over the scan's candidate sheet (safe: the funnel
+    # exact-rescores the union anyway)
+    scan_approx_sheet: bool = False
 
     @classmethod
     def from_funnel(cls, f: FunnelConfig, dims: Tuple[int, ...], *,
@@ -133,6 +136,7 @@ def fused_hybrid(
                 table, qs, limit,
                 bins=spec.scan_bins, block_rows=spec.scan_block_rows,
                 prefix_dim=prefix_dim, inv_norms=inv, mask=mask,
+                approx_sheet=spec.scan_approx_sheet,
             )
         return blocked_topk(
             table, qs, limit,
@@ -173,11 +177,21 @@ def fused_hybrid(
                 jnp.linalg.norm(qp, axis=-1, keepdims=True), 1e-12)
             i_vals, i_ids = corpus_scan(prefix_int8, quantize_int8(qp),
                                         spec.quantized_limit)
+            # prefix scores are coarse: refine with an exact rescore
+            i_vals, i_ids = _exact_rescore(vecs, q, i_ids,
+                                           jnp.isfinite(i_vals),
+                                           spec.dense_limit)
         else:
             q8 = quantize_int8(q)
             i_vals, i_ids = corpus_scan(int8, q8, spec.quantized_limit)
-        i_vals, i_ids = _exact_rescore(vecs, q, i_ids, jnp.isfinite(i_vals),
-                                       spec.dense_limit)
+            # the scan's values ARE full-dim int8 dots — rank-select the
+            # refine set directly from them instead of re-gathering the
+            # bf16 rows (the reference's int8->dense refine only chooses
+            # candidates; the union below still gets the exact:True
+            # rescore, qdrant_handler.py:333-344,363-372)
+            keep = min(spec.dense_limit, i_ids.shape[-1])
+            i_vals, pos = jax.lax.top_k(i_vals, keep)
+            i_ids = jnp.take_along_axis(i_ids, pos, axis=-1)
         rrf_lists.append((i_ids, jnp.isfinite(i_vals)))
         branches.append((i_vals, i_ids))
 
@@ -228,13 +242,14 @@ class FusedSearcher:
 
     def __init__(self, dense, sparse=None, funnel: Optional[FunnelConfig] = None,
                  *, scan_impl: str = "xla", scan_bins: int = 256,
-                 scan_block_rows: int = 8192):
+                 scan_block_rows: int = 8192, scan_approx_sheet: bool = False):
         self.dense = dense
         self.sparse = sparse
         self.funnel = funnel or FunnelConfig()
         self.scan_impl = scan_impl
         self.scan_bins = scan_bins
         self.scan_block_rows = scan_block_rows
+        self.scan_approx_sheet = scan_approx_sheet
 
     def prepare(self, query_embeddings, query_texts=None):
         """Host-side query prep + device upload, separated from execution
@@ -272,6 +287,7 @@ class FusedSearcher:
             scan_impl=self.scan_impl,
         )._replace(scan_bins=self.scan_bins,
                    scan_block_rows=self.scan_block_rows,
+                   scan_approx_sheet=self.scan_approx_sheet,
                    scan_prefix_dim=(d.cfg.scan_prefix_dim
                                     if d.prefix_int8 is not None else 0))
         scores, ids = fused_hybrid(

@@ -102,10 +102,16 @@ def hybrid_search(
         vals, ids = _refine(dense, q, vals, ids, f.dense_limit, None)
         branch_ids.append((vals, ids))
 
-    # --- int8 branch: quantized scan -> exact dense refine ---
+    # --- int8 branch: quantized scan -> rank-select refine ---
+    # The scan scores are full-dim int8 dots, so the refine set is chosen
+    # from them directly (no bf16 re-gather); the final union rescore
+    # below supplies the exact scores (the reference's int8 prefetch ->
+    # refine -> exact:True chain, qdrant_handler.py:333-344,363-372).
     i8_vals, i8_ids = dense.search_int8(q, f.quantized_limit,
                                         filter_mask=filter_mask)
-    i8_vals, i8_ids = _refine(dense, q, i8_vals, i8_ids, f.dense_limit, None)
+    keep = min(f.dense_limit, i8_ids.shape[-1])
+    i8_vals, pos = jax.lax.top_k(i8_vals, keep)
+    i8_ids = jnp.take_along_axis(i8_ids, pos, axis=-1)
     rrf_lists.append((i8_ids, jnp.isfinite(i8_vals)))
     branch_ids.append((i8_vals, i8_ids))
 

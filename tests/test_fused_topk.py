@@ -161,3 +161,19 @@ def test_prefix_table_survives_checkpoint(rng, tmp_path):
     b = np.asarray(col2.dense.prefix_int8[:100]).astype(np.int32)
     # restored table re-derived from bf16 vecs: within quantization step
     assert np.abs(a - b).max() <= 1
+
+
+def test_approx_sheet_recall(rng):
+    """approx_max_k sheet select keeps candidates (exact rescore follows)."""
+    corpus = normed(rng, 4096, 128)
+    queries = corpus[:8]
+    c8 = np.clip(np.round(corpus * 127), -127, 127).astype(np.int8)
+    q8 = np.clip(np.round(queries * 127), -127, 127).astype(np.int8)
+    ve, ie = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 64,
+                             block_rows=256, approx_sheet=False)
+    va, ia = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 64,
+                             block_rows=256, approx_sheet=True)
+    ie, ia = np.asarray(ie), np.asarray(ia)
+    overlap = np.mean([np.isin(ie[i], ia[i]).mean() for i in range(8)])
+    assert overlap >= 0.9, overlap
+    assert (ia[:, 0] == np.arange(8)).all()

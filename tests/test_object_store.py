@@ -87,9 +87,12 @@ def pipeline_with_store(tmp_path):
 
 def test_page_handoff_through_store(pipeline_with_store):
     pipe, store = pipeline_with_store
+    # explicit mime pins the unstructured route (content is text, which
+    # the sniffing would legitimately classify as direct)
     text = ("page content about retrieval systems. " * 15).encode()
     res = asyncio.run(pipe.ingest_file("report.pdf", text,
-                                       document_id="doc1"))
+                                       document_id="doc1",
+                                       mime="application/pdf"))
     assert res.failed_tasks == 0
     assert res.chunks >= 2
     keys = store.list_objects("doc1")
@@ -106,10 +109,10 @@ def test_page_handoff_through_store(pipeline_with_store):
 def test_reingest_replaces_objects(pipeline_with_store):
     pipe, store = pipeline_with_store
     asyncio.run(pipe.ingest_file("r.pdf", b"first version " * 40,
-                                 document_id="doc1"))
+                                 document_id="doc1", mime="application/pdf"))
     first = store.list_objects("doc1")
     asyncio.run(pipe.ingest_file("r.pdf", b"second " * 10,
-                                 document_id="doc1"))
+                                 document_id="doc1", mime="application/pdf"))
     second = store.list_objects("doc1")
     assert second and set(second) != set(first)
     assert store.get_object("doc1/pages/1.txt").startswith(b"second")
