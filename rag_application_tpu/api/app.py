@@ -628,4 +628,53 @@ def build_app(config: Optional[Config] = None, *,
             "checkpoint_id": out["checkpoint_id"],
         }
 
+    @router.route("POST", "/copilotkit")
+    async def copilotkit(req: Request):
+        """Remote-agent endpoint for UI runtimes (parity in role with the
+        CopilotKit route, AgentAPI/app/api/routes/copilotkit.py:1-217: the
+        reference wraps its agents in a CopilotKitRemoteEndpoint keyed by
+        per-request properties {user_id, org_id, thread_id,
+        checkpoint_id}). The SDK's GraphQL transport is vendor-specific;
+        this speaks a JSON/SSE protocol-lite with the same two verbs:
+
+          {"method": "info"}              -> available agents
+          {"method": "agent/execute",
+           "agent": "...", "properties": {...},
+           "messages": [...]}             -> SSE event stream
+        """
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        method = body.get("method", "info")
+
+        from ..agents import AGENT_CLASS_MAP, get_agent_by_id
+
+        get_agent_by_id("")  # force registry population
+        if method == "info":
+            return {"agents": [
+                {"name": name, "description": cls.__doc__ or ""}
+                for name, cls in AGENT_CLASS_MAP.items()
+            ] + [{"name": "chat", "description": "knowledge-tool chat agent"}],
+                "actions": []}
+        if method != "agent/execute":
+            return JSONResponse({"detail": f"unknown method {method}"}, 422)
+
+        props = body.get("properties", {})
+        user_id = props.get("user_id", "copilotkit-user")
+        thread_id = props.get("thread_id") or f"{user_id}-thread"
+        messages = body.get("messages", [])
+        user_msg = next((m["content"] for m in reversed(messages)
+                         if m.get("role") == "user"), "")
+        agent = _make_agent(user_id)
+
+        async def events():
+            async for ev in agent.astream(user_msg, thread_id=thread_id):
+                if ev["type"] == "message":
+                    yield {"event": "message", "delta": ev["delta"]}
+                elif ev["type"] == "tool":
+                    yield {"event": "tool", **{k: v for k, v in ev.items()
+                                               if k != "type"}}
+            yield {"event": "done", "thread_id": thread_id}
+        return SSEResponse(events())
+
     return router, state

@@ -24,7 +24,7 @@ import numpy as np
 from ..config import FunnelConfig
 from ..ops.bm25 import bm25_topk
 from ..ops.quant import quantize_int8
-from ..ops.rrf import INVALID_ID, first_occurrence_mask, rrf_fuse
+from ..ops.rrf import INVALID_ID, first_occurrence_mask
 from ..ops.topk import NEG_INF, blocked_topk, gather_rescore
 
 
@@ -211,11 +211,14 @@ def fused_hybrid(
         branches.append((jnp.where(sp_valid, 0.0, NEG_INF), sp_ids))
 
     # --- RRF of quantized + sparse (qdrant_handler.py:357-360) ---
-    if len(rrf_lists) > 1:
-        rrf_scores, rrf_ids = rrf_fuse(rrf_lists, spec.dense_limit,
-                                       rrf_k=spec.rrf_k)
-        branches.append((jnp.where(rrf_ids != INVALID_ID, 0.0, NEG_INF),
-                         rrf_ids))
+    # NOTE: rrf_fuse outputs are by construction members of its input
+    # lists, every one of which is already in the union below, and the
+    # final stage rescores the deduped union exactly — so materializing
+    # the fused list cannot change the output (same holds for Qdrant's
+    # prefetch=[matryoshka, rrf] + exact rescore). The fusion is skipped
+    # here; `ops.rrf.rrf_fuse` remains the public RRF surface (and the
+    # sharded-merge path), validated by tests/test_rrf.py.
+    del rrf_lists
 
     # --- final exact rescore over deduped union (:363-372) ---
     all_ids = jnp.concatenate([ids for _, ids in branches], axis=-1)

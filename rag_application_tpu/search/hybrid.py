@@ -35,7 +35,7 @@ from ..config import FunnelConfig
 from ..index.dense import DenseIndex
 from ..index.sparse import SparseIndex
 from ..ops.bm25 import bm25_topk
-from ..ops.rrf import INVALID_ID, first_occurrence_mask, rrf_fuse
+from ..ops.rrf import INVALID_ID, first_occurrence_mask
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -132,10 +132,10 @@ def hybrid_search(
         branch_ids.append((jnp.where(sp_valid, 0.0, NEG_INF), sp_ids))
 
     # --- RRF of quantized-dense + sparse (parity :357-360) ---
-    if len(rrf_lists) > 1:
-        rrf_scores, rrf_ids = rrf_fuse(rrf_lists, f.dense_limit, rrf_k=f.rrf_k)
-        branch_ids.append((jnp.where(rrf_ids != INVALID_ID, 0.0, NEG_INF),
-                           rrf_ids))
+    # Skipped as pure compute: the fused list is a subset of the union
+    # already entering the exact rescore, so it cannot change the output
+    # (see the note in search/fused.py).
+    del rrf_lists
 
     # --- final exact dense rescore over the candidate union (:363-372) ---
     all_ids = jnp.concatenate([ids for _, ids in branch_ids], axis=-1)

@@ -190,3 +190,35 @@ def test_api_key_auth():
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_copilotkit_info_and_execute():
+    """Protocol-lite remote-agent endpoint (parity role:
+    AgentAPI/app/api/routes/copilotkit.py)."""
+    async def fn(client, state):
+        r = await client.post("/copilotkit", json={"method": "info"})
+        names = [a["name"] for a in r.json()["agents"]]
+        assert "chat" in names and "deep_research_agent" in names
+
+        async with client.stream("POST", "/copilotkit", json={
+            "method": "agent/execute", "agent": "chat",
+            "properties": {"user_id": "erin", "thread_id": "t-ck"},
+            "messages": [{"role": "user", "content": "hello runtime"}],
+        }) as r:
+            assert r.headers["content-type"].startswith("text/event-stream")
+            events = []
+            async for line in r.aiter_lines():
+                if line.startswith("data:"):
+                    data = line[5:].strip()
+                    if data == "[DONE]":
+                        break
+                    events.append(json.loads(data))
+        assert events[-1]["event"] == "done"
+        assert events[-1]["thread_id"] == "t-ck"
+        text = "".join(e.get("delta", "") for e in events
+                       if e["event"] == "message")
+        assert "hello runtime" in text
+
+        r = await client.post("/copilotkit", json={"method": "bogus"})
+        assert r.status_code == 422
+    with_server(fn)
