@@ -49,7 +49,10 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n = int(os.environ.get("BENCH_N", 100_000 if small else 1_000_000))
     d = int(os.environ.get("BENCH_DIM", 768))
-    batch = int(os.environ.get("BENCH_BATCH", 512))
+    # 1024 amortizes per-dispatch + per-block fixed costs over more
+    # queries (44.3k QPS vs 38.8k at 512, same recall); the scan block
+    # shrinks at bigger batches to keep the (Q, B) int32 tile in VMEM.
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
     n_eval = 64  # queries used for recall measurement
     k = 10
 
@@ -128,8 +131,10 @@ def main():
         sparse_limit=50,
         final_limit=k,
     )
+    scan_block = 16384 if batch <= 1024 else 8192
     searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas",
-                             scan_block_rows=16384, scan_approx_sheet=True)
+                             scan_block_rows=scan_block,
+                             scan_approx_sheet=True)
 
     # measured config: int8 full-dim scan + BM25 + RRF + exact rescore
     # (the 128-d cascade stays available but adds no recall on this
