@@ -99,7 +99,7 @@ def main():
     # with T*P, and the tail of a term's impact-sorted postings can only
     # displace pool candidates that outrank it anyway (override to taste).
     sparse = SparseIndex(SparseConfig(
-        candidate_pool=int(os.environ.get("BENCH_POOL", 128)),
+        candidate_pool=int(os.environ.get("BENCH_POOL", 64)),
         max_postings_per_term=int(os.environ.get("BENCH_POSTINGS", 256))))
     t0 = time.time()
     # Register the synthetic vocab so text queries analyze to the same ids.
@@ -124,11 +124,16 @@ def main():
     queries = make_queries(q_idx, 1)
     q_texts = [" ".join(f"w{t}" for t in tokens[i]) for i in q_idx]
 
+    # Funnel from the on-chip trim sweep (tune16): every post-scan stage
+    # scales with its candidate count (sheet top-k, rescore gathers, BM25
+    # pool gather), and recall saturates well before the old limits —
+    # 64/48/64/32 measured 0.9930 recall at 56.7k QPS vs 0.9961 at 44.4k
+    # for 128/64/128/50.
     funnel = FunnelConfig(
         matryoshka_limits=(512, 256),
-        dense_limit=64,
-        quantized_limit=128,
-        sparse_limit=50,
+        dense_limit=int(os.environ.get("BENCH_DENSE_LIMIT", 48)),
+        quantized_limit=int(os.environ.get("BENCH_QLIM", 64)),
+        sparse_limit=int(os.environ.get("BENCH_SPARSE_LIMIT", 32)),
         final_limit=k,
     )
     scan_block = 16384 if batch <= 1024 else 8192

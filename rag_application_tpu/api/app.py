@@ -81,8 +81,11 @@ class AppState:
                 objects = ObjectStore(
                     os.path.join(self.config.ingest.object_store_dir,
                                  f"user_{user_id}"))
+            from ..tools.web import make_http_fetch_backend
+
             pipe = IngestPipeline(col, self.embedder, kg=kg,
                                   object_store=objects,
+                                  url_fetcher=make_http_fetch_backend(),
                                   config=self.config.ingest)
             self.users[user_id] = UserSpace(col, kg, pipe)
         return self.users[user_id]
@@ -168,6 +171,22 @@ def build_app(config: Optional[Config] = None, *,
         return JSONResponse({"status": "accepted",
                              "document_id": result.document_id,
                              "chunks": result.chunks}, 202)
+
+    @router.route("POST", "/ingest/url")
+    async def ingest_url(req: Request):
+        """Parity surface: POST /ingest/url (IndexerAPI ingest.py:32-42) —
+        and unlike the reference (whose URL task raises
+        NotImplementedError, orchestrator.py:24-27) this one works."""
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        result = await sp.pipeline.ingest_url(
+            body["url"], document_id=body.get("document_id"))
+        return JSONResponse({"status": "accepted",
+                             "document_id": result.document_id,
+                             "chunks": result.chunks,
+                             "failed_tasks": result.failed_tasks}, 202)
 
     @router.route("POST", "/delete/file")
     async def delete_file(req: Request):

@@ -89,6 +89,7 @@ class IngestPipeline:
         page_describer: Optional[Callable[[bytes], str]] = None,
         contextualizer=None,  # LLMRouter: enables contextual augmentation
         object_store=None,  # store.objects.ObjectStore: page-payload handoff
+        url_fetcher=None,  # async url -> str: enables /ingest/url
         config: Optional[IngestConfig] = None,
     ):
         self.collection = collection
@@ -98,6 +99,7 @@ class IngestPipeline:
         self.page_describer = page_describer  # image bytes -> description
         self.contextualizer = contextualizer
         self.object_store = object_store
+        self.url_fetcher = url_fetcher
         self.cfg = config or IngestConfig()
         self.queue = WorkQueue(
             max_retries=self.cfg.max_retries,
@@ -152,6 +154,21 @@ class IngestPipeline:
         return await self.ingest_file(document_id + ".txt", text.encode(),
                                       document_id=document_id)
 
+    async def ingest_url(self, url: str,
+                         *, document_id: Optional[str] = None) -> IngestResult:
+        """Parity surface: POST /ingest/url (ingest.py:32-42). The
+        reference declares the endpoint but its Orchestrator raises
+        NotImplementedError for URL tasks (orchestrator.py:24-27); here
+        the task is implemented when a `url_fetcher` hook is configured
+        (fetch -> readable text -> the FILE pipeline), and without one it
+        fails into the ledger like any non-retryable task."""
+        document_id = document_id or url
+        task = Task(TaskType.URL, {"url": url, "document_id": document_id},
+                    priority=task_priority(TaskType.URL))
+        await self.queue.put(task)
+        await self.queue.run(self._handle)
+        return self._result(document_id)
+
     def _result(self, document_id: str) -> IngestResult:
         rows = self.collection.payloads.rows_where(document_id=document_id)
         pages = {self.collection.payloads.get(r).get("page_number", 0)
@@ -174,6 +191,8 @@ class IngestPipeline:
     async def _dispatch(self, task: Task) -> None:
         if task.task_type == TaskType.FILE:
             await self._handle_file(task)
+        elif task.task_type == TaskType.URL:
+            await self._handle_url(task)
         elif task.task_type == TaskType.DIRECT_CHUNK:
             await self._handle_direct_chunk(task)
         elif task.task_type == TaskType.STRUCTURED_CHUNK:
@@ -182,6 +201,24 @@ class IngestPipeline:
             await self._handle_unstructured_page(task)
         else:
             raise NonRetryableError(f"unsupported task type {task.task_type}")
+
+    async def _handle_url(self, task: Task) -> None:
+        p = task.payload
+        if self.url_fetcher is None:
+            raise NonRetryableError(
+                "URL ingest requires a url_fetcher hook")
+        content = await self.url_fetcher(p["url"])
+        if isinstance(content, str):
+            lowered = content[:512].lower()
+            if "<html" in lowered or "<!doctype" in lowered:
+                from ..tools.web import html_to_text
+
+                content = html_to_text(content)
+            content = content.encode()
+        await self._handle_file(Task(TaskType.FILE, {
+            "filename": p["url"].rstrip("/").rsplit("/", 1)[-1] or "page.txt",
+            "data": content, "document_id": p["document_id"], "mime": None,
+        }))
 
     async def _handle_file(self, task: Task) -> None:
         p = task.payload

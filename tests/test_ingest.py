@@ -250,3 +250,36 @@ def test_queue_bound_evicts_lowest_priority():
         assert order[0] == "hi"
 
     asyncio.run(main())
+
+
+def test_ingest_url_with_fetcher(rng):
+    """URL ingest: fetch -> readable text -> FILE pipeline (the reference
+    declares /ingest/url but its URL task raises NotImplementedError,
+    orchestrator.py:24-27)."""
+    col = Collection("u", small_config())
+    emb = Embedder(cfg=TINY, batch_size=4, max_len=32)
+
+    async def fetcher(url):
+        assert url == "https://example.com/docs/page"
+        return ("<html><head><script>x()</script></head><body>"
+                "<h1>Retrieval</h1><p>" + "engine facts. " * 40
+                + "</p></body></html>")
+
+    pipe = IngestPipeline(col, emb, url_fetcher=fetcher,
+                          config=IngestConfig(chunk_chars=200,
+                                              max_concurrency=4))
+    res = asyncio.run(pipe.ingest_url("https://example.com/docs/page"))
+    assert res.failed_tasks == 0
+    assert res.chunks >= 1
+    rows = col.payloads.rows_where(document_id="https://example.com/docs/page")
+    text = col.payloads.get(rows[0])["text"]
+    assert "engine facts" in text and "<script>" not in text
+
+
+def test_ingest_url_without_fetcher_fails_into_ledger():
+    col = Collection("u2", small_config())
+    emb = Embedder(cfg=TINY, batch_size=4, max_len=32)
+    pipe = IngestPipeline(col, emb, config=IngestConfig(max_concurrency=2))
+    res = asyncio.run(pipe.ingest_url("https://nowhere.invalid/x"))
+    assert res.chunks == 0
+    assert res.failed_tasks == 1
