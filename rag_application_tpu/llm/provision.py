@@ -1,0 +1,123 @@
+"""Ollama GGUF auto-provisioning client.
+
+Parity: `OllamaClient.ensure_model_available` (app/core/models/ollama/
+ollama.py:194-298) — when a requested model is not registered in Ollama,
+the reference drives an external GGUF converter service (HF repo ->
+quantized GGUF), polls the conversion task, downloads the artifact,
+uploads it to Ollama's blob store by sha256 digest, and registers the
+model. The converter and Ollama are external HTTP services in both
+systems; transport here is httpx with an injectable client factory so
+the whole workflow is testable offline.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+
+@dataclass
+class GGUFProvisionConfig:
+    ollama_url: str = "http://localhost:11434"
+    converter_url: str = "http://localhost:8001"
+    hf_repo: str = ""
+    quantization: str = "Q8_0"  # reference default (app/config.py)
+    hf_token: Optional[str] = None
+    poll_interval_s: float = 5.0
+    max_polls: int = 720  # 1h at 5s, like the reference's upload timeout
+
+
+class ProvisionError(RuntimeError):
+    pass
+
+
+class GGUFProvisioner:
+    """Drives converter + Ollama registration for one model name."""
+
+    def __init__(self, model_name: str, cfg: GGUFProvisionConfig,
+                 *, client_factory: Optional[Callable] = None):
+        self.model_name = model_name
+        self.cfg = cfg
+        if client_factory is None:
+            import httpx
+
+            client_factory = lambda: httpx.AsyncClient(timeout=3600)  # noqa: E731
+        self._client_factory = client_factory
+
+    async def _registered_models(self, client) -> list:
+        r = await client.get(f"{self.cfg.ollama_url}/api/tags")
+        r.raise_for_status()
+        return [m.get("name", "").split(":")[0]
+                for m in r.json().get("models", [])]
+
+    async def ensure_model_available(self) -> str:
+        """Returns the model name once registered (converting if needed).
+
+        Mirrors the reference's flow step for step: registry check ->
+        /convert -> poll /status/{task} -> download artifact -> upload
+        blob sha256:... -> /api/create (ollama.py:194-298). Raises
+        ProvisionError instead of returning None on failure.
+        """
+        cfg = self.cfg
+        async with self._client_factory() as client:
+            if self.model_name in await self._registered_models(client):
+                return self.model_name
+            if not cfg.hf_repo:
+                raise ProvisionError(
+                    f"model {self.model_name!r} not registered and no "
+                    "hf_repo configured for conversion")
+
+            # 1. start conversion
+            r = await client.post(f"{cfg.converter_url}/convert", json={
+                "repo_id": cfg.hf_repo,
+                "quantization": cfg.quantization,
+                "token": cfg.hf_token,
+            })
+            if r.status_code != 200:
+                raise ProvisionError(f"conversion start failed: {r.text}")
+            task_id = r.json().get("task_id")
+            if not task_id:
+                raise ProvisionError("converter returned no task_id")
+
+            # 2. poll until the status flips from Processing to a URL
+            #    (the reference overloads `status` with the artifact URL)
+            artifact_url = None
+            for _ in range(cfg.max_polls):
+                r = await client.get(f"{cfg.converter_url}/status/{task_id}")
+                if r.status_code != 200:
+                    raise ProvisionError("conversion status fetch failed")
+                status = r.json().get("status")
+                if status == "Processing":
+                    await asyncio.sleep(cfg.poll_interval_s)
+                    continue
+                if status == "Failed":
+                    raise ProvisionError("model conversion failed")
+                artifact_url = status
+                break
+            if artifact_url is None:
+                raise ProvisionError("conversion timed out")
+
+            # 3. download the GGUF artifact (kept in memory: the blob
+            #    upload streams it straight back out)
+            r = await client.get(artifact_url)
+            if r.status_code != 200:
+                raise ProvisionError("artifact download failed")
+            blob = r.content
+            digest = "sha256:" + hashlib.sha256(blob).hexdigest()
+
+            # 4. upload to Ollama's blob store by digest
+            r = await client.post(f"{cfg.ollama_url}/api/blobs/{digest}",
+                                  content=blob)
+            if r.status_code not in (200, 201):
+                raise ProvisionError("blob upload failed")
+
+            # 5. register the model against the uploaded blob
+            r = await client.post(f"{cfg.ollama_url}/api/create", json={
+                "model": self.model_name,
+                "files": {f"{task_id}.gguf": digest},
+            })
+            if r.status_code != 200:
+                raise ProvisionError("model registration failed")
+            return self.model_name
