@@ -151,6 +151,101 @@ def sharded_hybrid_topk(
     return search(vecs, int8, queries)
 
 
+def sharded_fused_hybrid(
+    mesh: Mesh,
+    vecs: jax.Array,        # (S*R, d) bf16/f32 row-sharded over `axis`
+    int8: jax.Array,        # (S*R, d) int8 row-sharded
+    live: jax.Array,        # (S*R,) bool row-sharded
+    post_packed: jax.Array,  # (S, V_pad, P) int32 stacked local postings
+    doc_packed: jax.Array,   # (S, R+1, 2L) int32 stacked local doc views
+    queries: jax.Array,      # (Q, d) f32 replicated, unit-norm
+    q_rows: jax.Array,       # (Q, T) int32 replicated
+    q_terms: jax.Array,      # (Q, T) int32 replicated
+    q_valid: jax.Array,      # (Q, T) bool replicated
+    k: int,
+    *,
+    axis: str = "data",
+    quantized_limit: int = 64,
+    dense_limit: int = 48,
+    sparse_limit: int = 32,
+    sparse_pool: int = 64,
+    block_size: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """The FULL hybrid funnel over a row-sharded corpus (dense int8 scan
+    + local BM25 + exact local rescore of the deduped union), merged
+    over ICI with one all-gather of per-shard top-k lists. Each shard
+    runs the same mini funnel as the single-chip engine on its rows;
+    BM25 statistics are global (parallel/sparse.py), so scores compare
+    across shards and the merge is a plain top-k."""
+    from ..ops.bm25 import bm25_topk
+    from ..ops.rrf import INVALID_ID, first_occurrence_mask
+
+    n = vecs.shape[0]
+    n_shards = mesh.shape[axis]
+    if n % n_shards:
+        raise ValueError(f"{n} rows not divisible by {n_shards}")
+    rows_per_shard = n // n_shards
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis),
+                  P(axis, None, None), P(axis, None, None),
+                  P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def search(v_s, i8_s, live_s, post_s, docp_s, q, qr, qt, qv):
+        shard_id = jax.lax.axis_index(axis)
+        start = shard_id * rows_per_shard
+        post_s, docp_s = post_s[0], docp_s[0]
+
+        # dense branch: int8 scan -> rank-select refine (single-chip
+        # semantics, search/fused.py)
+        q8 = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
+        i_vals, i_ids = blocked_topk(
+            i8_s, q8, quantized_limit,
+            block_size=min(block_size, rows_per_shard),
+            filter_mask=live_s, approx=True,
+        )
+        keep = min(dense_limit, i_ids.shape[-1])
+        i_vals, pos = jax.lax.top_k(i_vals, keep)
+        i_ids = jnp.take_along_axis(i_ids, pos, axis=-1)
+
+        # sparse branch: local BM25 over this shard's postings
+        sp_vals, sp_ids = bm25_topk(
+            post_s, None, docp_s, qr, qt, qv, sparse_limit,
+            pool=sparse_pool, filter_mask=live_s,
+        )
+
+        # deduped union -> exact local rescore -> per-shard top-k
+        all_ids = jnp.concatenate([i_ids, sp_ids], axis=-1)
+        all_valid = jnp.concatenate(
+            [jnp.isfinite(i_vals), jnp.isfinite(sp_vals)], axis=-1)
+        all_ids = jnp.where(all_valid, all_ids, INVALID_ID)
+        keep_m = first_occurrence_mask(all_ids) & (all_ids != INVALID_ID)
+        safe = jnp.where(keep_m, all_ids, 0)
+        g = v_s[jnp.clip(safe, 0, rows_per_shard - 1)].astype(jnp.float32)
+        exact = jnp.einsum("qd,qcd->qc", q.astype(jnp.float32), g)
+        exact = jnp.where(keep_m, exact, -jnp.inf)
+        k_local = min(k, exact.shape[-1])
+        top, pos = jax.lax.top_k(exact, k_local)
+        idx = jnp.take_along_axis(all_ids, pos, axis=-1) + start
+        idx = jnp.where(jnp.isfinite(top), idx, INVALID_ID)
+
+        # ICI merge: candidate lists only (KBs)
+        all_v = jax.lax.all_gather(top, axis)
+        all_i = jax.lax.all_gather(idx, axis)
+        s, qn, kk = all_v.shape
+        all_v = jnp.transpose(all_v, (1, 0, 2)).reshape(qn, s * kk)
+        all_i = jnp.transpose(all_i, (1, 0, 2)).reshape(qn, s * kk)
+        out_v, out_pos = jax.lax.top_k(all_v, min(k, s * kk))
+        out_i = jnp.take_along_axis(all_i, out_pos, axis=-1)
+        return out_v, jnp.where(jnp.isfinite(out_v), out_i, INVALID_ID)
+
+    return search(vecs, int8, live, post_packed, doc_packed,
+                  queries, q_rows, q_terms, q_valid)
+
+
 def sharded_topk_dryrun(mesh: Mesh) -> None:
     """Tiny-shape execution of the sharded search path (driver dry run)."""
     axis = "data"
@@ -176,3 +271,27 @@ def sharded_topk_dryrun(mesh: Mesh) -> None:
                                  candidates=8, block_size=32)
     i2 = np.asarray(i2)
     assert (i2[:, 0] == np.arange(q)).all(), f"hybrid shard failed: {i2[:, 0]}"
+
+    # the FULL sharded funnel: dense + local BM25 + exact rescore + merge
+    from ..config import SparseConfig
+    from ..index.sparse import SparseIndex
+    from .sparse import build_sharded_sparse
+
+    words = "fox dog tensor unit sparse dense graph node".split()
+    sparse = SparseIndex(SparseConfig(candidate_pool=32, max_query_terms=8))
+    sparse.add_batch([" ".join(rng.choice(words, size=5)) for _ in range(n)])
+    sh = build_sharded_sparse(sparse, n_shards)
+    live = jax.device_put(jnp.ones((n,), dtype=bool),
+                          NamedSharding(mesh, P(axis)))
+    post = jax.device_put(jnp.asarray(sh["post_packed"]),
+                          NamedSharding(mesh, P(axis, None, None)))
+    docp = jax.device_put(jnp.asarray(sh["doc_packed"]),
+                          NamedSharding(mesh, P(axis, None, None)))
+    q_rows, q_terms, q_valid = sparse.encode_queries(["fox dog"] * q)
+    v3, i3 = sharded_fused_hybrid(
+        mesh, sharded, int8_sharded, live, post, docp,
+        jnp.asarray(queries), q_rows, q_terms, q_valid, k,
+        axis=axis, quantized_limit=8, dense_limit=8, sparse_limit=4,
+        sparse_pool=32, block_size=32)
+    i3 = np.asarray(i3)
+    assert (i3[:, 0] == np.arange(q)).all(), f"full funnel failed: {i3[:, 0]}"

@@ -81,3 +81,107 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_fused_hybrid_full_funnel(rng):
+    """The FULL hybrid funnel (dense int8 scan + local BM25 + exact
+    rescore) over 8 shards: per-shard-exact limits make the merged
+    result equal the exact dense oracle, and lexical-only docs surface
+    via the sharded sparse branch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_application_tpu.config import SparseConfig
+    from rag_application_tpu.index.sparse import SparseIndex
+    from rag_application_tpu.parallel.mesh import make_mesh
+    from rag_application_tpu.parallel.search import sharded_fused_hybrid
+    from rag_application_tpu.parallel.sparse import build_sharded_sparse
+
+    mesh = make_mesh(8)
+    n, d = 96, 32
+    words = ("fox dog tensor unit sparse dense graph node query index "
+             "rank fusion chunk page entity relation").split()
+    corpus = (rng.standard_normal((n, d))
+              * np.exp(-0.02 * np.arange(d))).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    texts = [" ".join(rng.choice(words, size=6)) for _ in range(n)]
+    texts[77] = "zebra quagga okapi zebra quagga"  # lexical-only target
+
+    sparse = SparseIndex(SparseConfig(candidate_pool=64, max_query_terms=8))
+    sparse.add_batch(texts)
+    sh = build_sharded_sparse(sparse, 8)
+    r = sh["rows_per_shard"]
+    assert 8 * r >= n
+
+    pad = 8 * r - n
+    vecs = np.pad(corpus, ((0, pad), (0, 0)))
+    int8 = np.clip(np.round(vecs * 127), -127, 127).astype(np.int8)
+    live = np.zeros(8 * r, dtype=bool); live[:n] = True
+
+    axis = "data"
+    row_sharded = NamedSharding(mesh, P(axis, None))
+    stacked = NamedSharding(mesh, P(axis, None, None))
+    vecs_d = jax.device_put(jnp.asarray(vecs), row_sharded)
+    int8_d = jax.device_put(jnp.asarray(int8), row_sharded)
+    live_d = jax.device_put(jnp.asarray(live), NamedSharding(mesh, P(axis)))
+    post_d = jax.device_put(jnp.asarray(sh["post_packed"]), stacked)
+    docp_d = jax.device_put(jnp.asarray(sh["doc_packed"]), stacked)
+
+    q_idx = np.array([3, 42, 77, 90])
+    queries = corpus[q_idx] + 0.01 * rng.standard_normal(
+        (len(q_idx), d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+    q_rows, q_terms, q_valid = sparse.encode_queries(
+        [texts[i] for i in q_idx])
+
+    k = 10
+    vals, ids = sharded_fused_hybrid(
+        mesh, vecs_d, int8_d, live_d, post_d, docp_d,
+        jnp.asarray(queries), q_rows, q_terms, q_valid, k,
+        axis=axis, quantized_limit=r, dense_limit=r, sparse_limit=8,
+        sparse_pool=64, block_size=32)
+    ids = np.asarray(ids); vals = np.asarray(vals)
+
+    # per-shard-exact dense limits -> merged result == exact dense oracle
+    exact = np.argsort(-(queries @ corpus.T), axis=-1)[:, :k]
+    recall = np.mean([np.isin(exact[i], ids[i]).mean()
+                      for i in range(len(q_idx))])
+    assert recall == 1.0, recall
+    assert (ids[:, 0] == q_idx).all()
+    # scores are global cosines, descending
+    assert (np.diff(vals, axis=-1) <= 1e-6).all()
+
+
+def test_sharded_sparse_scores_match_host_oracle(rng):
+    """Per-shard BM25 with global stats reproduces the exact host scores
+    for every returned doc (sharding must never change a score)."""
+    from rag_application_tpu.config import SparseConfig
+    from rag_application_tpu.index.sparse import SparseIndex
+    from rag_application_tpu.ops.bm25 import bm25_topk
+    from rag_application_tpu.parallel.sparse import build_sharded_sparse
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    sparse = SparseIndex(SparseConfig(candidate_pool=32, max_query_terms=8))
+    texts = [" ".join(rng.choice(words, size=5)) for _ in range(40)]
+    sparse.add_batch(texts)
+    sh = build_sharded_sparse(sparse, 4)
+    r = sh["rows_per_shard"]
+
+    query = "alpha delta"
+    q_rows, q_terms, q_valid = sparse.encode_queries([query])
+    oracle = sparse.exact_scores(query)
+
+    found = {}
+    for s in range(4):
+        scores, ids = bm25_topk(
+            jnp.asarray(sh["post_packed"][s]), None,
+            jnp.asarray(sh["doc_packed"][s]),
+            q_rows, q_terms, q_valid, r, pool=32, approx=False)
+        for score, lid in zip(np.asarray(scores)[0], np.asarray(ids)[0]):
+            if np.isfinite(score):
+                found[s * r + int(lid)] = float(score)
+    assert found, "no sparse hits"
+    for gid, score in found.items():
+        np.testing.assert_allclose(score, oracle[gid], rtol=1e-4)
+    # every positive-scoring doc is found by exactly its shard
+    expect = {i for i in range(40) if oracle[i] > 0}
+    assert set(found) == expect
