@@ -69,6 +69,20 @@ class AppState:
     checkpointer: ThreadCheckpointer = field(default_factory=ThreadCheckpointer)
     memory: Optional[VectorMemoryStore] = None
 
+    @staticmethod
+    def _fs_safe(user_id: str) -> str:
+        """Filesystem-safe user directory name: user_id comes from the
+        request body, so 'x/../../etc' must never influence a path (the
+        object-store delete cascade rmtree's under this root). Unsafe
+        ids get a collision-proof digest suffix."""
+        import hashlib
+        import re
+
+        safe = re.sub(r"[^\w.-]", "_", user_id)
+        if safe != user_id or safe in ("", ".", ".."):
+            safe = f"{safe[:32]}_{hashlib.sha256(user_id.encode()).hexdigest()[:12]}"
+        return safe
+
     def space(self, user_id: str) -> UserSpace:
         if user_id not in self.users:
             col = Collection(f"user_{user_id}", self.config)
@@ -80,7 +94,7 @@ class AppState:
 
                 objects = ObjectStore(
                     os.path.join(self.config.ingest.object_store_dir,
-                                 f"user_{user_id}"))
+                                 f"user_{self._fs_safe(user_id)}"))
             from ..tools.web import make_http_fetch_backend
 
             pipe = IngestPipeline(col, self.embedder, kg=kg,
@@ -573,15 +587,30 @@ def build_app(config: Optional[Config] = None, *,
 
     # ------------------------------------------------------ chat (OpenAI)
 
-    def _make_agent(user_id: str) -> BaseAgent:
+    def _make_agent(user_id: str, agent_name: str = "chat") -> BaseAgent:
+        import inspect
+
         sp = state.space(user_id)
         tools = KnowledgeSearchToolbox(sp.collection, sp.kg,
                                        state.embedder).build()
-        agent = BaseAgent(state.llm, system_prompt=RAG_SYSTEM_PROMPT,
-                          checkpointer=state.checkpointer,
-                          memory_store=state.memory, user_id=user_id)
-        agent.bind_tools([tools.get(n) for n in tools.names()])
-        return agent
+        common = dict(checkpointer=state.checkpointer,
+                      memory_store=state.memory, user_id=user_id)
+        if agent_name in ("chat", "", None):
+            agent = BaseAgent(state.llm, system_prompt=RAG_SYSTEM_PROMPT,
+                              **common)
+            agent.bind_tools([tools.get(n) for n in tools.names()])
+            return agent
+        from ..agents import get_agent_by_id
+
+        cls = get_agent_by_id(agent_name)
+        if cls is None:
+            raise KeyError(agent_name)
+        # registry agents take the knowledge toolbox under different
+        # keyword names (ChatAgent: knowledge_toolbox; others: toolbox)
+        params = inspect.signature(cls.__init__).parameters
+        tb_kw = ("knowledge_toolbox" if "knowledge_toolbox" in params
+                 else "toolbox")
+        return cls(state.llm, **{tb_kw: tools}, **common)
 
     @router.route("POST", "/chat/completions")
     async def chat_completions(req: Request):
@@ -684,7 +713,11 @@ def build_app(config: Optional[Config] = None, *,
         messages = body.get("messages", [])
         user_msg = next((m["content"] for m in reversed(messages)
                          if m.get("role") == "user"), "")
-        agent = _make_agent(user_id)
+        try:
+            agent = _make_agent(user_id, body.get("agent", "chat"))
+        except KeyError:
+            return JSONResponse(
+                {"detail": f"unknown agent {body.get('agent')!r}"}, 404)
 
         async def events():
             async for ev in agent.astream(user_msg, thread_id=thread_id):

@@ -14,17 +14,14 @@ import io
 import zipfile
 from typing import Optional
 
-# (magic bytes, mime) — checked at offset 0 unless noted
+# (magic bytes, mime) — distinctive multi-byte signatures, trusted
+# unconditionally
 _MAGIC = [
     (b"%PDF-", "application/pdf"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
-    (b"BM", "image/bmp"),
-    (b"\x00\x00\x01\x00", "image/x-icon"),
-    (b"ID3", "audio/mpeg"),
-    (b"\xff\xfb", "audio/mpeg"),
     (b"OggS", "audio/ogg"),
     (b"fLaC", "audio/flac"),
     (b"\x1a\x45\xdf\xa3", "video/x-matroska"),
@@ -33,6 +30,15 @@ _MAGIC = [
     (b"PAR1", "application/x-parquet"),
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"\x1f\x8b", "application/gzip"),
+]
+
+# short/ambiguous prefixes ('BM' also starts 'BM25 notes...'): only
+# trusted when the payload does NOT look like text
+_WEAK_MAGIC = [
+    (b"BM", "image/bmp"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),
 ]
 
 _ZIP_KINDS = {
@@ -108,14 +114,20 @@ def detect_mime(data: bytes, filename: str = "") -> str:
         return m
     # text vs binary: the reference's magic does the same split. NUL and
     # other control bytes are valid UTF-8, so decoding alone is not enough.
+    def _weak_or(default: str) -> str:
+        for magic_bytes, mime in _WEAK_MAGIC:
+            if head.startswith(magic_bytes):
+                return mime
+        return default
+
     try:
         text = head.decode("utf-8")
     except UnicodeDecodeError:
-        return "application/octet-stream"
+        return _weak_or("application/octet-stream")
     if head:
         ctrl = sum(1 for b in head if b < 9 or 13 < b < 32)
         if ctrl / len(head) > 0.05:
-            return "application/octet-stream"
+            return _weak_or("application/octet-stream")
     stripped = text.lstrip()
     if stripped.startswith(("{", "[")):
         return "application/json"

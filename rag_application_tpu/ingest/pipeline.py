@@ -145,9 +145,10 @@ class IngestPipeline:
                     {"filename": filename, "data": data,
                      "document_id": document_id, "mime": mime},
                     priority=task_priority(TaskType.FILE))
+        failed_before = len(self.queue.failed)
         await self.queue.put(task)
         await self.queue.run(self._handle)
-        return self._result(document_id)
+        return self._result(document_id, failed_before)
 
     async def ingest_text(self, text: str, *, document_id: str) -> IngestResult:
         """Parity surface: POST /ingest/raw-text (ingest.py:44-54)."""
@@ -165,11 +166,12 @@ class IngestPipeline:
         document_id = document_id or url
         task = Task(TaskType.URL, {"url": url, "document_id": document_id},
                     priority=task_priority(TaskType.URL))
+        failed_before = len(self.queue.failed)
         await self.queue.put(task)
         await self.queue.run(self._handle)
-        return self._result(document_id)
+        return self._result(document_id, failed_before)
 
-    def _result(self, document_id: str) -> IngestResult:
+    def _result(self, document_id: str, failed_before: int = 0) -> IngestResult:
         rows = self.collection.payloads.rows_where(document_id=document_id)
         pages = {self.collection.payloads.get(r).get("page_number", 0)
                  for r in rows}
@@ -177,7 +179,9 @@ class IngestPipeline:
             document_id=document_id,
             chunks=len(rows),
             pages=len(pages),
-            failed_tasks=len(self.queue.failed),
+            # failures from THIS ingest only — the ledger is append-only
+            # across the pipeline's lifetime
+            failed_tasks=len(self.queue.failed) - failed_before,
         )
 
     # ---------------------------------------------------------------- tasks
@@ -223,9 +227,13 @@ class IngestPipeline:
     async def _handle_file(self, task: Task) -> None:
         p = task.payload
         document_id = p["document_id"]
-        # content sniff when the caller gave no MIME (parity: python-magic
-        # on the first 2KB, file_processor.py:60-64; magika in v2)
-        mime = p.get("mime") or detect_mime(p["data"], p["filename"])
+        # content sniff when the caller gave no USEFUL mime — HTTP clients
+        # routinely send application/octet-stream for anything unknown
+        # (parity: python-magic on the first 2KB regardless of the
+        # declared type, file_processor.py:60-64; magika in v2)
+        mime = p.get("mime")
+        if not mime or mime == "application/octet-stream":
+            mime = detect_mime(p["data"], p["filename"])
         kind = classify_file(p["filename"], mime)
         # idempotent re-ingest: reset previous state first
         self.collection.delete_document(document_id)
@@ -318,8 +326,16 @@ class IngestPipeline:
         mime = mime or ""
         try:
             if name.endswith((".csv", ".tsv")) or "csv" in mime:
-                sep = "\t" if name.endswith(".tsv") else ","
-                df = pd.read_csv(io.BytesIO(data), sep=sep)
+                if name.endswith(".tsv"):
+                    sep = "\t"
+                elif name.endswith(".csv"):
+                    sep = ","
+                else:
+                    # sniffed CSV: the content heuristic accepts , \t ;
+                    # so let pandas infer the delimiter (csv.Sniffer)
+                    sep = None
+                df = pd.read_csv(io.BytesIO(data), sep=sep,
+                                 engine="python" if sep is None else "c")
                 return [(filename.rsplit("/", 1)[-1], df)]
             if name.endswith((".xlsx", ".xls")) or "spreadsheet" in mime:
                 book = pd.read_excel(io.BytesIO(data), sheet_name=None)

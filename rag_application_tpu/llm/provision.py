@@ -46,11 +46,19 @@ class GGUFProvisioner:
             client_factory = lambda: httpx.AsyncClient(timeout=3600)  # noqa: E731
         self._client_factory = client_factory
 
-    async def _registered_models(self, client) -> list:
+    async def _registered_models(self, client) -> set:
+        """Registered names, both fully-tagged and tag-stripped, so
+        'llama3:8b' matches whether the caller asks with or without the
+        tag (stripping only would re-provision 'llama3:8b' forever)."""
         r = await client.get(f"{self.cfg.ollama_url}/api/tags")
         r.raise_for_status()
-        return [m.get("name", "").split(":")[0]
-                for m in r.json().get("models", [])]
+        names = set()
+        for m in r.json().get("models", []):
+            full = m.get("name", "")
+            if full:
+                names.add(full)
+                names.add(full.rsplit(":", 1)[0])
+        return names
 
     async def ensure_model_available(self) -> str:
         """Returns the model name once registered (converting if needed).

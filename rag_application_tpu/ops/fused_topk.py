@@ -46,9 +46,9 @@ def _packed_fits(d: int, block_rows: int) -> bool:
     (|score| <= d*127*127 for int8 x int8 dots)."""
     rows = block_rows // LANES
     max_abs = d * 127 * 127
-    # sentinel must sit below any real score, and packing must not
-    # overflow int32
-    return max_abs < (1 << 24) - 1 and (max_abs + 1) * rows < 2**31
+    # bound covers both real scores (max_abs*rows + rows) and the
+    # sentinel (-(max_abs+1)*rows)
+    return (max_abs + 1) * rows < 2**31
 
 
 def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
@@ -84,7 +84,11 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
         # single sublane max yields the bin max AND its row — one reduce
         # pass instead of max + compare + select (same winners incl.
         # min-row tie-breaking; verified vs the general path on TPU).
-        sentinel = -(1 << 24) + 1  # below any real int8 dot (d <= 1040)
+        # Sentinel = -(max_abs+1): strictly below any real score AND
+        # covered by the _packed_fits overflow bound when multiplied by
+        # `rows` (a fixed -(2^24)+1 sentinel overflows int32 at
+        # rows > 128, flipping masked slots positive).
+        sentinel = -(c_ref.shape[-1] * 127 * 127 + 1)
         s = jnp.where(valid, scores, sentinel)
         s3 = s.reshape(qn, rows, LANES)
         row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)

@@ -39,6 +39,14 @@ def build_sharded_sparse(sparse: SparseIndex, n_shards: int) -> Dict:
     if n == 0:
         raise ValueError("empty sparse index")
     rows_per_shard = -(-n // n_shards)  # ceil: last shard padded
+    if rows_per_shard + 1 > 1 << 21:
+        # local doc ids share an int32 with the 10-bit impact; beyond
+        # 2^21-1 rows/shard they would silently corrupt both fields
+        # (SparseIndex.rebuild falls back to a two-array layout at this
+        # size; the sharded path asks for more shards instead)
+        raise ValueError(
+            f"{rows_per_shard} rows/shard exceeds the packed-postings "
+            f"limit (2^21-1); shard over more devices")
     rows, terms, tfs, idf, avgdl, live = sparse._stats()
     w = (sparse._weights(rows, tfs, idf[terms], avgdl)
          if rows.size else rows.astype(np.float64))

@@ -221,4 +221,9 @@ def test_copilotkit_info_and_execute():
 
         r = await client.post("/copilotkit", json={"method": "bogus"})
         assert r.status_code == 422
+
+        r = await client.post("/copilotkit", json={
+            "method": "agent/execute", "agent": "no-such-agent",
+            "messages": [{"role": "user", "content": "x"}]})
+        assert r.status_code == 404
     with_server(fn)

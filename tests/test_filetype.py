@@ -81,3 +81,58 @@ def test_pipeline_routes_sniffed_csv(tmp_path):
     rows = col.payloads.rows_where(document_id="sniffed")
     assert rows and col.payloads.get(rows[0])["source"] == "structured"
     assert res.failed_tasks == 0
+
+
+def test_weak_magic_vs_text():
+    """Ambiguous 2-3 byte prefixes must not hijack ordinary text."""
+    assert detect_mime(b"BM25 scoring notes for the sparse index\n") == "text/plain"
+    assert detect_mime(b"ID3 tags explained\nand more text\n") == "text/plain"
+    # real binary payloads with those prefixes still detect
+    assert detect_mime(b"BM" + bytes(range(64))) == "image/bmp"
+    assert detect_mime(b"ID3\x03\x00" + bytes(64)) == "audio/mpeg"
+
+
+def test_octet_stream_does_not_suppress_sniffing(tmp_path):
+    import asyncio
+
+    from rag_application_tpu.config import IngestConfig
+    from rag_application_tpu.ingest.pipeline import IngestPipeline
+    from rag_application_tpu.models.embedder import Embedder
+    from rag_application_tpu.store.collection import Collection
+
+    from test_ingest import TINY, small_config
+
+    col = Collection("t2", small_config())
+    emb = Embedder(cfg=TINY, batch_size=4, max_len=32)
+    pipe = IngestPipeline(col, emb, config=IngestConfig(chunk_chars=200,
+                                                        max_concurrency=4))
+    res = asyncio.run(pipe.ingest_file(
+        "blob", b"name,age\nalice,30\nbob,25\n", document_id="oct",
+        mime="application/octet-stream"))
+    rows = col.payloads.rows_where(document_id="oct")
+    assert rows and col.payloads.get(rows[0])["source"] == "structured"
+    assert res.failed_tasks == 0
+
+
+def test_sniffed_tsv_parses_columns(tmp_path):
+    import asyncio
+
+    from rag_application_tpu.config import IngestConfig, KGConfig
+    from rag_application_tpu.ingest.pipeline import IngestPipeline
+    from rag_application_tpu.kg.store import KGStore
+    from rag_application_tpu.models.embedder import Embedder
+    from rag_application_tpu.store.collection import Collection
+
+    from test_ingest import TINY, small_config
+
+    col = Collection("t3", small_config())
+    emb = Embedder(cfg=TINY, batch_size=4, max_len=32)
+    kg = KGStore(KGConfig(max_degree=8), dim=32)
+    pipe = IngestPipeline(col, emb, kg=kg,
+                          config=IngestConfig(chunk_chars=200,
+                                              max_concurrency=4))
+    res = asyncio.run(pipe.ingest_file(
+        "export", b"name\tage\nalice\t30\nbob\t25\n", document_id="tsv"))
+    assert res.failed_tasks == 0
+    # both columns made it into the KG (sep=',' would yield one column)
+    assert kg.stats()["column"] == 2

@@ -177,3 +177,21 @@ def test_approx_sheet_recall(rng):
     overlap = np.mean([np.isin(ie[i], ia[i]).mean() for i in range(8)])
     assert overlap >= 0.9, overlap
     assert (ia[:, 0] == np.arange(8)).all()
+
+
+def test_packed_sentinel_no_overflow_at_large_blocks(rng):
+    """rows = block_rows/128 > 128 used to overflow the fixed sentinel
+    (sentinel*rows wrapped positive), returning masked rows as hits."""
+    n, d = 1 << 16, 128  # block 32768 -> rows=256; d=128 passes _packed_fits
+    corpus = normed(rng, n, d)
+    c8 = np.clip(np.round(corpus * 127), -127, 127).astype(np.int8)
+    q8 = c8[:4]
+    mask = np.zeros(n, dtype=bool)
+    mask[: n // 2] = True  # entire second half masked out
+    vals, idx = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 64,
+                                block_rows=32768, mask=jnp.asarray(mask))
+    idx, vals = np.asarray(idx), np.asarray(vals)
+    ok = np.isfinite(vals)
+    assert ok.any()
+    assert (idx[ok] < n // 2).all(), "masked rows leaked into results"
+    assert (idx[:, 0] == np.arange(4)).all()

@@ -283,3 +283,14 @@ def test_ingest_url_without_fetcher_fails_into_ledger():
     res = asyncio.run(pipe.ingest_url("https://nowhere.invalid/x"))
     assert res.chunks == 0
     assert res.failed_tasks == 1
+
+
+def test_failed_tasks_counts_current_ingest_only(pipeline):
+    """The failed ledger is append-only; results must report only THIS
+    ingest's failures."""
+    r1 = asyncio.run(pipeline.ingest_file("song.mp3", b"\xff\xfbbinary",
+                                          document_id="bad"))
+    assert r1.failed_tasks == 1
+    r2 = asyncio.run(pipeline.ingest_text("perfectly fine text " * 30,
+                                          document_id="good"))
+    assert r2.failed_tasks == 0

@@ -160,3 +160,25 @@ def test_api_delete_cascade(tmp_path):
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_user_id_cannot_escape_store_root(tmp_path):
+    """user_id comes from the request body; a traversal-shaped id must
+    not place the per-user store outside object_store_dir."""
+    from rag_application_tpu.api.app import AppState, build_app
+    from rag_application_tpu.models.embedder import Embedder
+
+    from test_ingest import TINY
+
+    cfg = small_config()
+    cfg.ingest = IngestConfig(chunk_chars=200, max_concurrency=4,
+                              object_store_dir=str(tmp_path / "store"))
+    emb = Embedder(cfg=TINY, batch_size=4, max_len=32)
+    _, state = build_app(cfg, embedder=emb)
+    evil = "x/../../../../tmp/evil"
+    sp = state.space(evil)
+    base = sp.pipeline.object_store.base.resolve()
+    assert str(base).startswith(str((tmp_path / "store").resolve()))
+    # distinct hostile ids get distinct directories
+    sp2 = state.space("x/............/tmp/evil")
+    assert sp2.pipeline.object_store.base != sp.pipeline.object_store.base

@@ -113,3 +113,15 @@ def test_missing_repo_raises():
                            client_factory=svc)
     with pytest.raises(ProvisionError, match="no hf_repo"):
         asyncio.run(prov.ensure_model_available())
+
+
+def test_tagged_model_names_match_registry():
+    """'llama3:8b' registered as 'llama3:8b' (or with :latest) must not
+    re-provision."""
+    svc = FakeServices(registered=["my-model:q8"])
+    prov = GGUFProvisioner(
+        "my-model:q8", GGUFProvisionConfig(hf_repo="org/model",
+                                           poll_interval_s=0.0),
+        client_factory=svc)
+    assert asyncio.run(prov.ensure_model_available()) == "my-model:q8"
+    assert svc.created == [] and svc.polls == 0
