@@ -22,13 +22,16 @@ def register_agent(agent_id: str):
 
 
 def get_agent_by_id(agent_id: str):
-    if not AGENT_CLASS_MAP:
-        _register_builtin()
+    _register_builtin()
     return AGENT_CLASS_MAP.get(agent_id)
 
 
 def _register_builtin():
-    from . import chat_agent  # noqa: F401 — registers chat/knowledge agents
+    """Idempotent builtin registration. Must not be gated on the map
+    being empty: a caller pre-registering one agent would otherwise
+    suppress every builtin, and waiter_agent was unreachable because
+    nothing imported its module."""
+    from . import chat_agent, waiter_agent  # noqa: F401 — register via import
     from .deep_research import DeepResearchAgent
 
     AGENT_CLASS_MAP.setdefault("deep_research_agent", DeepResearchAgent)

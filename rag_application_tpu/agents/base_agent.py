@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import asyncio
 import datetime
+import hashlib
 import json
 import logging
 from dataclasses import dataclass, field
@@ -128,6 +129,12 @@ class BaseAgent:
             keep.append(m)
             total += t
         keep.reverse()
+        # never start the keep-window on role:"tool" messages — their
+        # assistant tool_calls turn would be summarized away, and
+        # OpenAI-compatible providers reject a tool message with no
+        # preceding tool_calls
+        while keep and keep[0].get("role") == "tool":
+            keep.pop(0)
         older = state.messages[: len(state.messages) - len(keep)]
         convo = "\n".join(
             f"{m['role']}: {m.get('content') or ''}" for m in older
@@ -218,8 +225,11 @@ class BaseAgent:
             return
         for i, s in enumerate(data.get("semantic") or []):
             text = f"{s.get('subject','')} {s.get('predicate','')} {s.get('object','')}"
+            # stable key: builtin hash() is salted per process, so the
+            # same fact would duplicate after every restart
+            key = hashlib.sha256(text.encode()).hexdigest()[:16]
             self.memory.put(("memory", self.user_id, "semantic"),
-                            f"sem-{abs(hash(text))}", s, text=text)
+                            f"sem-{key}", s, text=text)
         facts = data.get("profile_facts") or []
         if facts:
             prof = (self.memory.list(("memory", self.user_id, "profile"))

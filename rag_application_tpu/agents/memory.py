@@ -15,6 +15,7 @@ Parity targets:
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import time
@@ -166,8 +167,11 @@ class ThreadCheckpointer:
 
     def save(self, thread_id: str, state: Dict[str, Any]) -> str:
         checkpoint_id = uuid.uuid4().hex[:12]
+        # deep-copy: the in-memory history must hold a SNAPSHOT — the
+        # caller keeps mutating its message list, and aliased states made
+        # every historic checkpoint_id resolve to the latest conversation
         entry = {"checkpoint_id": checkpoint_id, "ts": time.time(),
-                 "state": state}
+                 "state": copy.deepcopy(state)}
         history = self._load_history(thread_id)
         history.append(entry)
         if self.directory:
@@ -194,10 +198,10 @@ class ThreadCheckpointer:
         if not history:
             return None
         if checkpoint_id is None:
-            return history[-1]["state"]
+            return copy.deepcopy(history[-1]["state"])
         for entry in reversed(history):
             if entry["checkpoint_id"] == checkpoint_id:
-                return entry["state"]
+                return copy.deepcopy(entry["state"])
         return None
 
     def list_checkpoints(self, thread_id: str) -> List[str]:

@@ -83,24 +83,30 @@ class AppState:
             safe = f"{safe[:32]}_{hashlib.sha256(user_id.encode()).hexdigest()[:12]}"
         return safe
 
+    def make_pipeline(self, user_id: str, col: Collection,
+                      kg: KGStore) -> IngestPipeline:
+        """Pipeline wiring shared by space() and /admin/restore (a
+        restored space must get the same object_store + url_fetcher)."""
+        objects = None
+        if self.config.ingest.object_store_dir:
+            from ..store.objects import ObjectStore
+
+            objects = ObjectStore(
+                os.path.join(self.config.ingest.object_store_dir,
+                             f"user_{self._fs_safe(user_id)}"))
+        from ..tools.web import make_http_fetch_backend
+
+        return IngestPipeline(col, self.embedder, kg=kg,
+                              object_store=objects,
+                              url_fetcher=make_http_fetch_backend(),
+                              config=self.config.ingest)
+
     def space(self, user_id: str) -> UserSpace:
         if user_id not in self.users:
             col = Collection(f"user_{user_id}", self.config)
             kg = KGStore(self.config.kg, dim=min(self.embedder.dim, 2048),
                          scope={"user_id": user_id})
-            objects = None
-            if self.config.ingest.object_store_dir:
-                from ..store.objects import ObjectStore
-
-                objects = ObjectStore(
-                    os.path.join(self.config.ingest.object_store_dir,
-                                 f"user_{self._fs_safe(user_id)}"))
-            from ..tools.web import make_http_fetch_backend
-
-            pipe = IngestPipeline(col, self.embedder, kg=kg,
-                                  object_store=objects,
-                                  url_fetcher=make_http_fetch_backend(),
-                                  config=self.config.ingest)
+            pipe = self.make_pipeline(user_id, col, kg)
             self.users[user_id] = UserSpace(col, kg, pipe)
         return self.users[user_id]
 
@@ -119,10 +125,16 @@ def build_app(config: Optional[Config] = None, *,
     router = Router()
 
     def _auth(req: Request) -> Optional[JSONResponse]:
+        """Bearer auth: the global api_key OR a user signin token (the
+        tokens /api/v1/users/signin issues must actually open doors)."""
         if state.api_key is None:
             return None
         tok = req.headers.get("authorization", "")
         if tok == f"Bearer {state.api_key}":
+            return None
+        reg = getattr(state, "user_registry", None)
+        if (reg is not None and tok.startswith("Bearer ")
+                and reg.verify_token(tok[len("Bearer "):])):
             return None
         return JSONResponse({"detail": "unauthorized"}, 401)
 
@@ -220,6 +232,8 @@ def build_app(config: Optional[Config] = None, *,
 
     @router.route("GET", "/queue/info")
     async def queue_info(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         return {u: sp.pipeline.queue.queue_info()
                 for u, sp in state.users.items()}
 
@@ -262,8 +276,8 @@ def build_app(config: Optional[Config] = None, *,
         path = body["path"]
         col = load_collection(os.path.join(path, "collection"), state.config)
         kg = load_kg(os.path.join(path, "kg"), state.config.kg)
-        pipe = IngestPipeline(col, state.embedder, kg=kg,
-                              config=state.config.ingest)
+        # same wiring as a fresh space: object store + URL fetcher
+        pipe = state.make_pipeline(user_id, col, kg)
         state.users[user_id] = UserSpace(col, kg, pipe)
         return {"restored": path, "chunks": col.chunk_count(),
                 "kg": kg.stats()}
@@ -302,7 +316,14 @@ def build_app(config: Optional[Config] = None, *,
         up = _uploads.pop(req.params["approval_id"], None)
         if up is None:
             return JSONResponse({"detail": "unknown approval id"}, 404)
-        data = b"".join(up["chunks"][i] for i in sorted(up["chunks"]))
+        # chunks must form a contiguous 0..n-1 sequence: a silently
+        # dropped chunk would otherwise index truncated content
+        got = sorted(up["chunks"])
+        if got != list(range(len(got))) or not got:
+            _uploads[req.params["approval_id"]] = up  # let the client retry
+            return JSONResponse(
+                {"detail": f"missing chunks: have {got}"}, 422)
+        data = b"".join(up["chunks"][i] for i in got)
         sp = state.space(up["user_id"])
         result = await sp.pipeline.ingest_file(up["filename"], data)
         return JSONResponse({"document_id": result.document_id,
@@ -313,6 +334,8 @@ def build_app(config: Optional[Config] = None, *,
         """S3-style object-created webhook (parity: the MinIO webhook ->
         priority queue, app/api/v1/endpoints/minio_webhook.py:12-90).
         Accepts inline content or a local path inside the records."""
+        if (deny := _auth(req)) is not None:
+            return deny
         body = req.json()
         accepted = []
         for record in body.get("Records", []):
@@ -356,27 +379,37 @@ def build_app(config: Optional[Config] = None, *,
 
     @router.route("GET", "/api/v1/users")
     async def list_users(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         return {"users": state.user_registry.list()}
 
     @router.route("GET", "/api/v1/users/{user_id}")
     async def get_user(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         user = state.user_registry.get(req.params["user_id"])
         return user or JSONResponse({"detail": "not found"}, 404)
 
     @router.route("PUT", "/api/v1/users/{user_id}")
     async def update_user(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         user = state.user_registry.update(req.params["user_id"],
                                           **(req.json() or {}))
         return user or JSONResponse({"detail": "not found"}, 404)
 
     @router.route("DELETE", "/api/v1/users/{user_id}")
     async def delete_user(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         ok = state.user_registry.delete(req.params["user_id"])
         return ({"deleted": True} if ok
                 else JSONResponse({"detail": "not found"}, 404))
 
     @router.route("POST", "/api/v1/agents")
     async def create_agent(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         body = req.json()
         try:
             cfg = state.agent_registry.create(
@@ -393,18 +426,24 @@ def build_app(config: Optional[Config] = None, *,
 
     @router.route("PUT", "/api/v1/agents/{agent_id}")
     async def update_agent(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         cfg = state.agent_registry.update(req.params["agent_id"],
                                           **(req.json() or {}))
         return cfg or JSONResponse({"detail": "not found"}, 404)
 
     @router.route("DELETE", "/api/v1/agents/{agent_id}")
     async def delete_agent(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         ok = state.agent_registry.delete(req.params["agent_id"])
         return ({"deleted": True} if ok
                 else JSONResponse({"detail": "not found"}, 404))
 
     @router.route("GET", "/v1/tools")
     async def list_tools(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         """Parity: AgentAPI tools route (api/routes/tools.py)."""
         sp = state.space(req.query.get("user_id", "default"))
         toolbox = KnowledgeSearchToolbox(sp.collection, sp.kg,
@@ -456,12 +495,17 @@ def build_app(config: Optional[Config] = None, *,
 
     @router.route("DELETE", "/api/v1/documents/{document_id}")
     async def delete_document_rest(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         user_id = req.query.get("user_id", "default")
+        did = req.params["document_id"]
         sp = state.space(user_id)
-        removed = sp.collection.delete_document(req.params["document_id"])
-        sp.kg.delete_document(req.params["document_id"])
-        if removed == 0:
-            return JSONResponse({"detail": "not found"}, 404)
+        if did not in _doc_counts(user_id):
+            return JSONResponse({"detail": "not found"}, 404)  # no mutation
+        removed = sp.collection.delete_document(did)
+        sp.kg.delete_document(did)
+        if sp.pipeline.object_store is not None:
+            await sp.pipeline.object_store.adelete_prefix(did)
         return {"deleted_chunks": removed}
 
     # ---------------------------------------------- LLM passthrough (v1)
@@ -606,11 +650,15 @@ def build_app(config: Optional[Config] = None, *,
         if cls is None:
             raise KeyError(agent_name)
         # registry agents take the knowledge toolbox under different
-        # keyword names (ChatAgent: knowledge_toolbox; others: toolbox)
+        # keyword names (ChatAgent: knowledge_toolbox; others: toolbox) —
+        # and some (WaiterAgent) bind their own domain tools instead
         params = inspect.signature(cls.__init__).parameters
-        tb_kw = ("knowledge_toolbox" if "knowledge_toolbox" in params
-                 else "toolbox")
-        return cls(state.llm, **{tb_kw: tools}, **common)
+        kw = dict(common)
+        if "knowledge_toolbox" in params:
+            kw["knowledge_toolbox"] = tools
+        elif "toolbox" in params:
+            kw["toolbox"] = tools
+        return cls(state.llm, **kw)
 
     @router.route("POST", "/chat/completions")
     async def chat_completions(req: Request):
@@ -618,7 +666,11 @@ def build_app(config: Optional[Config] = None, *,
             return deny
         body = req.json()
         user_id = body.get("user", "default")
-        thread_id = body.get("thread_id") or f"chat-{user_id}"
+        # a request without thread_id is a stateless OpenAI-style call:
+        # give it a fresh thread instead of one shared per-user thread
+        # (context bled between unrelated conversations otherwise); pass
+        # thread_id back from the response to continue a conversation
+        thread_id = body.get("thread_id") or f"chat-{uuid.uuid4().hex[:12]}"
         messages = body.get("messages", [])
         user_msg = next((m["content"] for m in reversed(messages)
                          if m.get("role") == "user"), "")

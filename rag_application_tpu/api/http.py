@@ -139,7 +139,11 @@ class HTTPServer:
         length = int(headers.get("content-length", "0"))
         if length > MAX_BODY:
             return None
-        body = await reader.readexactly(length) if length else b""
+        try:
+            # a client aborting mid-upload raises IncompleteReadError here
+            body = await reader.readexactly(length) if length else b""
+        except (ConnectionResetError, asyncio.IncompleteReadError):
+            return None
         parsed = urllib.parse.urlsplit(target)
         query = dict(urllib.parse.parse_qsl(parsed.query))
         return Request(method=method.upper(), path=parsed.path, query=query,

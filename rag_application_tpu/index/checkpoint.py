@@ -106,9 +106,16 @@ def save_collection(col: "Collection", path: str) -> None:
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
 
+    # swap via rename: rmtree-then-rename left a window with NO
+    # checkpoint at `path` if the process died between the two calls
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def load_collection(path: str, config=None) -> "Collection":

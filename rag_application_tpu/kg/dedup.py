@@ -50,8 +50,10 @@ def find_duplicates(
     string_threshold: Optional[float] = None,
 ) -> List[Tuple[int, int, float]]:
     """Candidate duplicate entity pairs (row_a < row_b, cosine score)."""
-    score_threshold = score_threshold or kg.cfg.dedup_score_threshold
-    string_threshold = string_threshold or kg.cfg.dedup_string_threshold
+    if score_threshold is None:  # `or` would discard an explicit 0.0
+        score_threshold = kg.cfg.dedup_score_threshold
+    if string_threshold is None:
+        string_threshold = kg.cfg.dedup_string_threshold
     table = kg.spaces[Space.ENTITY]
     n = table.index.size
     if n < 2:
@@ -136,6 +138,14 @@ def merge_duplicates(kg: KGStore, pairs: List[Tuple[int, int, float]]) -> int:
                         (rr, winner if resolve(t) == loser else resolve(t))
                         for rr, t in kg.entity_edges[other]
                     ]
+        # drop the winner's own edges to the tombstoned loser (a
+        # winner-loser relationship would otherwise point at a dead row
+        # forever: entity_context returned neighbor=None for it)
+        if winner in kg.entity_edges:
+            kg.entity_edges[winner] = [
+                (rr, t) for rr, t in kg.entity_edges[winner]
+                if resolve(t) != loser and t != loser
+            ]
         # loser key now points at the winner (future MERGEs hit the winner)
         loser_keys = [k for k, r in table.by_key.items() if r == loser]
         table.index.delete([loser])

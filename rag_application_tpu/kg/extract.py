@@ -123,7 +123,10 @@ class EntityRelationExtractor:
             src, dst = slugify(r.get("source", "")), slugify(r.get("target", ""))
             if src not in seen or dst not in seen or src == dst:
                 continue
-            conf = float(r.get("confidence", 0.5) or 0.5)
+            raw_conf = r.get("confidence", 0.5)
+            # an explicit 0.0 means "no confidence" — `or` rewrote it to
+            # 0.5 and let bogus edges through the min_confidence filter
+            conf = 0.5 if raw_conf is None else float(raw_conf)
             if conf < self.min_confidence:
                 continue
             rtype = r.get("relation_type", "RELATED_TO")

@@ -196,7 +196,13 @@ class KGStore:
                    else np.zeros(self.dim, dtype=np.float32))
             key = ("entity", ent["id"], document_id)
             payload = {**ent, "document_id": document_id, **self.scope}
+            old_row = self.spaces[Space.ENTITY].by_key.get(key)
             row = self.spaces[Space.ENTITY].upsert(key, payload, emb)
+            if old_row is not None and old_row != row:
+                # MERGE re-upsert moves the entity to a new row: carry its
+                # graph along — edges from earlier pages must survive
+                # (they referenced the now-tombstoned row)
+                self._migrate_entity_row(old_row, row)
             self.entity_edges.setdefault(row, [])
             ent_rows[ent["id"]] = row
         self.page_mentions[page_row] = list(ent_rows.values())
@@ -225,6 +231,23 @@ class KGStore:
         return self.spaces[Space.ENTITY].by_key.get(
             ("entity", entity_id, document_id)
         )
+
+    def _migrate_entity_row(self, old_row: int, new_row: int) -> None:
+        """Rewrite every graph reference from a tombstoned entity row to
+        its replacement (edge lists, neighbors' back-edges, mentions)."""
+        edges = [(r, new_row if o == old_row else o)  # keep self-edges valid
+                 for r, o in self.entity_edges.pop(old_row, [])]
+        self.entity_edges[new_row] = edges
+        for rel_row, other in edges:
+            lst = self.entity_edges.get(other)
+            if lst:
+                self.entity_edges[other] = [
+                    (r, new_row if o == old_row else o) for r, o in lst]
+        for page, mentions in self.page_mentions.items():
+            if old_row in mentions:
+                self.page_mentions[page] = [
+                    new_row if m == old_row else m for m in mentions]
+        self._adj_cache = None
 
     # ----------------------------------------------------- structured sheets
 

@@ -212,3 +212,50 @@ def test_agent_reflections(embedder):
         assert store.list(("memory", "u7", "profile"))[-1]["facts"] == ["likes tpus"]
         assert store.list(("memory", "u7", "episodic"))
     asyncio.run(main())
+
+
+def test_checkpoints_are_snapshots():
+    """Historic checkpoint_ids must restore their snapshot, not alias
+    the live (mutating) message list."""
+    from rag_application_tpu.agents.memory import ThreadCheckpointer
+
+    cp = ThreadCheckpointer()
+    state = {"messages": [{"role": "user", "content": "one"}], "summary": ""}
+    a = cp.save("t", state)
+    state["messages"].append({"role": "assistant", "content": "two"})
+    cp.save("t", state)
+    restored = cp.load("t", checkpoint_id=a)
+    assert len(restored["messages"]) == 1
+    # mutating a loaded state must not corrupt the stored history
+    restored["messages"].append({"role": "user", "content": "x"})
+    assert len(cp.load("t", checkpoint_id=a)["messages"]) == 1
+
+
+def test_summarization_never_orphans_tool_messages():
+    """The keep-window must not start with role:'tool' messages (their
+    assistant tool_calls turn would have been summarized away)."""
+    import asyncio
+
+    from rag_application_tpu.agents.base_agent import AgentState, BaseAgent
+    from rag_application_tpu.llm.router import LLMRouter, Provider
+
+    agent = BaseAgent(LLMRouter(Provider.STUB), max_tokens=60,
+                      target_tokens=30)
+    msgs = [{"role": "user", "content": "question " * 20},
+            {"role": "assistant", "content": "calling tools",
+             "tool_calls": [{"id": "1"}]},
+            {"role": "tool", "content": "result " * 20},
+            {"role": "tool", "content": "result " * 20},
+            {"role": "assistant", "content": "final answer " * 5}]
+    state = AgentState(messages=list(msgs))
+    asyncio.run(agent._summarization_node(state))
+    assert state.messages, "everything summarized away"
+    assert state.messages[0].get("role") != "tool"
+
+
+def test_agent_registry_lists_all_builtins():
+    from rag_application_tpu.agents import AGENT_CLASS_MAP, get_agent_by_id
+
+    assert get_agent_by_id("waiter_agent") is not None
+    assert {"chat_agent", "deep_research_agent", "waiter_agent",
+            "knowledge_search_agent"} <= set(AGENT_CLASS_MAP)

@@ -227,3 +227,79 @@ def test_copilotkit_info_and_execute():
             "messages": [{"role": "user", "content": "x"}]})
         assert r.status_code == 404
     with_server(fn)
+
+
+def test_signin_token_opens_protected_routes():
+    """Tokens issued by /api/v1/users/signin must pass _auth, and
+    mutating routes must reject unauthenticated callers."""
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        router, state = build_app(small_config(), llm=llm, embedder=emb,
+                                  api_key="sekret")
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}", timeout=60
+            ) as client:
+                # mutating/priv routes closed without credentials
+                for method, path in (
+                    ("PUT", "/api/v1/users/u1"),
+                    ("DELETE", "/api/v1/users/u1"),
+                    ("POST", "/api/v1/agents"),
+                    ("DELETE", "/api/v1/documents/d1"),
+                    ("GET", "/queue/info"),
+                    ("POST", "/webhook/storage"),
+                ):
+                    r = await client.request(method, path, json={})
+                    assert r.status_code == 401, (method, path, r.status_code)
+                # signup open; signin token then opens doors
+                r = await client.post("/api/v1/users/signup",
+                                      json={"username": "ann",
+                                            "password": "pw12345"})
+                assert r.status_code == 201
+                r = await client.post("/api/v1/users/signin",
+                                      json={"username": "ann",
+                                            "password": "pw12345"})
+                token = r.json()["access_token"]
+                hdrs = {"authorization": f"Bearer {token}"}
+                r = await client.get("/queue/info", headers=hdrs)
+                assert r.status_code == 200
+                # the global api key still works
+                r = await client.get(
+                    "/queue/info",
+                    headers={"authorization": "Bearer sekret"})
+                assert r.status_code == 200
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
+
+
+def test_upload_complete_rejects_missing_chunks():
+    async def fn(client, state):
+        r = await client.post("/api/v1/upload/start",
+                              json={"filename": "f.txt", "user_id": "u"})
+        aid = r.json()["approval_id"]
+        await client.post(f"/api/v1/upload/chunk/{aid}/0", content=b"part0 ")
+        await client.post(f"/api/v1/upload/chunk/{aid}/2", content=b"part2")
+        r = await client.post(f"/api/v1/upload/complete/{aid}")
+        assert r.status_code == 422
+        # supply the hole and completion succeeds
+        await client.post(f"/api/v1/upload/chunk/{aid}/1", content=b"part1 ")
+        r = await client.post(f"/api/v1/upload/complete/{aid}")
+        assert r.status_code == 202
+    with_server(fn)
+
+
+def test_stateless_chats_get_distinct_threads():
+    async def fn(client, state):
+        r1 = await client.post("/chat/completions", json={
+            "model": "stub-model", "user": "u",
+            "messages": [{"role": "user", "content": "first"}]})
+        r2 = await client.post("/chat/completions", json={
+            "model": "stub-model", "user": "u",
+            "messages": [{"role": "user", "content": "second"}]})
+        assert r1.json()["thread_id"] != r2.json()["thread_id"]
+    with_server(fn)

@@ -154,3 +154,32 @@ def test_dedup_merges_near_duplicates(rng):
     assert winner["occurrences"] == 4
     ctx = kg.entity_context(a_row)
     assert any(r["neighbor"]["id"] == "b" for r in ctx["relationships"])
+
+
+def test_entity_reupsert_keeps_edges(rng):
+    """MERGE re-upsert of an entity must carry its graph along: edges
+    created on page 1 survive the entity being mentioned on page 2."""
+    kg = KGStore(KGConfig(max_degree=8), dim=DIM)
+    e = lambda: rng.standard_normal(DIM).astype("float32")
+    ents = [{"id": "ada", "text": "Ada", "entity_type": "PERSON"},
+            {"id": "babbage", "text": "Babbage", "entity_type": "PERSON"}]
+    rels = [{"source": "ada", "target": "babbage",
+             "relation_type": "WORKS_FOR", "relationship_profile": "x"}]
+    kg.upsert_unstructured_page("doc", 1, content="p1", embedding=e(),
+                                entities=ents, relationships=rels,
+                                entity_embeddings=np.stack([e(), e()]),
+                                relationship_embeddings=np.stack([e()]))
+    kg.upsert_unstructured_page("doc", 2, content="p2", embedding=e(),
+                                entities=[ents[0]], relationships=[],
+                                entity_embeddings=np.stack([e()]))
+    row = kg.spaces[Space.ENTITY].by_key[("entity", "ada", "doc")]
+    ctx = kg.entity_context(row)
+    assert ctx["relationships"], "page-1 edge lost after re-upsert"
+    neighbors = [r["neighbor"]["id"] for r in ctx["relationships"]
+                 if r.get("neighbor")]
+    assert "babbage" in neighbors
+    # the surviving neighbor sees the NEW ada row too
+    b_row = kg.spaces[Space.ENTITY].by_key[("entity", "babbage", "doc")]
+    b_neighbors = [r["neighbor"]["id"] for r in kg.entity_context(b_row)
+                   ["relationships"] if r.get("neighbor")]
+    assert "ada" in b_neighbors
