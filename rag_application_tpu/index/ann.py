@@ -76,6 +76,18 @@ class GraphIndex:
             raise ValueError("empty index")
         vecs = dense.vecs
         k_eff = min(k_build + 1, n)
+        # prefix candidate scores must be COSINES (inverse prefix norms):
+        # raw prefix dots are on a different scale than the full-dim gram
+        # values rng_prune compares them against, which starved nodes of
+        # edges
+        build_inv = None
+        if build_prefix_dim is not None:
+            dims = dense.cfg.matryoshka_dims
+            if build_prefix_dim not in dims:
+                raise ValueError(
+                    f"build_prefix_dim {build_prefix_dim} is not a "
+                    f"matryoshka level {dims} (no inverse norms for it)")
+            build_inv = dense.inv_norms[:, dims.index(build_prefix_dim)]
 
         cand_rows = []
         score_rows = []
@@ -87,10 +99,17 @@ class GraphIndex:
                 block_size=dense.cfg.block_size,
                 valid_n=n,
                 prefix_dim=build_prefix_dim,
+                inv_norms=build_inv,
                 approx=True,
                 recall_target=0.98,
             )
-            #
+            if build_prefix_dim is not None:
+                # rescore candidates at full dim so rng_prune compares
+                # like with like (prefix scores are scaled by the query's
+                # prefix norm; the prune rule checks them against
+                # full-dim candidate-candidate cosines)
+                g = vecs[jnp.clip(ids, 0, n - 1)].astype(jnp.float32)
+                vals = jnp.einsum("qd,qkd->qk", q.astype(jnp.float32), g)
 
             # drop self-matches: any slot equal to the node's own row
             self_ids = jnp.arange(start, stop, dtype=jnp.int32)[:, None]

@@ -49,11 +49,15 @@ def save_collection(col: "Collection", path: str) -> None:
     os.makedirs(tmp)
 
     dense = col.dense
+    # bf16 stores bitcast under vecs_u16; any other dtype must use the
+    # plain key (both under vecs_u16 would bitcast f32 as bf16 on load)
+    if dense.vecs.dtype == jnp.bfloat16:
+        vec_kw = {"vecs_u16": _bf16_to_u16(dense.vecs)}
+    else:
+        vec_kw = {"vecs": np.asarray(dense.vecs, dtype=np.float32)}
     np.savez(
         os.path.join(tmp, "dense.npz"),
-        vecs_u16=_bf16_to_u16(dense.vecs)
-        if dense.vecs.dtype == jnp.bfloat16
-        else np.asarray(dense.vecs, dtype=np.float32),
+        **vec_kw,
         int8=np.asarray(dense.int8),
         inv_norms=np.asarray(dense.inv_norms),
         live=np.asarray(dense.live),

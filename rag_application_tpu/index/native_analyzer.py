@@ -77,8 +77,18 @@ class NativeAnalyzer:
         return out_ids[:total].copy(), out_offsets
 
     def tokenize(self, text: str) -> List[str]:
-        ids = self.encode(text, grow=True)
-        return [self._lib.analyzer_term(self._h, i).decode() for i in ids]
+        # side-effect free like Analyzer.tokenize (the previous grow=True
+        # round-trip interned every query term, bloating the vocabulary
+        # and potentially doubling v_pad -> full postings rebuild).
+        # Diagnostic surface, so the pure-Python pipeline is fine here.
+        from .analyzer import _TOKEN_RE, STOPWORDS, light_stem
+
+        tokens = _TOKEN_RE.findall(text.lower())
+        if self.stopwords:
+            tokens = [t for t in tokens if t not in STOPWORDS]
+        if self.stem:
+            tokens = [light_stem(t) for t in tokens]
+        return tokens
 
 
 def make_analyzer(*, stem: bool = True, stopwords: bool = True,

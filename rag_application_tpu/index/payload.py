@@ -10,7 +10,7 @@ invalidated on mutation.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, List, Optional, Sequence
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Set
 
 import numpy as np
 
@@ -19,7 +19,7 @@ class PayloadStore:
     def __init__(self):
         self._payloads: List[Optional[Dict[str, Any]]] = []
         # inverted maps for the common filter fields
-        self._by_field: Dict[str, Dict[Any, List[int]]] = {}
+        self._by_field: Dict[str, Dict[Any, Set[int]]] = {}
         self._mask_cache: Dict[tuple, np.ndarray] = {}
 
     def __len__(self) -> int:
@@ -32,7 +32,7 @@ class PayloadStore:
             self._payloads.append(dict(p))
             for key, val in p.items():
                 if isinstance(val, (str, int, bool)):
-                    self._by_field.setdefault(key, {}).setdefault(val, []).append(row)
+                    self._by_field.setdefault(key, {}).setdefault(val, set()).add(row)
             rows.append(row)
         self._mask_cache.clear()
         return rows
@@ -46,14 +46,16 @@ class PayloadStore:
         return [self.get(r) for r in rows]
 
     def delete(self, rows: Iterable[int]) -> None:
+        # buckets are sets: discard is O(1) (list buckets made deleting a
+        # large document quadratic in its chunk count)
         for row in rows:
             p = self._payloads[row]
             if p is None:
                 continue
             for key, val in p.items():
                 bucket = self._by_field.get(key, {}).get(val)
-                if bucket and row in bucket:
-                    bucket.remove(row)
+                if bucket is not None:
+                    bucket.discard(row)
             self._payloads[row] = None
         self._mask_cache.clear()
 

@@ -209,8 +209,12 @@ class SparseIndex:
             # to the two-array layout.
             w_keep = w_sorted[keep]
             wmax = float(w_keep.max()) if w_keep.size else 1.0
-            wq = np.clip(np.ceil(w_keep / max(wmax, 1e-12) * 1023.0),
-                         1, 1023).astype(np.int64)
+            # cap at 1019: wq >= 1020 puts the packed int32 in the f32
+            # Inf/NaN exponent range (0x7F800000+), and NaN compares
+            # false in approx_max_k — the TOP-impact postings would be
+            # silently excluded from the candidate pool
+            wq = np.clip(np.ceil(w_keep / max(wmax, 1e-12) * 1019.0),
+                         1, 1019).astype(np.int64)
             post_docs = np.full((v_pad, p), n, dtype=np.int32)  # impact 0
             post_docs[t_sorted[keep], rank[keep]] = (
                 (wq << 21) | r_sorted[keep]).astype(np.int32)

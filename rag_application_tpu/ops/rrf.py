@@ -80,4 +80,12 @@ def rrf_fuse(
     top_scores, top_pos = jax.lax.top_k(score, k_eff)
     top_ids = jnp.take_along_axis(union, top_pos, axis=-1)
     top_ids = jnp.where(top_scores > NEG_INF, top_ids, INVALID_ID)
+    if k_eff < k:
+        # honor the (Q, k) contract even when the union is smaller —
+        # callers size downstream buffers by k
+        pad = k - k_eff
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)),
+                             constant_values=NEG_INF)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)),
+                          constant_values=INVALID_ID)
     return top_scores, top_ids

@@ -75,8 +75,10 @@ def build_sharded_sparse(sparse: SparseIndex, n_shards: int) -> Dict:
         starts = np.searchsorted(k_sorted, k_sorted, side="left")
         rank = np.arange(k_sorted.size) - starts
         keep = rank < p
-        wq = np.clip(np.ceil(ws[keep] / max(wmax, 1e-12) * 1023.0),
-                     1, 1023).astype(np.int64)
+        # 1019 cap: keep packed ints out of the f32 Inf/NaN bit range
+        # (see index/sparse.py)
+        wq = np.clip(np.ceil(ws[keep] / max(wmax, 1e-12) * 1019.0),
+                     1, 1019).astype(np.int64)
         post[ls[keep], ts[keep], rank[keep]] = (
             (wq << 21) | lo[keep]).astype(np.int32)
 

@@ -140,8 +140,11 @@ class SearchOrchestrator:
         if self.llm_tuned_params:
             funnel = await determine_search_params(
                 self.llm, query, self.col.dense.size)
-        return self.col.hybrid_search(q_vec, query, limit=limit,
-                                      funnel=funnel)
+        # device search is synchronous: run in a worker thread so the
+        # graph branch's LLM calls (and other requests on the serving
+        # loop) actually overlap with it
+        return await asyncio.to_thread(
+            self.col.hybrid_search, q_vec, query, limit=limit, funnel=funnel)
 
     async def _graph_branch(self, query: str, q_vec) -> Dict[str, Any]:
         """LLM extracts query entities -> per-entity kNN -> beam-pruned
@@ -159,16 +162,20 @@ class SearchOrchestrator:
         kgq = q_vec[: self.kg.dim]
         entity_hits: List[Dict[str, Any]] = []
         for name in names or [query]:
-            ev = self.embedder.encode([name])[0][: self.kg.dim]
-            entity_hits.extend(self.kg.search_space(Space.ENTITY, ev, k=3))
+            ev = (await asyncio.to_thread(self.embedder.encode, [name])
+                  )[0][: self.kg.dim]
+            entity_hits.extend(await asyncio.to_thread(
+                self.kg.search_space, Space.ENTITY, ev, k=3))
         entity_hits = [h for h in entity_hits
                        if h["score"] >= params.relevance_threshold]
-        rel_hits = self.kg.search_space(Space.RELATIONSHIP, kgq, k=5)
+        rel_hits = await asyncio.to_thread(
+            self.kg.search_space, Space.RELATIONSHIP, kgq, k=5)
 
         paths: List[List[Dict[str, Any]]] = []
         seed_rows = [h["row"] for h in entity_hits[: params.max_paths]]
         if seed_rows:
-            paths = self.kg.traverse(
+            paths = await asyncio.to_thread(
+                self.kg.traverse,
                 seed_rows, params.search_depth, query_embedding=kgq,
                 frontier_cap=params.expansion_factor)
         return {"entities": entity_hits, "relationships": rel_hits,
@@ -198,7 +205,7 @@ class SearchOrchestrator:
                 f"KNOWLEDGE PATHS:\n" + "\n".join(path_lines))
 
     async def execute(self, query: str, *, limit: int = 5) -> Dict[str, Any]:
-        q_vec = self.embedder.encode([query])[0]
+        q_vec = (await asyncio.to_thread(self.embedder.encode, [query]))[0]
         hits, graph = await asyncio.gather(
             self._hybrid_branch(query, q_vec, limit),
             self._graph_branch(query, q_vec),

@@ -188,15 +188,26 @@ class KnowledgeSearchToolbox:
         # 16 — BFS between entities (execute_bfs)
         def path_between_entities(source_id: str, target_id: str,
                                   max_hops: int = 3):
+            import jax.numpy as jnp
+
+            from ..ops.graph_hop import path_reachability
+
             table = kg.spaces[Space.ENTITY]
             src = [r for k2, r in table.by_key.items() if k2[1] == source_id]
             dst = [r for k2, r in table.by_key.items() if k2[1] == target_id]
             if not src or not dst:
                 return {"error": "entity not found"}
-            out = kg.traverse(src[:1], max_hops)
-            for item in out[0]:
-                if item.get("id") == target_id:
-                    return {"reachable": True, "hops": item["hop"]}
+            # exact dense-frontier reachability (the reference's
+            # execute_bfs is exact BFS <= 3 hops): the beam-pruned
+            # traverse could drop the target at hub nodes with more than
+            # frontier_cap neighbors
+            adj, _n = kg.entity_adjacency()
+            hops_cap = min(max_hops, kg.cfg.max_hops)
+            for h in range(1, hops_cap + 1):
+                ok = path_reachability(adj, jnp.asarray([src[0]]),
+                                       jnp.asarray([dst[0]]), h)
+                if bool(ok[0]):
+                    return {"reachable": True, "hops": h}
             return {"reachable": False, "hops": None}
         add(Tool("path_between_entities",
                  "Whether and how far two entities connect (<= 3 hops).",

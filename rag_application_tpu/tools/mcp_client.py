@@ -73,14 +73,15 @@ class MCPClient:
         out = {}
         for n in names:
             result = await self._rpc(n, "tools/list")
-            out[n] = [t["name"] for t in result.get("tools", [])]
+            out[n] = [t["name"] for t in (result or {}).get("tools", [])]
         return out
 
     async def call(self, server: str, tool: str,
                    arguments: Optional[Dict[str, Any]] = None) -> Any:
         result = await self._rpc(server, "tools/call",
                                  {"name": tool, "arguments": arguments or {}})
-        text = "".join(c.get("text", "") for c in result.get("content", []))
+        text = "".join(c.get("text", "")
+                       for c in (result or {}).get("content", []))
         if result.get("isError"):
             raise RuntimeError(text)
         try:

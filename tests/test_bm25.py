@@ -139,3 +139,26 @@ def test_bm25_packed_matches_two_array():
     np.testing.assert_array_equal(np.asarray(packed[1]), np.asarray(two[1]))
     np.testing.assert_allclose(np.asarray(packed[0]), np.asarray(two[0]),
                                rtol=1e-6)
+
+
+def test_max_impact_posting_survives_packing():
+    """wq=1023 packed ints bitcast into the f32 NaN range and vanished
+    from approx_max_k's candidate pool — the HIGHEST-impact posting of
+    every corpus. Cap at 1019 keeps the bitcast finite and monotone."""
+    idx = make_index()
+    dv = idx.device_arrays()
+    pd = np.asarray(dv["post_docs"])
+    wq = pd[pd != len(DOCS)] >> 21
+    assert wq.max() <= 1019
+    # bitcast of every packed value is finite
+    import jax
+    import jax.numpy as jnp
+
+    f = np.asarray(jax.vmap(
+        lambda x: jax.lax.bitcast_convert_type(x, jnp.float32))(
+        jnp.asarray(pd.reshape(-1))))
+    assert np.isfinite(f).all()
+    # the approx path still returns the top match for a max-impact query
+    scores, rows = idx.search(["bm25"], k=2, approx=True)
+    exact = idx.exact_scores("bm25")
+    assert rows[0][0] == int(np.argmax(exact))

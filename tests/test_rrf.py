@@ -61,3 +61,19 @@ def test_rrf_batched():
     scores, ids = rrf_fuse([(ids_a, valid), (ids_b, valid)], k=3, rrf_k=60)
     assert np.asarray(ids)[0, 0] == 2
     assert np.asarray(ids)[1, 0] == 6
+
+
+def test_rrf_pads_to_k():
+    """(Q, k) contract: slots beyond the union get -inf/INVALID_ID."""
+    import jax.numpy as jnp
+
+    la = (jnp.asarray([[1, 2]]), jnp.asarray([[True, True]]))
+    lb = (jnp.asarray([[2, 3]]), jnp.asarray([[True, True]]))
+    scores, ids = rrf_fuse([la, lb], k=8, rrf_k=60)
+    assert scores.shape == (1, 8) and ids.shape == (1, 8)
+    import numpy as np
+
+    s, i = np.asarray(scores[0]), np.asarray(ids[0])
+    assert np.isfinite(s[:3]).all()
+    assert (~np.isfinite(s[3:])).all()
+    assert (i[3:] == INVALID_ID).all()
