@@ -46,7 +46,6 @@ class FusedSpec(NamedTuple):
     # "xla": blocked_topk (lax.approx_max_k per block). "pallas": fused
     # scan kernel (ops.fused_topk) — no score-matrix HBM traffic.
     scan_impl: str = "xla"
-    scan_bins: int = 256
     scan_block_rows: int = 8192
     # >0: the int8 candidate scan reads the contiguous prefix table
     # (IndexConfig.scan_prefix_dim) instead of the full-dim int8 copy —
@@ -134,7 +133,7 @@ def fused_hybrid(
 
             return fused_scan_topk(
                 table, qs, limit,
-                bins=spec.scan_bins, block_rows=spec.scan_block_rows,
+                block_rows=spec.scan_block_rows,
                 prefix_dim=prefix_dim, inv_norms=inv, mask=mask,
                 approx_sheet=spec.scan_approx_sheet,
             )
@@ -244,13 +243,14 @@ class FusedSearcher:
     """
 
     def __init__(self, dense, sparse=None, funnel: Optional[FunnelConfig] = None,
-                 *, scan_impl: str = "xla", scan_bins: int = 256,
+                 *, scan_impl: str = "xla",
                  scan_block_rows: int = 8192, scan_approx_sheet: bool = False):
+        # NOTE: the kernel bins along the 128 VPU lanes — bin size is
+        # tuned via scan_block_rows (bins/block is fixed at 128)
         self.dense = dense
         self.sparse = sparse
         self.funnel = funnel or FunnelConfig()
         self.scan_impl = scan_impl
-        self.scan_bins = scan_bins
         self.scan_block_rows = scan_block_rows
         self.scan_approx_sheet = scan_approx_sheet
 
@@ -288,8 +288,7 @@ class FusedSearcher:
             has_filter=filter_mask is not None, sparse_pool=sparse_pool,
             recall_target=d.cfg.approx_recall_target,
             scan_impl=self.scan_impl,
-        )._replace(scan_bins=self.scan_bins,
-                   scan_block_rows=self.scan_block_rows,
+        )._replace(scan_block_rows=self.scan_block_rows,
                    scan_approx_sheet=self.scan_approx_sheet,
                    scan_prefix_dim=(d.cfg.scan_prefix_dim
                                     if d.prefix_int8 is not None else 0))

@@ -74,7 +74,7 @@ def test_pipeline_with_pallas_scan_matches_xla(rng):
 
     sx = FusedSearcher(dense, None, funnel, scan_impl="xla")
     sp = FusedSearcher(dense, None, funnel, scan_impl="pallas",
-                       scan_bins=64, scan_block_rows=256)
+                       scan_block_rows=256)
     vx, ix = sx.search(queries, None, 10)
     vp, ip = sp.search(queries, None, 10)
 
@@ -128,7 +128,7 @@ def test_fused_prefix_scan_recall(rng):
                           quantized_limit=64, sparse_limit=0, final_limit=10)
 
     s_pref = FusedSearcher(dense, None, funnel, scan_impl="pallas",
-                           scan_bins=64, scan_block_rows=256)
+                           scan_block_rows=256)
     vals, ids = s_pref.search(queries, None, 10, use_matryoshka=False)
     ids = np.asarray(ids)
     # exact oracle
