@@ -49,10 +49,11 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n = int(os.environ.get("BENCH_N", 100_000 if small else 1_000_000))
     d = int(os.environ.get("BENCH_DIM", 768))
-    # 1024 amortizes per-dispatch + per-block fixed costs over more
-    # queries (44.3k QPS vs 38.8k at 512, same recall); the scan block
-    # shrinks at bigger batches to keep the (Q, B) int32 tile in VMEM.
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    # 2048 amortizes per-dispatch + per-block fixed costs over more
+    # queries; the q-tiled scan kernel (q_block) keeps the full 16384-row
+    # corpus block at this batch by tiling the (Q, B) score tile
+    # (sweep: 59.1k QPS at 2048/qb1024 vs 54.4k at 1024, same session).
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
     n_eval = 64  # queries used for recall measurement
     k = 10
 
@@ -136,15 +137,18 @@ def main():
         sparse_limit=int(os.environ.get("BENCH_SPARSE_LIMIT", 32)),
         final_limit=k,
     )
-    # Scale the scan block so the (Q, B) score tile + double-buffered
-    # corpus slab stay inside scoped VMEM (the 768-d/batch-1024 sweet
-    # spot is 16384; d=2048 OOMs above ~6k rows).
-    scan_block = 16384 if batch <= 1024 else 8192
+    # The q-tiled kernel decouples batch size from the scan block: the
+    # (q_block, block_rows) score tile is the VMEM limiter, so big
+    # batches keep the full 16384-row corpus slab (d=2048 still OOMs
+    # above ~6k rows; block 32768 fails Mosaic compile — don't).
+    q_block = int(os.environ.get("BENCH_QBLOCK", 1024 if batch > 1024 else 0))
+    scan_block = 16384
     if d > 768:
         scan_block = max(4096, (16384 * 768 // d) // 128 * 128)
     searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas",
                              scan_block_rows=scan_block,
-                             scan_approx_sheet=True)
+                             scan_approx_sheet=True,
+                             scan_q_block=q_block)
 
     # measured config: int8 full-dim scan + BM25 + RRF + exact rescore
     # (the 128-d cascade stays available but adds no recall on this

@@ -46,22 +46,56 @@ def contrastive_loss(za: jax.Array, zb: jax.Array,
     return jnp.mean(loss_a + loss_b) * 0.5
 
 
+def matryoshka_contrastive_loss(
+    za: jax.Array,
+    zb: jax.Array,
+    dims: Tuple[int, ...],
+    temperature: float = 0.05,
+) -> jax.Array:
+    """Matryoshka representation learning: the InfoNCE objective applied
+    at every prefix granularity (each prefix renormalized), so ranking
+    information concentrates in the leading dimensions.
+
+    This is what makes the engine's matryoshka cascade and the int8
+    prefix scan (`IndexConfig.scan_prefix_dim`) *work*: the reference
+    gets this property from its served model (qdrant_handler.py:148-150
+    just slices), while here the encoder is trained for it. The full-dim
+    loss is always included as the last term.
+    """
+    full = za.shape[-1]
+    levels = sorted({min(d, full) for d in tuple(dims) + (full,)})
+    total = jnp.zeros(())
+    for d in levels:
+        pa = za[:, :d]
+        pb = zb[:, :d]
+        pa = pa / jnp.maximum(jnp.linalg.norm(pa, axis=-1, keepdims=True), 1e-12)
+        pb = pb / jnp.maximum(jnp.linalg.norm(pb, axis=-1, keepdims=True), 1e-12)
+        total = total + contrastive_loss(pa, pb, temperature)
+    return total / len(levels)
+
+
 def make_train_step(
     model,
     optimizer,
     *,
     temperature: float = 0.05,
+    matryoshka_dims: Tuple[int, ...] = (),
 ) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch = dict(ids_a, mask_a, ids_b, mask_b): two views of each pair
-    (query/passage, or augmentations).
+    (query/passage, or augmentations). Non-empty `matryoshka_dims`
+    switches to the MRL objective (prefix-level InfoNCE at each dim).
     """
 
     def loss_fn(params, batch):
         za = model.apply(params, batch["ids_a"], batch["mask_a"])
         zb = model.apply(params, batch["ids_b"], batch["mask_b"])
-        loss = contrastive_loss(za, zb, temperature)
+        if matryoshka_dims:
+            loss = matryoshka_contrastive_loss(za, zb, matryoshka_dims,
+                                               temperature)
+        else:
+            loss = contrastive_loss(za, zb, temperature)
         acc = jnp.mean(
             jnp.argmax(za @ zb.T, axis=-1) == jnp.arange(za.shape[0])
         )
@@ -114,6 +148,7 @@ def shard_train_setup(
     optimizer,
     *,
     temperature: float = 0.05,
+    matryoshka_dims: Tuple[int, ...] = (),
 ):
     """Place params/opt-state on the mesh and jit the sharded train step.
 
@@ -126,7 +161,8 @@ def shard_train_setup(
     state = TrainState(params=params, opt_state=opt_state,
                        step=jnp.zeros((), dtype=jnp.int32))
 
-    step_fn = make_train_step(enc.model, optimizer, temperature=temperature)
+    step_fn = make_train_step(enc.model, optimizer, temperature=temperature,
+                              matryoshka_dims=matryoshka_dims)
     b_shard = batch_sharding(mesh)
 
     jitted = jax.jit(step_fn)

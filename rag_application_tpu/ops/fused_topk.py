@@ -116,7 +116,7 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "bins", "block_rows", "valid_n", "prefix_dim",
-                     "approx_sheet"),
+                     "approx_sheet", "q_block"),
 )
 def fused_scan_topk(
     corpus: jax.Array,
@@ -133,6 +133,15 @@ def fused_scan_topk(
     mask: Optional[jax.Array] = None,
     approx_sheet: bool = False,  # approx_max_k over the candidate sheet
                                  # (fine when an exact rescore follows)
+    q_block: Optional[int] = None,  # tile the query dim: the (q_block, B)
+                                    # score tile is the VMEM limiter, so
+                                    # tiling decouples batch size from
+                                    # block_rows (batch 2048 keeps the
+                                    # 16384-row corpus block instead of
+                                    # halving it). Grid order is
+                                    # (block, q_tile) with q innermost, so
+                                    # each corpus slab is DMAed once and
+                                    # reused across query tiles.
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate top-k via fused scan. Returns (vals (Q,k), idx (Q,k)).
 
@@ -144,6 +153,15 @@ def fused_scan_topk(
     n, d = corpus.shape
     q_count = queries.shape[0]
     int8_mode = corpus.dtype == jnp.int8
+
+    q_orig = q_count
+    if q_block is not None and q_block < q_count:
+        nq = cdiv(q_count, q_block)
+        if nq * q_block != q_count:
+            queries = jnp.pad(queries, ((0, nq * q_block - q_count), (0, 0)))
+            q_count = nq * q_block
+    else:
+        q_block = None
 
     # prefix scoring: load only the first ceil(prefix/128)*128 columns and
     # zero the query tail so the dot equals the prefix dot.
@@ -177,23 +195,25 @@ def fused_scan_topk(
                 and _packed_fits(d_load, block_rows)),
     )
 
+    qb = q_block if q_block is not None else q_count
+    nq = q_count // qb
     in_specs = [
-        pl.BlockSpec((block_rows, d_load), lambda i: (i, 0),
+        pl.BlockSpec((block_rows, d_load), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((q_count, d_load), lambda i: (0, 0),
+        pl.BlockSpec((qb, d_load), lambda i, j: (j, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [corpus[:, :d_load] if d_load != corpus.shape[1] else corpus,
             queries]
     if inv_norms is not None:
         in_specs.append(
-            pl.BlockSpec((block_rows,), lambda i: (i,),
+            pl.BlockSpec((block_rows,), lambda i, j: (i,),
                          memory_space=pltpu.VMEM)
         )
         args.append(inv_norms.astype(jnp.float32))
     if mask is not None:
         in_specs.append(
-            pl.BlockSpec((block_rows,), lambda i: (i,),
+            pl.BlockSpec((block_rows,), lambda i, j: (i,),
                          memory_space=pltpu.VMEM)
         )
         args.append(mask)
@@ -214,12 +234,12 @@ def fused_scan_topk(
 
     vals, idx = pl.pallas_call(
         wrapped,
-        grid=(nb,),
+        grid=(nb, nq),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, q_count, bins), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, qb, bins), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_count, bins), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, qb, bins), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -236,6 +256,9 @@ def fused_scan_topk(
 
     sheet_vals = jnp.transpose(vals, (1, 0, 2)).reshape(q_count, nb * bins)
     sheet_idx = jnp.transpose(idx, (1, 0, 2)).reshape(q_count, nb * bins)
+    if q_orig != q_count:
+        sheet_vals = sheet_vals[:q_orig]
+        sheet_idx = sheet_idx[:q_orig]
     k_eff = min(k, nb * bins)
     if approx_sheet and nb * bins > 2 * k_eff:
         top, pos = jax.lax.approx_max_k(sheet_vals, k_eff)

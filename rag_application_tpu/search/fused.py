@@ -55,6 +55,10 @@ class FusedSpec(NamedTuple):
     # approx_max_k over the scan's candidate sheet (safe: the funnel
     # exact-rescores the union anyway)
     scan_approx_sheet: bool = False
+    # >0: tile the scan's query dim (ops.fused_topk q_block) — the
+    # (q_block, block_rows) score tile is the VMEM limiter, so tiling
+    # lets big batches keep the full corpus block.
+    scan_q_block: int = 0
 
     @classmethod
     def from_funnel(cls, f: FunnelConfig, dims: Tuple[int, ...], *,
@@ -136,6 +140,7 @@ def fused_hybrid(
                 block_rows=spec.scan_block_rows,
                 prefix_dim=prefix_dim, inv_norms=inv, mask=mask,
                 approx_sheet=spec.scan_approx_sheet,
+                q_block=spec.scan_q_block or None,
             )
         return blocked_topk(
             table, qs, limit,
@@ -244,7 +249,8 @@ class FusedSearcher:
 
     def __init__(self, dense, sparse=None, funnel: Optional[FunnelConfig] = None,
                  *, scan_impl: str = "xla",
-                 scan_block_rows: int = 8192, scan_approx_sheet: bool = False):
+                 scan_block_rows: int = 8192, scan_approx_sheet: bool = False,
+                 scan_q_block: int = 0):
         # NOTE: the kernel bins along the 128 VPU lanes — bin size is
         # tuned via scan_block_rows (bins/block is fixed at 128)
         self.dense = dense
@@ -253,6 +259,7 @@ class FusedSearcher:
         self.scan_impl = scan_impl
         self.scan_block_rows = scan_block_rows
         self.scan_approx_sheet = scan_approx_sheet
+        self.scan_q_block = scan_q_block
 
     def prepare(self, query_embeddings, query_texts=None):
         """Host-side query prep + device upload, separated from execution
@@ -290,6 +297,7 @@ class FusedSearcher:
             scan_impl=self.scan_impl,
         )._replace(scan_block_rows=self.scan_block_rows,
                    scan_approx_sheet=self.scan_approx_sheet,
+                   scan_q_block=self.scan_q_block,
                    scan_prefix_dim=(d.cfg.scan_prefix_dim
                                     if d.prefix_int8 is not None else 0))
         scores, ids = fused_hybrid(

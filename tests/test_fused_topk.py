@@ -195,3 +195,46 @@ def test_packed_sentinel_no_overflow_at_large_blocks(rng):
     assert ok.any()
     assert (idx[ok] < n // 2).all(), "masked rows leaked into results"
     assert (idx[:, 0] == np.arange(4)).all()
+
+
+def test_q_block_tiling_matches_untiled(rng):
+    """q_block tiles the query dim across the grid (VMEM decoupling for
+    big batches); results must be identical, including ragged batches."""
+    n, d = 3000, 128
+    corpus = normed(rng, n, d)
+    c8 = np.clip(np.round(corpus * 127), -127, 127).astype(np.int8)
+    queries = normed(rng, 20, d)
+    q8 = np.clip(np.round(queries * 127), -127, 127).astype(np.int8)
+    mask = rng.random(n) > 0.1
+    for kwargs in (dict(), dict(mask=jnp.asarray(mask))):
+        v0, i0 = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 10,
+                                 block_rows=512, **kwargs)
+        for qb in (8, 16, 20, 64):  # divides, ragged, ==Q, >Q
+            v1, i1 = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 10,
+                                     block_rows=512, q_block=qb, **kwargs)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_allclose(np.asarray(v0), np.asarray(v1))
+    # bf16 + inv_norms (cosine) path
+    inv = jnp.asarray(1.0 / np.linalg.norm(corpus, axis=1))
+    cb = jnp.asarray(corpus, dtype=jnp.bfloat16)
+    v0, i0 = fused_scan_topk(cb, jnp.asarray(queries), 10, block_rows=512,
+                             inv_norms=inv)
+    v1, i1 = fused_scan_topk(cb, jnp.asarray(queries), 10, block_rows=512,
+                             inv_norms=inv, q_block=8)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_searcher_q_block_matches(rng):
+    cfg = IndexConfig(dim=128, matryoshka_dims=(), initial_capacity=2048)
+    dense = DenseIndex(cfg)
+    corpus = normed(rng, 1500, 128)
+    dense.insert(corpus)
+    queries = corpus[:16] + 0.01 * rng.standard_normal((16, 128)).astype(np.float32)
+    f = FunnelConfig(dense_limit=16, quantized_limit=16, sparse_limit=0,
+                     final_limit=10)
+    s0 = FusedSearcher(dense, None, f, scan_impl="pallas", scan_block_rows=256)
+    s1 = FusedSearcher(dense, None, f, scan_impl="pallas", scan_block_rows=256,
+                       scan_q_block=8)
+    v0, i0 = s0.search(queries, None, 10, use_matryoshka=False)
+    v1, i1 = s1.search(queries, None, 10, use_matryoshka=False)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

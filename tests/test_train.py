@@ -82,3 +82,35 @@ def test_train_state_checkpoint_roundtrip(rng, tmp_path):
     s2, m2 = step(restored, batch)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
+
+
+def test_matryoshka_loss_levels():
+    from rag_application_tpu.models.train import matryoshka_contrastive_loss
+
+    rng = np.random.default_rng(0)
+    za = jnp.asarray(rng.standard_normal((8, 16)), dtype=jnp.float32)
+    # aligned pairs: MRL loss of (za, za) must be below a shuffled pairing
+    perm = jnp.asarray(rng.permutation(8))
+    good = matryoshka_contrastive_loss(za, za, (4, 8))
+    bad = matryoshka_contrastive_loss(za, za[perm], (4, 8))
+    assert float(good) < float(bad)
+    # duplicate / overflow dims collapse to unique levels <= full
+    a = matryoshka_contrastive_loss(za, za, (4, 4, 8, 16, 99))
+    b = matryoshka_contrastive_loss(za, za, (4, 8))
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_train_step_matryoshka_decreases(rng):
+    enc = init_encoder(TINY, max_len=16)
+    opt = make_optimizer(lr=1e-2)
+    step = jax.jit(make_train_step(enc.model, opt, matryoshka_dims=(4, 8)))
+    state = TrainState(params=enc.params, opt_state=opt.init(enc.params),
+                       step=jnp.zeros((), dtype=jnp.int32))
+    batch = make_batch(rng)
+    batch["ids_b"] = batch["ids_a"]  # identical views -> learnable signal
+    first = None
+    for _ in range(12):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
