@@ -7,8 +7,13 @@ code runs the kernels on-device; on CPU everything interprets.
 """
 
 import asyncio
+import os
+import sys
 
 import numpy as np
+
+# allow running uninstalled from a repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rag_application_tpu.agents.chat_agent import ChatAgent
 from rag_application_tpu.config import Config
