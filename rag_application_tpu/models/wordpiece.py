@@ -56,7 +56,8 @@ class WordPieceTokenizer:
     """BERT tokenization: basic tokenizer + WordPiece, HF-compatible."""
 
     def __init__(self, vocab: Dict[str, int], *, lowercase: bool = True,
-                 max_len: int = 512, max_chars_per_word: int = 100):
+                 max_len: int = 512, max_chars_per_word: int = 100,
+                 native: bool = True):
         self.vocab = vocab
         self.lowercase = lowercase
         self.max_len = max_len
@@ -65,6 +66,14 @@ class WordPieceTokenizer:
         self.pad_id = vocab.get(_PAD, 0)
         self.cls_id = vocab.get(_CLS)
         self.sep_id = vocab.get(_SEP)
+        self._native = None
+        if native:
+            try:
+                from ..native.wordpiece_lib import NativeWordPiece
+
+                self._native = NativeWordPiece(vocab, lowercase=lowercase)
+            except Exception:  # no compiler / build failure: python path
+                self._native = None
 
     # ---------------- construction ----------------
     @classmethod
@@ -168,8 +177,23 @@ class WordPieceTokenizer:
     def encode_batch(
         self, texts: Sequence[str], max_len: int | None = None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Padded (ids, mask) int32/bool arrays for the encoder."""
+        """Padded (ids, mask) int32/bool arrays for the encoder.
+
+        Uses the native C fast path (native/wordpiece.c) when built:
+        ASCII rows encode in C, anything else falls back to this python
+        implementation row by row — identical output either way."""
         max_len = max_len or self.max_len
+        if self._native is not None and texts:
+            ids, lens, fallback = self._native.encode_batch(texts, max_len)
+            for i in fallback:
+                r = self.encode(texts[i], max_len)
+                ids[i, : len(r)] = r
+                lens[i] = len(r)
+            width = max(1, int(lens.max()))
+            ids = ids[:, :width]
+            mask = np.arange(width)[None, :] < lens[:, None]
+            np.putmask(ids, ~mask, self.pad_id)
+            return ids.astype(np.int32), mask
         rows = [self.encode(t, max_len) for t in texts]
         width = max(1, max((len(r) for r in rows), default=1))
         ids = np.full((len(rows), width), self.pad_id, dtype=np.int32)

@@ -20,19 +20,24 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
-def build(force: bool = False) -> str:
-    """Compile the native library; returns the .so path."""
+def build_lib(src: str, so: str, force: bool = False) -> str:
+    """Compile one C source into a shared library (lazy, mtime-checked)."""
     with _lock:
-        if force or not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        if force or not os.path.exists(so) or (
+            os.path.getmtime(so) < os.path.getmtime(src)
         ):
-            tmp = _SO + ".tmp"
+            tmp = so + ".tmp"
             subprocess.run(
-                ["cc", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC],
+                ["cc", "-O3", "-fPIC", "-shared", "-o", tmp, src],
                 check=True, capture_output=True,
             )
-            os.replace(tmp, _SO)
-    return _SO
+            os.replace(tmp, so)
+    return so
+
+
+def build(force: bool = False) -> str:
+    """Compile the native analyzer; returns the .so path."""
+    return build_lib(_SRC, _SO, force)
 
 
 def load() -> ctypes.CDLL:

@@ -93,3 +93,63 @@ def test_drives_bert_encoder(ours):
                       jnp.asarray(mask))
     out = enc.apply(params, jnp.asarray(ids), jnp.asarray(mask))
     assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------- native C path
+
+EXTRA = TEXTS + [
+    "x" * 150,                      # overlong word -> [UNK]
+    "x" * 100,                      # exactly max_chars -> pieced
+    "aa" * 400,                     # truncation at max_len
+    "the [CLS] trick",              # bracket punctuation splits
+    "tab\tnewline\nmix",
+]
+
+
+def test_native_matches_python_encode_batch(ours):
+    from rag_application_tpu.native import wordpiece_lib
+
+    if not wordpiece_lib.available():
+        pytest.skip("no C compiler")
+    py = WordPieceTokenizer(dict(ours.vocab), native=False)
+    nat = WordPieceTokenizer(dict(ours.vocab), native=True)
+    assert nat._native is not None
+    for max_len in (6, 16, 64):
+        ids_p, mask_p = py.encode_batch(EXTRA, max_len)
+        ids_n, mask_n = nat.encode_batch(EXTRA, max_len)
+        assert ids_p.shape == ids_n.shape
+        np.testing.assert_array_equal(mask_p, mask_n)
+        np.testing.assert_array_equal(ids_p, ids_n)
+
+
+def test_native_fallback_rows(ours):
+    from rag_application_tpu.native import wordpiece_lib
+
+    if not wordpiece_lib.available():
+        pytest.skip("no C compiler")
+    nat = WordPieceTokenizer(dict(ours.vocab), native=True)
+    texts = ["hello world", "café 中国", "the fox"]
+    ids, mask = nat.encode_batch(texts, 16)
+    py = WordPieceTokenizer(dict(ours.vocab), native=False)
+    ids_p, mask_p = py.encode_batch(texts, 16)
+    np.testing.assert_array_equal(ids, ids_p)
+    np.testing.assert_array_equal(mask, mask_p)
+
+
+def test_native_fuzz_ascii(ours):
+    from rag_application_tpu.native import wordpiece_lib
+
+    if not wordpiece_lib.available():
+        pytest.skip("no C compiler")
+    py = WordPieceTokenizer(dict(ours.vocab), native=False)
+    nat = WordPieceTokenizer(dict(ours.vocab), native=True)
+    rng = np.random.default_rng(1)
+    chars = list("abcdefghijklmnopqrstuvwxyzABC  ,.!?'-_#[]()123\t\n")
+    batch = []
+    for _ in range(300):
+        n = rng.integers(0, 60)
+        batch.append("".join(rng.choice(chars) for _ in range(n)))
+    ids_p, mask_p = py.encode_batch(batch, 32)
+    ids_n, mask_n = nat.encode_batch(batch, 32)
+    np.testing.assert_array_equal(ids_p, ids_n)
+    np.testing.assert_array_equal(mask_p, mask_n)
