@@ -54,7 +54,8 @@ def main():
     # corpus block at this batch by tiling the (Q, B) score tile
     # (sweep: 59.1k QPS at 2048/qb1024 vs 54.4k at 1024, same session).
     batch = int(os.environ.get("BENCH_BATCH", 2048))
-    n_eval = 64  # queries used for recall measurement
+    n_eval = 128  # queries used for recall measurement (sampling std
+    # of recall@10 over 1280 pairs ~ 0.005)
     k = 10
 
     from rag_application_tpu.config import FunnelConfig, IndexConfig, SparseConfig
@@ -96,12 +97,13 @@ def main():
     t_dense_build = time.time() - t0
     log(f"[bench] dense build (on-device gen): {t_dense_build:.1f}s")
 
-    # P=256 impact-ordered truncation: stage-1 gathers + top-pool scale
+    # P=128 impact-ordered truncation: stage-1 gathers + top-pool scale
     # with T*P, and the tail of a term's impact-sorted postings can only
-    # displace pool candidates that outrank it anyway (override to taste).
+    # displace pool candidates that outrank it anyway (override to taste;
+    # P=128/pool=32 matched P=256/pool=64 recall in the trim sweeps).
     sparse = SparseIndex(SparseConfig(
-        candidate_pool=int(os.environ.get("BENCH_POOL", 64)),
-        max_postings_per_term=int(os.environ.get("BENCH_POSTINGS", 256))))
+        candidate_pool=int(os.environ.get("BENCH_POOL", 32)),
+        max_postings_per_term=int(os.environ.get("BENCH_POSTINGS", 128))))
     t0 = time.time()
     # Register the synthetic vocab so text queries analyze to the same ids.
     sparse.analyzer.vocab = {f"w{t}": t for t in range(vocab)}
@@ -125,16 +127,17 @@ def main():
     queries = make_queries(q_idx, 1)
     q_texts = [" ".join(f"w{t}" for t in tokens[i]) for i in q_idx]
 
-    # Funnel from the on-chip trim sweep (tune16): every post-scan stage
-    # scales with its candidate count (sheet top-k, rescore gathers, BM25
-    # pool gather), and recall saturates well before the old limits —
-    # 64/48/64/32 measured 0.9930 recall at 56.7k QPS vs 0.9961 at 44.4k
-    # for 128/64/128/50.
+    # Funnel from the on-chip trim sweeps (tune16, tune_sparse 1-3):
+    # every post-scan stage scales with its candidate count (sheet
+    # top-k, rescore gathers, BM25 pool gather) while the exact rescore
+    # keeps recall — qlim 48 / dense 32 / sparse 16 with P=128 pool=32
+    # measured 70.4k QPS at recall 0.9934 (256-query eval) vs 59.0k at
+    # the previous 64/48/32 P=256 pool=64 point.
     funnel = FunnelConfig(
         matryoshka_limits=(512, 256),
-        dense_limit=int(os.environ.get("BENCH_DENSE_LIMIT", 48)),
-        quantized_limit=int(os.environ.get("BENCH_QLIM", 64)),
-        sparse_limit=int(os.environ.get("BENCH_SPARSE_LIMIT", 32)),
+        dense_limit=int(os.environ.get("BENCH_DENSE_LIMIT", 32)),
+        quantized_limit=int(os.environ.get("BENCH_QLIM", 48)),
+        sparse_limit=int(os.environ.get("BENCH_SPARSE_LIMIT", 16)),
         final_limit=k,
     )
     # The q-tiled kernel decouples batch size from the scan block: the

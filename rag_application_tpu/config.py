@@ -89,6 +89,13 @@ class FunnelConfig:
     rrf_k: int = 60  # Qdrant RRF constant
     rerank: bool = False
     rerank_budget_tokens: int = 8000  # qdrant_handler.py:375
+    # Scan-engine knobs (docs/kernels.md). "auto" = the Pallas fused
+    # kernel on TPU, XLA blocked_topk elsewhere (Pallas interprets on
+    # CPU — correct but slow for big corpora).
+    scan_impl: str = "auto"
+    scan_block_rows: int = 16384  # clamped by dim at resolve time
+    scan_q_block: int = 1024      # ignored when batch <= q_block
+    scan_approx_sheet: bool = True  # safe: exact rescore follows
 
 
 @dataclass

@@ -248,18 +248,39 @@ class FusedSearcher:
     """
 
     def __init__(self, dense, sparse=None, funnel: Optional[FunnelConfig] = None,
-                 *, scan_impl: str = "xla",
-                 scan_block_rows: int = 8192, scan_approx_sheet: bool = False,
-                 scan_q_block: int = 0):
+                 *, scan_impl: Optional[str] = None,
+                 scan_block_rows: Optional[int] = None,
+                 scan_approx_sheet: Optional[bool] = None,
+                 scan_q_block: Optional[int] = None):
         # NOTE: the kernel bins along the 128 VPU lanes — bin size is
-        # tuned via scan_block_rows (bins/block is fixed at 128)
+        # tuned via scan_block_rows (bins/block is fixed at 128).
+        # Engine knobs default to the funnel config's (FunnelConfig
+        # scan_*), which default to the tuned TPU operating point with
+        # "auto" impl selection.
         self.dense = dense
         self.sparse = sparse
         self.funnel = funnel or FunnelConfig()
-        self.scan_impl = scan_impl
-        self.scan_block_rows = scan_block_rows
-        self.scan_approx_sheet = scan_approx_sheet
-        self.scan_q_block = scan_q_block
+        f = self.funnel
+        self.scan_impl = scan_impl if scan_impl is not None else \
+            getattr(f, "scan_impl", "auto")
+        self.scan_block_rows = scan_block_rows if scan_block_rows is not None \
+            else getattr(f, "scan_block_rows", 16384)
+        self.scan_approx_sheet = scan_approx_sheet if scan_approx_sheet \
+            is not None else getattr(f, "scan_approx_sheet", True)
+        self.scan_q_block = scan_q_block if scan_q_block is not None else \
+            getattr(f, "scan_q_block", 1024)
+
+    def _resolved_engine(self) -> Tuple[str, int]:
+        """(impl, block_rows) with "auto" and the dim clamp applied."""
+        impl = self.scan_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        block = self.scan_block_rows
+        d = self.dense.cfg.dim
+        if impl == "pallas" and d > 768:
+            # keep the (block, d) slab + (q_block, block) tile in VMEM
+            block = min(block, max(4096, (16384 * 768 // d) // 128 * 128))
+        return impl, block
 
     def prepare(self, query_embeddings, query_texts=None):
         """Host-side query prep + device upload, separated from execution
@@ -289,13 +310,14 @@ class FusedSearcher:
             sparse_arrays = (dv["post_docs"], dv["post_weights"],
                              dv["doc_packed"])
             sparse_pool = self.sparse.cfg.candidate_pool
+        impl, block_rows = self._resolved_engine()
         spec = FusedSpec.from_funnel(
             f, d.cfg.matryoshka_dims, k=k, block_size=d.cfg.block_size,
             use_sparse=use_sparse, use_matryoshka=use_matryoshka,
             has_filter=filter_mask is not None, sparse_pool=sparse_pool,
             recall_target=d.cfg.approx_recall_target,
-            scan_impl=self.scan_impl,
-        )._replace(scan_block_rows=self.scan_block_rows,
+            scan_impl=impl,
+        )._replace(scan_block_rows=block_rows,
                    scan_approx_sheet=self.scan_approx_sheet,
                    scan_q_block=self.scan_q_block,
                    scan_prefix_dim=(d.cfg.scan_prefix_dim
