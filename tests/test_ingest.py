@@ -294,3 +294,51 @@ def test_failed_tasks_counts_current_ingest_only(pipeline):
     r2 = asyncio.run(pipeline.ingest_text("perfectly fine text " * 30,
                                           document_id="good"))
     assert r2.failed_tasks == 0
+
+
+def test_queue_chaos_no_task_lost():
+    """Fault injection (SURVEY §5.3 notes the reference has none): under
+    random transient failures and a burst of concurrent producers, every
+    task ends in exactly one ledger — succeeded or failed — and retry
+    accounting stays within budget."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+
+    async def main():
+        q = WorkQueue(max_retries=3, max_concurrency=8)
+        n_tasks = 200
+        fail_p = {i: float(rng.random() * 0.8) for i in range(n_tasks)}
+        fatal = set(int(i) for i in rng.choice(n_tasks, 10, replace=False))
+        seen = []
+
+        async def handler(task):
+            i = task.payload["i"]
+            seen.append(i)
+            if i in fatal:
+                raise NonRetryableError("fatal")
+            if rng.random() < fail_p[i]:
+                raise RuntimeError("transient")
+
+        async def producer(lo, hi):
+            for i in range(lo, hi):
+                await q.put(Task(TaskType.DIRECT_CHUNK, {"i": i},
+                                 priority=int(rng.integers(0, 256))))
+
+        await asyncio.gather(*[producer(j * 50, (j + 1) * 50)
+                               for j in range(4)])
+        await q.run(handler)
+
+        done = {t["task"].payload["i"] if isinstance(t, dict) else
+                t.payload["i"] for t in q.failed}
+        info = q.queue_info()
+        assert info["succeeded"] + info["failed"] == n_tasks
+        # fatal tasks are always in failed, never succeeded
+        assert fatal <= done
+        # every failure burned the full retry budget (except fatal)
+        for t in q.failed:
+            task = t["task"] if isinstance(t, dict) else t
+            if task.payload["i"] not in fatal:
+                assert task.attempts == 3
+
+    asyncio.run(main())
