@@ -64,30 +64,19 @@ def save_collection(col: "Collection", path: str) -> None:
     )
 
     sp = col.sparse
-    rows_list, terms_list, tfs_list = [], [], []
-    for row, (t, f) in enumerate(zip(sp._doc_terms, sp._doc_tfs)):
-        if t.size:
-            rows_list.append(np.full(t.size, row, dtype=np.int64))
-            terms_list.append(t.astype(np.int64))
-            tfs_list.append(f.astype(np.int64))
-    if rows_list:
-        trip = np.stack(
-            [
-                np.concatenate(rows_list),
-                np.concatenate(terms_list),
-                np.concatenate(tfs_list),
-            ],
-            axis=1,
-        )
-    else:
-        trip = np.zeros((0, 3), dtype=np.int64)
-    deleted = np.zeros(len(sp._doc_terms), dtype=bool)
+    # triplets cover ALL docs (tombstones re-applied on load via
+    # doc_deleted) — taken straight from the CSR chunks, no per-doc loop
+    terms, tfs, counts, lens = sp._flat()
+    rows = np.repeat(np.arange(len(sp), dtype=np.int64), counts)
+    trip = np.stack(
+        [rows, terms.astype(np.int64), tfs.astype(np.int64)], axis=1)
+    deleted = np.zeros(len(sp), dtype=bool)
     if sp._deleted:
         deleted[np.asarray(sorted(sp._deleted))] = True
     np.savez(
         os.path.join(tmp, "sparse.npz"),
         triplets=trip,
-        doc_lens=np.asarray(sp._doc_lens, dtype=np.int64),
+        doc_lens=lens.astype(np.int64),
         doc_deleted=deleted,
     )
     with open(os.path.join(tmp, "vocab.json"), "w") as f:
@@ -170,19 +159,23 @@ def load_collection(path: str, config=None) -> "Collection":
     sp.analyzer.vocab = {t: i for i, t in enumerate(terms)}
     n_docs = len(s["doc_lens"])
     trip = s["triplets"]
-    sp._doc_terms = [np.zeros(0, dtype=np.int32) for _ in range(n_docs)]
-    sp._doc_tfs = [np.zeros(0, dtype=np.int32) for _ in range(n_docs)]
     if trip.shape[0]:
         order = np.argsort(trip[:, 0], kind="stable")
         trip = trip[order]
-        starts = np.searchsorted(trip[:, 0], np.arange(n_docs), side="left")
-        ends = np.searchsorted(trip[:, 0], np.arange(n_docs), side="right")
-        for row in range(n_docs):
-            seg = trip[starts[row]:ends[row]]
-            sp._doc_terms[row] = seg[:, 1].astype(np.int32)
-            sp._doc_tfs[row] = seg[:, 2].astype(np.int32)
+        counts = np.bincount(trip[:, 0], minlength=n_docs)
+        terms, tfs = trip[:, 1], trip[:, 2]
+    else:
+        counts = np.zeros(n_docs, dtype=np.int64)
+        terms = tfs = np.zeros(0, dtype=np.int64)
+    sp._chunk_terms = []
+    sp._chunk_tfs = []
+    sp._chunk_counts = []
+    sp._chunk_lens = []
+    sp._n_docs = 0
+    sp._flat_cache = None
+    if n_docs:
+        sp._append_chunk(terms, tfs, counts, s["doc_lens"])
     sp._deleted = {int(r) for r in np.nonzero(s["doc_deleted"])[0]}
-    sp._doc_lens = [int(x) for x in s["doc_lens"]]
     sp._dirty = True
 
     with open(os.path.join(path, "payloads.json")) as f:

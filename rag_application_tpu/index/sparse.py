@@ -51,11 +51,18 @@ class SparseIndex:
 
             analyzer = make_analyzer()  # C analyzer when buildable
         self.analyzer = analyzer
-        # Host state: per-doc unique (term id, tf) arrays, row-aligned with
-        # the dense index.
-        self._doc_terms: List[np.ndarray] = []
-        self._doc_tfs: List[np.ndarray] = []
-        self._doc_lens: List[int] = []
+        # Host state: chunked CSR, row-aligned with the dense index. Each
+        # add call appends ONE chunk of flat (term, tf) pairs plus per-doc
+        # unique-term counts and token lengths; `_flat()` consolidates the
+        # chunks on demand. A per-doc list-of-arrays representation costs
+        # ~10 s of pure Python append/concat overhead per million docs —
+        # measured before this layout — so everything stays flat.
+        self._chunk_terms: List[np.ndarray] = []   # int32 flat unique terms
+        self._chunk_tfs: List[np.ndarray] = []     # int32 matching tfs
+        self._chunk_counts: List[np.ndarray] = []  # int32 unique terms/doc
+        self._chunk_lens: List[np.ndarray] = []    # int32 tokens/doc
+        self._n_docs = 0
+        self._flat_cache: Optional[Tuple[np.ndarray, ...]] = None
         self._deleted: Set[int] = set()
         self._dirty = True
         self._device: Optional[dict] = None
@@ -63,7 +70,29 @@ class SparseIndex:
     # ------------------------------------------------------------------ host
 
     def __len__(self) -> int:
-        return len(self._doc_terms)
+        return self._n_docs
+
+    def _append_chunk(self, terms: np.ndarray, tfs: np.ndarray,
+                      counts: np.ndarray, lens: np.ndarray) -> None:
+        self._chunk_terms.append(np.asarray(terms, dtype=np.int32))
+        self._chunk_tfs.append(np.asarray(tfs, dtype=np.int32))
+        self._chunk_counts.append(np.asarray(counts, dtype=np.int32))
+        self._chunk_lens.append(np.asarray(lens, dtype=np.int32))
+        self._n_docs += len(self._chunk_counts[-1])
+        self._flat_cache = None
+        self._dirty = True
+
+    def _flat(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(terms, tfs, counts, lens) over ALL docs (incl. tombstoned)."""
+        if self._flat_cache is None:
+            z = np.zeros(0, dtype=np.int32)
+            self._flat_cache = (
+                np.concatenate(self._chunk_terms) if self._chunk_terms else z,
+                np.concatenate(self._chunk_tfs) if self._chunk_tfs else z,
+                np.concatenate(self._chunk_counts) if self._chunk_counts else z,
+                np.concatenate(self._chunk_lens) if self._chunk_lens else z,
+            )
+        return self._flat_cache
 
     def is_deleted(self, row: int) -> bool:
         return row in self._deleted
@@ -76,32 +105,40 @@ class SparseIndex:
             if tids.size
             else (np.zeros(0, np.int64), np.zeros(0, np.int64))
         )
-        row = len(self._doc_terms)
-        self._doc_terms.append(terms.astype(np.int32))
-        self._doc_tfs.append(tfs.astype(np.int32))
-        self._doc_lens.append(int(tids.size))
-        self._dirty = True
+        row = self._n_docs
+        self._append_chunk(terms, tfs,
+                           np.array([terms.size], dtype=np.int32),
+                           np.array([tids.size], dtype=np.int32))
         return row
 
     def add_batch(self, texts: Sequence[str]) -> List[int]:
         encode_batch = getattr(self.analyzer, "encode_batch", None)
         if encode_batch is None:
             return [self.add(t) for t in texts]
-        # native fast path: one C call for the whole batch
+        # native fast path: one C call for the whole batch, then one
+        # lexsort over the flat token stream for per-doc unique+counts
         flat, offsets = encode_batch(texts, grow=True)
-        start = len(self._doc_terms)
-        for i in range(len(texts)):
-            tids = flat[offsets[i]:offsets[i + 1]].astype(np.int64)
-            if tids.size:
-                terms, tfs = np.unique(tids, return_counts=True)
-            else:
-                terms = np.zeros(0, np.int64)
-                tfs = np.zeros(0, np.int64)
-            self._doc_terms.append(terms.astype(np.int32))
-            self._doc_tfs.append(tfs.astype(np.int32))
-            self._doc_lens.append(int(tids.size))
-        self._dirty = True
-        return list(range(start, start + len(texts)))
+        start = self._n_docs
+        n = len(texts)
+        tok_counts = np.diff(np.asarray(offsets, dtype=np.int64))
+        flat = np.asarray(flat, dtype=np.int64)
+        if flat.size:
+            doc_ids = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
+            order = np.lexsort((flat, doc_ids))
+            d_s, t_s = doc_ids[order], flat[order]
+            new_first = np.empty(t_s.size, dtype=bool)
+            new_first[0] = True
+            np.logical_or(d_s[1:] != d_s[:-1], t_s[1:] != t_s[:-1],
+                          out=new_first[1:])
+            pos = np.flatnonzero(new_first)
+            terms = t_s[pos]
+            tfs = np.append(pos[1:], t_s.size) - pos
+            counts = np.bincount(d_s[pos], minlength=n)
+        else:
+            terms = tfs = np.zeros(0, dtype=np.int64)
+            counts = np.zeros(n, dtype=np.int64)
+        self._append_chunk(terms, tfs, counts, tok_counts)
+        return list(range(start, start + n))
 
     def add_pretokenized(self, token_matrix: np.ndarray,
                          lengths: Optional[np.ndarray] = None) -> List[int]:
@@ -116,21 +153,23 @@ class SparseIndex:
         tm = np.asarray(token_matrix, dtype=np.int64)
         n, l = tm.shape
         s = np.sort(tm, axis=1)
-        start = len(self._doc_terms)
+        start = self._n_docs
         new_first = np.concatenate(
             [np.ones((n, 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
         )
-        new_first &= s >= 0
-        for i in range(n):
-            terms = s[i][new_first[i]]
-            # counts: run lengths between first-occurrence positions
-            pos = np.flatnonzero(new_first[i])
-            ends = np.append(pos[1:], l)
-            counts = ends - pos
-            self._doc_terms.append(terms.astype(np.int32))
-            self._doc_tfs.append(counts.astype(np.int32))
-            self._doc_lens.append(int((tm[i] >= 0).sum()))
-        self._dirty = True
+        valid = s >= 0
+        new_first &= valid
+        # run lengths in flat coordinates: a run ends at the next
+        # first-occurrence or its row boundary (pads sort to the FRONT of
+        # each row, so the tail of every row is a valid run)
+        flat_pos = np.flatnonzero(new_first.ravel())
+        terms = s.ravel()[flat_pos]
+        row_idx = flat_pos // l
+        ends = np.minimum(np.append(flat_pos[1:], n * l), (row_idx + 1) * l)
+        tfs = ends - flat_pos
+        counts = new_first.sum(axis=1)
+        lens = valid.sum(axis=1)
+        self._append_chunk(terms, tfs, counts, lens)
         return list(range(start, start + n))
 
     def delete(self, row: int) -> None:
@@ -141,30 +180,29 @@ class SparseIndex:
 
     # ---------------------------------------------------------------- build
 
+    def _live_mask(self) -> np.ndarray:
+        live_mask = np.ones(self._n_docs, dtype=bool)
+        if self._deleted:
+            live_mask[np.fromiter(self._deleted, dtype=np.int64)] = False
+        return live_mask
+
     def _flat_triplets(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Live (row, term, tf) triplets as flat arrays."""
-        rows, terms, tfs = [], [], []
-        for row, (t, f) in enumerate(zip(self._doc_terms, self._doc_tfs)):
-            if row in self._deleted or t.size == 0:
-                continue
-            rows.append(np.full(t.size, row, dtype=np.int64))
-            terms.append(t.astype(np.int64))
-            tfs.append(f.astype(np.int64))
-        if not rows:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z, z
-        return (np.concatenate(rows), np.concatenate(terms),
-                np.concatenate(tfs))
+        terms, tfs, counts, _ = self._flat()
+        rows = np.repeat(
+            np.arange(self._n_docs, dtype=np.int64), counts)
+        if self._deleted:
+            keep = np.repeat(self._live_mask(), counts)
+            rows, terms, tfs = rows[keep], terms[keep], tfs[keep]
+        return rows, terms.astype(np.int64), tfs.astype(np.int64)
 
     def _stats(self):
         rows, terms, tfs = self._flat_triplets()
         v = len(self.analyzer)
-        live = len(self._doc_terms) - len(self._deleted)
-        doc_lens = np.asarray(self._doc_lens, dtype=np.float64)
-        live_mask = np.ones(len(self._doc_terms), dtype=bool)
-        if self._deleted:
-            live_mask[np.asarray(sorted(self._deleted))] = False
-        total = doc_lens[live_mask].sum() if live else 0.0
+        live = self._n_docs - len(self._deleted)
+        _, _, _, lens = self._flat()
+        doc_lens = lens.astype(np.float64)
+        total = doc_lens[self._live_mask()].sum() if live else 0.0
         avgdl = (total / live) if live else 1.0
         df = np.bincount(terms, minlength=max(v, 1))
         idf = bm25_idf(max(live, 1), df)
@@ -172,14 +210,15 @@ class SparseIndex:
 
     def _weights(self, rows, tfs, idf_terms, avgdl):
         k1, b = self.cfg.k1, self.cfg.b
-        dl = np.asarray(self._doc_lens, dtype=np.float64)[rows]
+        _, _, _, lens = self._flat()
+        dl = lens.astype(np.float64)[rows]
         tf = tfs.astype(np.float64)
         return (idf_terms * tf * (k1 + 1.0)
                 / (tf + k1 * (1.0 - b + b * dl / avgdl)))
 
     def rebuild(self) -> None:
         cfg = self.cfg
-        n = len(self._doc_terms)
+        n = self._n_docs
         v = len(self.analyzer)
         v_pad = max(256, 1 << math.ceil(math.log2(v + 1))) if v else 256
 
@@ -321,7 +360,7 @@ class SparseIndex:
     def exact_scores(self, query: str) -> np.ndarray:
         """Exact host-side BM25 scores for every doc (test oracle)."""
         qtids = set(self.analyzer.encode(query, grow=False))
-        n = len(self._doc_terms)
+        n = self._n_docs
         rows, terms, tfs, idf, avgdl, live = self._stats()
         out = np.zeros(n, dtype=np.float64)
         if not rows.size or not qtids:

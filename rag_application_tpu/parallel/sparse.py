@@ -35,7 +35,7 @@ def build_sharded_sparse(sparse: SparseIndex, n_shards: int) -> Dict:
       plus meta: rows_per_shard, v_pad, p, l.
     """
     cfg = sparse.cfg
-    n = len(sparse._doc_terms)
+    n = len(sparse)
     if n == 0:
         raise ValueError("empty sparse index")
     rows_per_shard = -(-n // n_shards)  # ceil: last shard padded
