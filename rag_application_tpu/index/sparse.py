@@ -211,10 +211,15 @@ class SparseIndex:
     def _weights(self, rows, tfs, idf_terms, avgdl):
         k1, b = self.cfg.k1, self.cfg.b
         _, _, _, lens = self._flat()
-        dl = lens.astype(np.float64)[rows]
-        tf = tfs.astype(np.float64)
-        return (idf_terms * tf * (k1 + 1.0)
-                / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        # f32 throughout: the device consumes f32/f16/10-bit views anyway,
+        # and at 20M+ triplets the f64 intermediates double both the
+        # arithmetic and the sort-key memory traffic
+        dl = lens.astype(np.float32)[rows]
+        tf = tfs.astype(np.float32)
+        return (idf_terms.astype(np.float32) * tf * np.float32(k1 + 1.0)
+                / (tf + np.float32(k1) * (np.float32(1.0 - b)
+                                          + np.float32(b) * dl
+                                          / np.float32(avgdl))))
 
     def rebuild(self) -> None:
         cfg = self.cfg
@@ -267,18 +272,33 @@ class SparseIndex:
             post_docs[t_sorted[keep], rank[keep]] = r_sorted[keep]
             post_w[t_sorted[keep], rank[keep]] = w_sorted[keep]
 
-        # --- doc-major view: sort by (row, -weight), rank within doc
+        # --- doc-major view: per-doc terms ranked by -weight. Ranking
+        # only matters when a doc TRUNCATES (unique terms > L) — below
+        # that the match kernel sums whatever order the row holds, and
+        # the triplets are already row-grouped (CSR), so the common case
+        # needs no sort at all.
         if rows.size:
+            _, _, all_counts, _ = self._flat()
+            counts_live = np.where(self._live_mask(), all_counts, 0) \
+                if self._deleted else all_counts
+            max_dlen = int(counts_live.max()) if counts_live.size else 1
+        else:
+            counts_live = np.zeros(n, dtype=np.int64)
+            max_dlen = 1
+        l = max(32, min(cfg.max_terms_per_doc, round_up(max_dlen, 32)))
+        if rows.size and max_dlen > l:
             order = np.lexsort((-w, rows))
             r2, t2, w2 = rows[order], terms[order], w[order]
             row_start = np.searchsorted(r2, np.arange(n), side="left")
             rank2 = np.arange(r2.size) - row_start[r2]
-            max_dlen = int(np.bincount(r2, minlength=1).max()) if r2.size else 1
+        elif rows.size:
+            r2, t2, w2 = rows, terms, w
+            starts = np.concatenate(
+                [[0], np.cumsum(counts_live)[:-1]]).astype(np.int64)
+            rank2 = np.arange(r2.size) - np.repeat(starts, counts_live)
         else:
             r2 = t2 = rank2 = np.zeros(0, dtype=np.int64)
-            w2 = np.zeros(0, dtype=np.float64)
-            max_dlen = 1
-        l = max(32, min(cfg.max_terms_per_doc, round_up(max_dlen, 32)))
+            w2 = np.zeros(0, dtype=np.float32)
         keep2 = rank2 < l
         doc_terms = np.full((n + 1, l), -1, dtype=np.int32)
         doc_w = np.zeros((n + 1, l), dtype=np.float32)
