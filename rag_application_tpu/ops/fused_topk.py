@@ -116,7 +116,7 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "bins", "block_rows", "valid_n", "prefix_dim",
-                     "approx_sheet", "q_block"),
+                     "approx_sheet", "select", "q_block"),
 )
 def fused_scan_topk(
     corpus: jax.Array,
@@ -133,6 +133,9 @@ def fused_scan_topk(
     mask: Optional[jax.Array] = None,
     approx_sheet: bool = False,  # approx_max_k over the candidate sheet
                                  # (fine when an exact rescore follows)
+    select: bool = True,  # False: return the raw (Q, nb*bins) candidate
+                          # sheet instead of top-k — profiling/composition
+                          # hook (callers then select or merge themselves)
     q_block: Optional[int] = None,  # tile the query dim: the (q_block, B)
                                     # score tile is the VMEM limiter, so
                                     # tiling decouples batch size from
@@ -259,6 +262,8 @@ def fused_scan_topk(
     if q_orig != q_count:
         sheet_vals = sheet_vals[:q_orig]
         sheet_idx = sheet_idx[:q_orig]
+    if not select:
+        return sheet_vals, sheet_idx
     k_eff = min(k, nb * bins)
     if approx_sheet and nb * bins > 2 * k_eff:
         top, pos = jax.lax.approx_max_k(sheet_vals, k_eff)

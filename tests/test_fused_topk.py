@@ -238,3 +238,22 @@ def test_searcher_q_block_matches(rng):
     v0, i0 = s0.search(queries, None, 10, use_matryoshka=False)
     v1, i1 = s1.search(queries, None, 10, use_matryoshka=False)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_sheet_mode_matches_select(rng):
+    """select=False returns the raw candidate sheet; its top-k must equal
+    the selected output (profiling/composition hook)."""
+    import jax
+
+    n, d = 3000, 128
+    corpus = normed(rng, n, d)
+    c8 = np.clip(np.round(corpus * 127), -127, 127).astype(np.int8)
+    q8 = np.clip(np.round(normed(rng, 12, d) * 127), -127, 127).astype(np.int8)
+    sv, si = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 10,
+                             block_rows=512, select=False)
+    assert sv.shape == si.shape == (12, (3072 // 512) * 128)
+    v0, i0 = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 10,
+                             block_rows=512)
+    top, pos = jax.lax.top_k(sv, 10)
+    idx = jnp.take_along_axis(si, pos, axis=-1)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(idx))
