@@ -14,8 +14,74 @@ import logging
 import os
 
 
+def space_fingerprint(sp) -> tuple:
+    """Cheap change signal for skip-if-unchanged snapshots."""
+    return (sp.collection.chunk_count(),
+            tuple(sorted(sp.kg.stats().items())))
+
+
+def restore_spaces(state, ckpt_dir: str) -> list:
+    """Load every user space found under `ckpt_dir` (one subdir per user,
+    the layout `checkpoint_spaces` writes). Returns restored user ids."""
+    from .api.app import UserSpace
+    from .index.checkpoint import load_collection
+    from .kg.checkpoint import load_kg
+
+    restored = []
+    if not os.path.isdir(ckpt_dir):
+        return restored
+    for user_id in sorted(os.listdir(ckpt_dir)):
+        path = os.path.join(ckpt_dir, user_id)
+        if not os.path.isdir(os.path.join(path, "collection")):
+            continue
+        try:
+            col = load_collection(os.path.join(path, "collection"),
+                                  state.config)
+            kg = load_kg(os.path.join(path, "kg"), state.config.kg)
+            pipe = state.make_pipeline(user_id, col, kg)
+            state.users[user_id] = UserSpace(col, kg, pipe)
+            restored.append(user_id)
+            logging.info("restored space %r: %d chunks",
+                         user_id, col.chunk_count())
+        except Exception:  # noqa: BLE001
+            logging.exception("restore of %r failed", user_id)
+    return restored
+
+
+def checkpoint_spaces(state, ckpt_dir: str, saved_fp: dict) -> list:
+    """Snapshot every user space whose fingerprint moved since the last
+    save (atomic-by-rename per space). Returns saved user ids."""
+    from .index.checkpoint import save_collection
+    from .kg.checkpoint import save_kg
+
+    saved = []
+    for user_id, sp in list(state.users.items()):
+        try:
+            fp = space_fingerprint(sp)
+            if saved_fp.get(user_id) == fp:
+                continue
+            path = os.path.join(ckpt_dir, user_id)
+            os.makedirs(path, exist_ok=True)
+            save_collection(sp.collection, os.path.join(path, "collection"))
+            save_kg(sp.kg, os.path.join(path, "kg"))
+            saved_fp[user_id] = fp
+            saved.append(user_id)
+            logging.info("checkpointed space %r", user_id)
+        except Exception:  # noqa: BLE001
+            logging.exception("checkpoint of %r failed", user_id)
+    return saved
+
+
 def main() -> None:
     logging.basicConfig(level=os.environ.get("LOG_LEVEL", "INFO"))
+    # The JAX_PLATFORMS env var can be overridden by site plugins (the
+    # axon TPU relay does); this knob wins because it runs before first
+    # backend use. RAGTPU_PLATFORM=cpu serves off-TPU deliberately.
+    platform = os.environ.get("RAGTPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     from .api.app import build_app
     from .api.http import HTTPServer
     from .config import Config
@@ -36,6 +102,18 @@ def main() -> None:
     port = int(os.environ.get("RAGTPU_PORT", "8000"))
     server = HTTPServer(router, host=host, port=port)
 
+    # continuous durability (SURVEY §5.4): the reference leans on docker
+    # volumes under Qdrant/Neo4j; here the framework owns it — restore
+    # user spaces from RAGTPU_CHECKPOINT_DIR at boot, then snapshot any
+    # space that changed every RAGTPU_CHECKPOINT_INTERVAL seconds
+    # (atomic-by-rename, see index/checkpoint.py).
+    ckpt_dir = os.environ.get("RAGTPU_CHECKPOINT_DIR")
+    saved_fp: dict = {}
+    if ckpt_dir:
+        restore_spaces(state, ckpt_dir)
+        saved_fp = {u: space_fingerprint(sp)
+                    for u, sp in state.users.items()}
+
     async def run() -> None:
         # background KG dedup across user spaces (parity: the reference's
         # per-user deduplication interval, deduplicator.py:161-169)
@@ -51,7 +129,16 @@ def main() -> None:
                     except Exception:  # noqa: BLE001
                         logging.exception("dedup pass failed")
 
+        async def checkpoint_loop():
+            interval = float(
+                os.environ.get("RAGTPU_CHECKPOINT_INTERVAL", "300"))
+            while True:
+                await asyncio.sleep(interval)
+                checkpoint_spaces(state, ckpt_dir, saved_fp)
+
         asyncio.ensure_future(dedup_loop())
+        if ckpt_dir:
+            asyncio.ensure_future(checkpoint_loop())
         await server.serve_forever()
 
     asyncio.run(run())

@@ -64,3 +64,41 @@ def test_checkpoint_restore_roundtrip(tmp_path):
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_auto_checkpoint_and_boot_restore(tmp_path):
+    """serve.py's durability loop: checkpoint_spaces snapshots changed
+    spaces (skip-if-unchanged), restore_spaces rebuilds them at boot."""
+    from rag_application_tpu.serve import (
+        checkpoint_spaces, restore_spaces, space_fingerprint)
+
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        _, state = build_app(small_config(), llm=llm, embedder=emb)
+        sp = state.space("u1")
+        await sp.pipeline.ingest_text("alpha beta gamma " * 20,
+                                      document_id="d1")
+        ckpt = str(tmp_path / "auto")
+        saved_fp = {}
+        assert checkpoint_spaces(state, ckpt, saved_fp) == ["u1"]
+        # unchanged space -> no second save
+        assert checkpoint_spaces(state, ckpt, saved_fp) == []
+        # mutate -> saved again
+        await sp.pipeline.ingest_text("delta epsilon " * 30,
+                                      document_id="d2")
+        assert checkpoint_spaces(state, ckpt, saved_fp) == ["u1"]
+
+        # fresh process: boot-restore from the same dir
+        _, state2 = build_app(small_config(), llm=llm, embedder=emb)
+        assert restore_spaces(state2, ckpt) == ["u1"]
+        sp2 = state2.space("u1")
+        assert sp2.collection.chunk_count() == sp.collection.chunk_count()
+        assert space_fingerprint(sp2) == space_fingerprint(sp)
+        # restored space still searches
+        import numpy as np
+        qv = np.asarray(emb.encode(["alpha beta"]))[0]
+        hits = sp2.collection.hybrid_search(qv, "alpha beta", limit=3)
+        assert len(hits) > 0
+
+    asyncio.run(main())
