@@ -41,7 +41,7 @@ def synth_tokens(rng, n, vocab=50_000, doc_len=24):
     return rng.choice(vocab, size=(n, doc_len), p=probs)
 
 
-def main():
+def run():
     t_start = time.time()
     import jax
     import jax.numpy as jnp
@@ -214,28 +214,39 @@ def main():
     qps = batch / engine_dt
     log(f"[bench] engine: {engine_dt*1e3:.2f} ms/batch -> {qps:,.0f} QPS")
 
-    # --- end-to-end through the relay ---
-    t0 = time.time()
-    outs = [searcher.search(b_q, b_t, k, use_matryoshka=False) for b_q, b_t in batches]
-    float(jnp.sum(outs[-1][0]))
-    e2e_dt = (time.time() - t0) / reps
-    e2e_qps = batch / e2e_dt
     dt = engine_dt
-    log(f"[bench] e2e via relay: {e2e_dt*1e3:.2f} ms/batch -> "
-        f"{e2e_qps:,.0f} QPS")
+
+    # --- end-to-end through the relay --- (fail-soft: the core metric
+    # above is already measured; a relay flap here must not lose it)
+    try:
+        t0 = time.time()
+        outs = [searcher.search(b_q, b_t, k, use_matryoshka=False)
+                for b_q, b_t in batches]
+        float(jnp.sum(outs[-1][0]))
+        e2e_dt = (time.time() - t0) / reps
+        e2e_qps = batch / e2e_dt
+        log(f"[bench] e2e via relay: {e2e_dt*1e3:.2f} ms/batch -> "
+            f"{e2e_qps:,.0f} QPS")
+    except Exception as e:  # noqa: BLE001
+        e2e_qps = -1.0
+        log(f"[bench] e2e leg failed ({type(e).__name__}) — continuing")
 
     # single-query latency (one batch of 1, fully synced; dominated by
     # the relay RTT on this attach — report both)
-    lats = []
-    for _ in range(5):
-        t1 = time.time()
-        s2, _ = searcher.search(queries[:1], q_texts[:1], k,
-                                use_matryoshka=False)
-        float(jnp.sum(s2))
-        lats.append(time.time() - t1)
-    p50_single = float(np.median(lats)) * 1e3
-    log(f"[bench] single-query p50 latency: {p50_single:.1f} ms "
-        f"(incl {rtt*1e3:.1f} ms attach RTT)")
+    try:
+        lats = []
+        for _ in range(5):
+            t1 = time.time()
+            s2, _ = searcher.search(queries[:1], q_texts[:1], k,
+                                    use_matryoshka=False)
+            float(jnp.sum(s2))
+            lats.append(time.time() - t1)
+        p50_single = float(np.median(lats)) * 1e3
+        log(f"[bench] single-query p50 latency: {p50_single:.1f} ms "
+            f"(incl {rtt*1e3:.1f} ms attach RTT)")
+    except Exception as e:  # noqa: BLE001
+        p50_single = -1.0
+        log(f"[bench] latency leg failed ({type(e).__name__}) — continuing")
 
     # ---------------- index memory ----------------
     # vs the reference's Qdrant layout for the same corpus: fp32 dense
@@ -328,6 +339,21 @@ def main():
         "total_bench_s": round(time.time() - t_start, 1),
     }
     print(json.dumps(result))
+
+
+def main():
+    """Run the bench; retry once on a mid-run failure (the TPU attaches
+    over a relay that occasionally drops transport mid-compile — a flap
+    must not cost the round its number)."""
+    try:
+        run()
+    except Exception:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        log("[bench] attempt failed — retrying once in 90s")
+        time.sleep(90)
+        run()
 
 
 if __name__ == "__main__":
