@@ -321,15 +321,19 @@ class KGStore:
 
     # ---------------------------------------------------------- search API
 
-    def search_space(self, space: Space, query_embedding, k: int = 10,
-                     **filters) -> List[Dict[str, Any]]:
-        """Per-space kNN (parity: the per-space `_search_*` helpers,
-        neo4j_handler.py:829-1047)."""
+    def _dispatch_space(self, space: Space, q: np.ndarray, k: int):
+        """Issue one space's kNN WITHOUT materializing (device handles)."""
         table = self.spaces[space]
         if table.index.size == 0:
+            return None
+        return table.index.search(q, min(k, table.index.size))
+
+    def _materialize_space(self, space: Space, handle, k: int,
+                           filters: Dict[str, Any]) -> List[Dict[str, Any]]:
+        if handle is None:
             return []
-        q = np.asarray(query_embedding, dtype=np.float32)[None, :]
-        vals, ids = table.index.search(q, min(k, table.index.size))
+        vals, ids = handle
+        table = self.spaces[space]
         out = []
         for score, row in zip(np.asarray(vals)[0], np.asarray(ids)[0]):
             if not np.isfinite(score):
@@ -343,15 +347,28 @@ class KGStore:
                         "row": int(row), **p})
         return out[:k]
 
+    def search_space(self, space: Space, query_embedding, k: int = 10,
+                     **filters) -> List[Dict[str, Any]]:
+        """Per-space kNN (parity: the per-space `_search_*` helpers,
+        neo4j_handler.py:829-1047)."""
+        q = np.asarray(query_embedding, dtype=np.float32)[None, :]
+        return self._materialize_space(
+            space, self._dispatch_space(space, q, k), k, filters)
+
     def search_across_spaces(self, query_embedding, k: int = 10,
                              spaces: Optional[Sequence[Space]] = None,
                              **filters) -> List[Dict[str, Any]]:
         """Multi-space kNN, merged + sorted by score (parity:
-        search_across_spaces, neo4j_handler.py:809-827)."""
+        search_across_spaces, neo4j_handler.py:809-827). All spaces are
+        dispatched before any result is read back, so the device (and a
+        remote attach's round-trips) pipeline the per-space queries the
+        way the reference's 4 parallel Cypher calls do."""
         spaces = list(spaces or Space)
+        q = np.asarray(query_embedding, dtype=np.float32)[None, :]
+        handles = [(s, self._dispatch_space(s, q, k)) for s in spaces]
         merged: List[Dict[str, Any]] = []
-        for s in spaces:
-            merged.extend(self.search_space(s, query_embedding, k, **filters))
+        for s, h in handles:
+            merged.extend(self._materialize_space(s, h, k, filters))
         merged.sort(key=lambda h: -h["score"])
         return merged[:k]
 
