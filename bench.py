@@ -268,15 +268,26 @@ def run():
     # kNN graph + lockstep beam search (the engine for strict single-query
     # latency / larger-than-scan corpora).
     ann_extras = {}
-    if os.environ.get("BENCH_ANN") == "1":
-        from rag_application_tpu.index.ann import GraphIndex, GraphSearchParams
+    gidx = None
+    if os.environ.get("BENCH_ANN_BUILD", "0" if small else "1") == "1" \
+            or os.environ.get("BENCH_ANN") == "1":
+        # BASELINE.md "also tracked: HNSW build time" — the MXU-built
+        # pruned kNN graph is cheap enough (38.5 s at 1M x 768, one v5e)
+        # to measure on every run. Fail-soft like the other aux legs.
+        try:
+            from rag_application_tpu.index.ann import GraphIndex
 
-        t0 = time.time()
-        gidx = GraphIndex.build(dense, m=32, k_build=64, entry_size=512,
-                                batch=int(os.environ.get("BENCH_ANN_BATCH", 4096)))
-        float(jnp.sum(gidx.adj[-2].astype(jnp.float32)))
-        ann_build_s = time.time() - t0
-        log(f"[bench] ann build: {ann_build_s:.1f}s")
+            t0 = time.time()
+            gidx = GraphIndex.build(
+                dense, m=32, k_build=64, entry_size=512,
+                batch=int(os.environ.get("BENCH_ANN_BATCH", 4096)))
+            float(jnp.sum(gidx.adj[-2].astype(jnp.float32)))
+            ann_extras["ann_build_s"] = round(time.time() - t0, 1)
+            log(f"[bench] ann build: {ann_extras['ann_build_s']}s")
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] ann build failed ({type(e).__name__}) — continuing")
+    if os.environ.get("BENCH_ANN") == "1" and gidx is not None:
+        from rag_application_tpu.index.ann import GraphSearchParams
         # Full-dim beam scoring: the synthetic corpus' flat spectrum makes
         # prefix guidance lose recall (same effect as the funnel prefix
         # scan — see CLAUDE.md). Note: graph navigation fundamentally
@@ -304,11 +315,10 @@ def run():
         log(f"[bench] ann: recall@10={ann_recall:.4f} "
             f"{ann_dt*1e3:.2f} ms/batch -> {batch/ann_dt:,.0f} QPS "
             f"(compile {t_compile_ann:.0f}s)")
-        ann_extras = {
-            "ann_build_s": round(ann_build_s, 1),
+        ann_extras.update({
             "ann_recall_at_10": round(float(ann_recall), 4),
             "ann_qps": round(batch / ann_dt, 1),
-        }
+        })
 
     if small:
         metric = "hybrid_qps_small"
