@@ -284,13 +284,14 @@ class BaseAgent:
         }
 
     async def astream(self, user_input: str, *, thread_id: str = "default",
+                      checkpoint_id: Optional[str] = None,
                       ) -> AsyncIterator[Dict[str, Any]]:
         """Streamed variant: yields {"type": "message"|"tool"|"done", ...}
         events (parity: astream stream_mode=["messages","custom"],
         chat.py:133-140)."""
         if not self._compiled:
             self.compile()
-        saved = self.checkpointer.load(thread_id)
+        saved = self.checkpointer.load(thread_id, checkpoint_id)
         state = AgentState.from_dict(saved) if saved else AgentState()
         state.messages.append({"role": "user", "content": user_input})
         await self._summarization_node(state)
