@@ -1,0 +1,217 @@
+"""AWS Bedrock Converse client (stdlib SigV4, no boto3).
+
+Parity: the reference's agent LLM factory routes provider "bedrock"
+through langchain's ChatBedrockConverse (AgentAPI/app/llm/
+provider_factory.py:6-60). This module speaks the same Converse API
+directly: OpenAI-style messages map to Converse turns (system prompts to
+the `system` list, tool calls to `toolUse` blocks, tool results to
+`toolResult` blocks) and the response maps back to the router's
+LLMResponse shape.
+
+Requests are signed with AWS Signature V4 (hashlib/hmac only — boto3 is
+not a framework dependency). Credentials come from the standard env vars
+(AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY / AWS_SESSION_TOKEN /
+AWS_REGION). The HTTP send is injectable for tests.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import json
+import os
+import urllib.parse
+from typing import Any, Awaitable, Callable, Dict, List, Optional, Sequence, Tuple
+
+SERVICE = "bedrock"
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def sign_request(
+    *,
+    method: str,
+    url: str,
+    body: bytes,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    session_token: Optional[str] = None,
+    now: Optional[datetime.datetime] = None,
+) -> Dict[str, str]:
+    """AWS SigV4 headers for a bedrock-runtime request."""
+    parsed = urllib.parse.urlparse(url)
+    host = parsed.netloc
+    path = urllib.parse.quote(parsed.path or "/")
+    now = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = now.strftime("%Y%m%d")
+
+    payload_hash = hashlib.sha256(body).hexdigest()
+    headers: Dict[str, str] = {
+        "content-type": "application/json",
+        "host": host,
+        "x-amz-content-sha256": payload_hash,
+        "x-amz-date": amz_date,
+    }
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+
+    signed_names = ";".join(sorted(headers))
+    canonical_headers = "".join(
+        f"{k}:{headers[k].strip()}\n" for k in sorted(headers))
+    canonical_request = "\n".join([
+        method, path, "", canonical_headers, signed_names, payload_hash])
+
+    scope = f"{date_stamp}/{region}/{SERVICE}/aws4_request"
+    string_to_sign = "\n".join([
+        "AWS4-HMAC-SHA256", amz_date, scope,
+        hashlib.sha256(canonical_request.encode()).hexdigest()])
+
+    k = _hmac(f"AWS4{secret_key}".encode(), date_stamp)
+    k = _hmac(k, region)
+    k = _hmac(k, SERVICE)
+    k = _hmac(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+
+    headers["authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_names}, Signature={signature}")
+    return headers
+
+
+def to_converse(
+    messages: Sequence[Any],
+    tools: Optional[Sequence[Dict[str, Any]]] = None,
+    params: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """OpenAI-style ChatMessages -> Converse request body."""
+    system: List[Dict[str, str]] = []
+    turns: List[Dict[str, Any]] = []
+    for m in messages:
+        if m.role == "system":
+            system.append({"text": m.content})
+        elif m.role == "tool":
+            turns.append({"role": "user", "content": [{
+                "toolResult": {
+                    "toolUseId": m.tool_call_id or "call_0",
+                    "content": [{"text": m.content}],
+                }}]})
+        elif m.role == "assistant" and m.tool_calls:
+            content: List[Dict[str, Any]] = []
+            if m.content:
+                content.append({"text": m.content})
+            for c in m.tool_calls:
+                fn = c.get("function", {})
+                try:
+                    args = json.loads(fn.get("arguments") or "{}")
+                except json.JSONDecodeError:
+                    args = {"raw": fn.get("arguments")}
+                content.append({"toolUse": {
+                    "toolUseId": c.get("id", "call_0"),
+                    "name": fn.get("name", ""),
+                    "input": args,
+                }})
+            turns.append({"role": "assistant", "content": content})
+        else:
+            turns.append({"role": m.role,
+                          "content": [{"text": m.content or ""}]})
+
+    body: Dict[str, Any] = {"messages": turns}
+    if system:
+        body["system"] = system
+    p = params or {}
+    cfg = {}
+    if "max_tokens" in p:
+        cfg["maxTokens"] = p["max_tokens"]
+    if "temperature" in p:
+        cfg["temperature"] = p["temperature"]
+    if "top_p" in p:
+        cfg["topP"] = p["top_p"]
+    if "stop" in p:
+        cfg["stopSequences"] = (
+            p["stop"] if isinstance(p["stop"], list) else [p["stop"]])
+    if cfg:
+        body["inferenceConfig"] = cfg
+    if tools:
+        body["toolConfig"] = {"tools": [{
+            "toolSpec": {
+                "name": t["function"]["name"],
+                "description": t["function"].get("description", ""),
+                "inputSchema": {"json": t["function"].get(
+                    "parameters", {"type": "object"})},
+            }} for t in tools]}
+    return body
+
+
+def from_converse(data: Dict[str, Any]) -> Tuple[str, List[Dict[str, Any]], Dict[str, int]]:
+    """Converse response -> (content, openai-style tool_calls, usage)."""
+    msg = (data.get("output") or {}).get("message") or {}
+    text_parts: List[str] = []
+    tool_calls: List[Dict[str, Any]] = []
+    for block in msg.get("content") or []:
+        if "text" in block:
+            text_parts.append(block["text"])
+        elif "toolUse" in block:
+            tu = block["toolUse"]
+            tool_calls.append({
+                "id": tu.get("toolUseId", "call_0"),
+                "type": "function",
+                "function": {
+                    "name": tu.get("name", ""),
+                    "arguments": json.dumps(tu.get("input") or {}),
+                },
+            })
+    u = data.get("usage") or {}
+    usage = {k2: u[k1] for k1, k2 in (
+        ("inputTokens", "prompt_tokens"),
+        ("outputTokens", "completion_tokens"),
+        ("totalTokens", "total_tokens")) if k1 in u}
+    return "".join(text_parts), tool_calls, usage
+
+
+class BedrockClient:
+    """Minimal async Converse caller with injectable transport."""
+
+    def __init__(self, *, model: str, region: Optional[str] = None,
+                 access_key: Optional[str] = None,
+                 secret_key: Optional[str] = None,
+                 session_token: Optional[str] = None,
+                 timeout: float = 120.0,
+                 transport: Optional[Callable[..., Awaitable[Dict[str, Any]]]] = None):
+        self.model = model
+        self.region = region or os.environ.get("AWS_REGION", "us-east-1")
+        self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+        self.secret_key = secret_key or os.environ.get(
+            "AWS_SECRET_ACCESS_KEY", "")
+        self.session_token = session_token or os.environ.get(
+            "AWS_SESSION_TOKEN")
+        self.timeout = timeout
+        self._transport = transport
+
+    @property
+    def endpoint(self) -> str:
+        model_q = urllib.parse.quote(self.model, safe="")
+        return (f"https://bedrock-runtime.{self.region}.amazonaws.com"
+                f"/model/{model_q}/converse")
+
+    async def converse(self, messages: Sequence[Any], *,
+                       tools: Optional[Sequence[Dict[str, Any]]] = None,
+                       **params: Any) -> Dict[str, Any]:
+        body = json.dumps(to_converse(messages, tools, params)).encode()
+        headers = sign_request(
+            method="POST", url=self.endpoint, body=body,
+            access_key=self.access_key, secret_key=self.secret_key,
+            region=self.region, session_token=self.session_token)
+        if self._transport is not None:
+            return await self._transport(url=self.endpoint, body=body,
+                                         headers=headers)
+        import httpx
+
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            r = await client.post(self.endpoint, content=body, headers=headers)
+            r.raise_for_status()
+            return r.json()

@@ -28,9 +28,17 @@ from typing import Any, AsyncIterator, Callable, Dict, List, Optional, Sequence
 
 
 class Provider(str, enum.Enum):
+    """Parity: ModelRouter's Provider enum (app/core/models/
+    model_handler.py:9) plus the AgentAPI factory's azure_ai / bedrock /
+    google providers (AgentAPI/app/llm/provider_factory.py:6-60).
+    GOOGLE rides Gemini's OpenAI-compatible endpoint; BEDROCK speaks the
+    Converse API with stdlib SigV4 (llm/bedrock.py)."""
+
     OPENAI = "openai"
     AZURE = "azure"
     OLLAMA = "ollama"
+    GOOGLE = "google"
+    BEDROCK = "bedrock"
     STUB = "stub"
 
 
@@ -161,6 +169,8 @@ class LLMRouter:
                           "presence_penalty", "frequency_penalty", "seed"},
         Provider.AZURE: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.OLLAMA: {"temperature", "max_tokens", "top_p", "stop", "seed"},
+        Provider.GOOGLE: {"temperature", "max_tokens", "top_p", "stop"},
+        Provider.BEDROCK: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.STUB: set(),
     }
 
@@ -181,12 +191,21 @@ class LLMRouter:
             Provider.OPENAI: "https://api.openai.com/v1",
             Provider.AZURE: None,
             Provider.OLLAMA: "http://localhost:11434/v1",
+            # Gemini's OpenAI-compatible surface
+            Provider.GOOGLE:
+                "https://generativelanguage.googleapis.com/v1beta/openai",
+            Provider.BEDROCK: None,  # endpoint built per request (region)
             Provider.STUB: None,
         }[self.provider]
         self.api_key = api_key
         self.stub = stub or StubLLM()
         self.max_retries = max_retries
         self.timeout = timeout
+        self._bedrock = None
+        if self.provider == Provider.BEDROCK:
+            from .bedrock import BedrockClient
+
+            self._bedrock = BedrockClient(model=model, timeout=timeout)
 
     # ------------------------------------------------------------- plumbing
 
@@ -222,6 +241,21 @@ class LLMRouter:
             return await self.stub.chat(messages, tools=tools,
                                         response_schema=response_schema,
                                         **params)
+        if self.provider == Provider.BEDROCK:
+            from .bedrock import from_converse
+
+            msgs = list(messages)
+            if response_schema is not None:
+                # Converse has no response_format; instruct instead — the
+                # generate_structured retry loop validates the JSON
+                msgs.append(ChatMessage(
+                    "user", "Respond with ONLY valid JSON matching this "
+                            f"schema: {json.dumps(response_schema)}"))
+            data = await self._bedrock.converse(
+                msgs, tools=tools, **self._filter_params(params))
+            content, tool_calls, usage = from_converse(data)
+            return LLMResponse(content=content, tool_calls=tool_calls,
+                               usage=usage, raw=data)
         payload: Dict[str, Any] = {
             "model": self.model,
             "messages": [m.to_dict() for m in messages],
@@ -286,6 +320,13 @@ class LLMRouter:
         if self.provider == Provider.STUB:
             async for chunk in self.stub.stream(messages, **params):
                 yield chunk
+            return
+        if self.provider == Provider.BEDROCK:
+            # converse-stream uses AWS binary event framing; emulate by
+            # chunking the non-streaming response (same consumer surface)
+            resp = await self.chat(messages, **params)
+            for i in range(0, len(resp.content), 24):
+                yield resp.content[i : i + 24]
             return
         import httpx
 
