@@ -145,3 +145,28 @@ def test_mcp_over_http():
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_serve_stdio_transport(tmp_path):
+    """The actual stdio loop: line-delimited JSON-RPC in, responses out
+    (bad JSON skipped, EOF terminates)."""
+    import io
+
+    srv = FileOperationsServer(allowed_dirs=[str(tmp_path)])
+    (tmp_path / "f.txt").write_text("hello stdio")
+    lines = [
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                    "params": {}}),
+        "this is not json",
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                    "params": {"name": "read_file",
+                               "arguments": {"path": str(tmp_path / "f.txt")}}}),
+    ]
+    stdin = io.StringIO("\n".join(lines) + "\n")
+    stdout = io.StringIO()
+    asyncio.run(srv.serve_stdio(stdin=stdin, stdout=stdout))
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert len(out) == 2  # the bad-JSON line produced no response
+    assert out[0]["id"] == 1 and "result" in out[0]
+    text = json.dumps(out[1])
+    assert out[1]["id"] == 2 and "hello stdio" in text
