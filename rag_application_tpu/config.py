@@ -28,7 +28,16 @@ class IndexConfig:
 
     dim: int = 768
     matryoshka_dims: Tuple[int, ...] = (64, 128, 256)
+    # Storage planes. Dropping one trades capability for HBM capacity:
+    #   store_int8=False  — no quantized scan table; the funnel must run
+    #                       with quantized_limit=0 (bf16 scans only).
+    #   store_bf16=False  — capacity mode: only the int8 table is kept
+    #                       (769 B/row at 768-d vs 2308 with bf16), so a
+    #                       16 GB chip holds 10M+ rows. Search scans int8
+    #                       and the exact rescore reads dequantized int8
+    #                       rows; matryoshka prefix views are unavailable.
     store_int8: bool = True
+    store_bf16: bool = True
     metric: str = "cosine"  # vectors are L2-normalized at insert
     # Device block size for scanned scoring kernels.
     block_size: int = 131072

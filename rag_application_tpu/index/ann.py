@@ -74,6 +74,10 @@ class GraphIndex:
         n = dense.size
         if n == 0:
             raise ValueError("empty index")
+        if dense.vecs is None:
+            raise ValueError(
+                "graph-ANN build needs the bf16 plane (store_bf16=True); "
+                "capacity mode trades the graph engine for corpus size")
         vecs = dense.vecs
         k_eff = min(k_build + 1, n)
         # prefix candidate scores must be COSINES (inverse prefix norms):

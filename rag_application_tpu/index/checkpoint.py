@@ -50,15 +50,19 @@ def save_collection(col: "Collection", path: str) -> None:
 
     dense = col.dense
     # bf16 stores bitcast under vecs_u16; any other dtype must use the
-    # plain key (both under vecs_u16 would bitcast f32 as bf16 on load)
-    if dense.vecs.dtype == jnp.bfloat16:
-        vec_kw = {"vecs_u16": _bf16_to_u16(dense.vecs)}
-    else:
-        vec_kw = {"vecs": np.asarray(dense.vecs, dtype=np.float32)}
+    # plain key (both under vecs_u16 would bitcast f32 as bf16 on load).
+    # Reduced storage modes simply omit the absent plane's key.
+    vec_kw = {}
+    if dense.vecs is not None:
+        if dense.vecs.dtype == jnp.bfloat16:
+            vec_kw["vecs_u16"] = _bf16_to_u16(dense.vecs)
+        else:
+            vec_kw["vecs"] = np.asarray(dense.vecs, dtype=np.float32)
+    if dense.int8 is not None:
+        vec_kw["int8"] = np.asarray(dense.int8)
     np.savez(
         os.path.join(tmp, "dense.npz"),
         **vec_kw,
-        int8=np.asarray(dense.int8),
         inv_norms=np.asarray(dense.inv_norms),
         live=np.asarray(dense.live),
     )
@@ -93,7 +97,10 @@ def save_collection(col: "Collection", path: str) -> None:
         "size": dense.size,
         "dim": dense.cfg.dim,
         "matryoshka_dims": list(dense.cfg.matryoshka_dims),
-        "vec_dtype": str(dense.vecs.dtype),
+        "vec_dtype": (str(dense.vecs.dtype)
+                      if dense.vecs is not None else None),
+        "store_bf16": dense.vecs is not None,
+        "store_int8": dense.int8 is not None,
         "n_payloads": len(col.payloads),
     }
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -132,24 +139,35 @@ def load_collection(path: str, config=None) -> "Collection":
 
     d = np.load(os.path.join(path, "dense.npz"))
     dense = col.dense
+    if manifest.get("store_bf16", True) != dense.cfg.store_bf16 or \
+            manifest.get("store_int8", True) != dense.cfg.store_int8:
+        raise ValueError(
+            "config storage planes (bf16=%s, int8=%s) do not match the "
+            "checkpoint (bf16=%s, int8=%s)" % (
+                dense.cfg.store_bf16, dense.cfg.store_int8,
+                manifest.get("store_bf16", True),
+                manifest.get("store_int8", True)))
     if "vecs_u16" in d:
         dense.vecs = _u16_to_bf16(d["vecs_u16"])
-    else:
+    elif "vecs" in d:
         dense.vecs = jnp.asarray(d["vecs"])
-    dense.int8 = jnp.asarray(d["int8"])
+    if "int8" in d:
+        dense.int8 = jnp.asarray(d["int8"])
     dense.inv_norms = jnp.asarray(d["inv_norms"])
     dense.live = jnp.asarray(d["live"])
     dense.size = int(manifest["size"])
     if dense.prefix_int8 is not None:
-        # derived view — recompute from vecs instead of storing it
-        # (prefix renormalization is scale-invariant, so normalized rows
-        # give the same table as the original inserts)
+        # derived view — recompute from the stored rows instead of
+        # persisting it (prefix renormalization is scale-invariant, so
+        # normalized bf16 rows — or int8 rows in capacity mode — give
+        # the same table as the original inserts up to quantization)
         from .dense import _prefix_update
 
+        src = dense.vecs if dense.vecs is not None else dense.int8
         dense.prefix_int8 = _prefix_update(
-            jnp.zeros((dense.vecs.shape[0], dense.cfg.scan_prefix_dim),
+            jnp.zeros((src.shape[0], dense.cfg.scan_prefix_dim),
                       dtype=jnp.int8),
-            dense.vecs, np.int32(0),
+            src, np.int32(0),
             prefix_dim=dense.cfg.scan_prefix_dim)
 
     s = np.load(os.path.join(path, "sparse.npz"))

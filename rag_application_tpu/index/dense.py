@@ -49,6 +49,23 @@ def _insert_update(vecs, int8, inv_norms, live, x, start, *, dims):
     return vecs, int8, inv_norms, live
 
 
+@functools.partial(jax.jit, static_argnames=("dims", "keep"),
+                   donate_argnums=(0, 1, 2))
+def _insert_update_single(plane, inv_norms, live, x, start, *, dims, keep):
+    """Single-plane update for the reduced storage modes: keep="int8"
+    (capacity mode, no bf16 plane) or keep="bf16" (no quantized table)."""
+    norm, i8, inv = prepare_vectors_xla(x.astype(jnp.float32), dims,
+                                        out_dtype=jnp.bfloat16)
+    n = x.shape[0]
+    plane = jax.lax.dynamic_update_slice_in_dim(
+        plane, i8 if keep == "int8" else norm, start, 0)
+    inv_norms = jax.lax.dynamic_update_slice_in_dim(inv_norms, inv, start, 0)
+    live = jax.lax.dynamic_update_slice_in_dim(
+        live, jnp.ones((n,), dtype=bool), start, 0
+    )
+    return plane, inv_norms, live
+
+
 @functools.partial(jax.jit, static_argnames=("prefix_dim",),
                    donate_argnums=(0,))
 def _prefix_update(prefix_int8, x, start, *, prefix_dim):
@@ -69,8 +86,12 @@ class DenseIndex:
         d = self.cfg.dim
         m = len(self.cfg.matryoshka_dims)
         dtype = jnp.bfloat16
-        self.vecs = jnp.zeros((cap, d), dtype=dtype)
-        self.int8 = jnp.zeros((cap, d), dtype=jnp.int8)
+        if not self.cfg.store_bf16 and not self.cfg.store_int8:
+            raise ValueError("at least one of store_bf16/store_int8 required")
+        self.vecs = (jnp.zeros((cap, d), dtype=dtype)
+                     if self.cfg.store_bf16 else None)
+        self.int8 = (jnp.zeros((cap, d), dtype=jnp.int8)
+                     if self.cfg.store_int8 else None)
         self.inv_norms = jnp.zeros((cap, m), dtype=jnp.float32)
         self.live = jnp.zeros((cap,), dtype=bool)
         p = self.cfg.scan_prefix_dim
@@ -82,7 +103,8 @@ class DenseIndex:
 
     @property
     def capacity(self) -> int:
-        return self.vecs.shape[0]
+        plane = self.vecs if self.vecs is not None else self.int8
+        return plane.shape[0]
 
     @property
     def dim(self) -> int:
@@ -93,8 +115,10 @@ class DenseIndex:
         while new_cap < needed:
             new_cap *= 2
         pad = new_cap - self.capacity
-        self.vecs = jnp.pad(self.vecs, ((0, pad), (0, 0)))
-        self.int8 = jnp.pad(self.int8, ((0, pad), (0, 0)))
+        if self.vecs is not None:
+            self.vecs = jnp.pad(self.vecs, ((0, pad), (0, 0)))
+        if self.int8 is not None:
+            self.int8 = jnp.pad(self.int8, ((0, pad), (0, 0)))
         self.inv_norms = jnp.pad(self.inv_norms, ((0, pad), (0, 0)))
         self.live = jnp.pad(self.live, (0, pad))
         if self.prefix_int8 is not None:
@@ -115,10 +139,21 @@ class DenseIndex:
         if self.size + n > self.capacity:
             self._grow(self.size + n)
         start = self.size
-        self.vecs, self.int8, self.inv_norms, self.live = _insert_update(
-            self.vecs, self.int8, self.inv_norms, self.live,
-            x, np.int32(start), dims=self.cfg.matryoshka_dims,
-        )
+        if self.vecs is not None and self.int8 is not None:
+            self.vecs, self.int8, self.inv_norms, self.live = _insert_update(
+                self.vecs, self.int8, self.inv_norms, self.live,
+                x, np.int32(start), dims=self.cfg.matryoshka_dims,
+            )
+        elif self.int8 is not None:  # capacity mode
+            self.int8, self.inv_norms, self.live = _insert_update_single(
+                self.int8, self.inv_norms, self.live, x, np.int32(start),
+                dims=self.cfg.matryoshka_dims, keep="int8",
+            )
+        else:
+            self.vecs, self.inv_norms, self.live = _insert_update_single(
+                self.vecs, self.inv_norms, self.live, x, np.int32(start),
+                dims=self.cfg.matryoshka_dims, keep="bf16",
+            )
         if self.prefix_int8 is not None:
             self.prefix_int8 = _prefix_update(
                 self.prefix_int8, x, np.int32(start),
@@ -151,7 +186,12 @@ class DenseIndex:
         filter_mask: Optional[jax.Array] = None,
         approx: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Exact (or per-block approx) full-precision search."""
+        """Exact (or per-block approx) full-precision search. In capacity
+        mode (no bf16 plane) this scans the int8 table — exact up to
+        quantization."""
+        if self.vecs is None:
+            return self.search_int8(queries, k, filter_mask=filter_mask,
+                                    approx=approx)
         q = self.normalize_queries(queries).astype(self.vecs.dtype)
         return blocked_topk(
             self.vecs, q, k,
@@ -167,6 +207,8 @@ class DenseIndex:
                     approx: bool = True) -> Tuple[jax.Array, jax.Array]:
         """Quantized candidate generation (parity: Qdrant int8 prefetch,
         qdrant_handler.py:333-344)."""
+        if self.int8 is None:
+            raise ValueError("store_int8=False: no quantized table")
         q = self.normalize_queries(queries)
         q8 = quantize_int8(q)
         return blocked_topk(
@@ -182,6 +224,10 @@ class DenseIndex:
                           filter_mask: Optional[jax.Array] = None,
                           approx: bool = True) -> Tuple[jax.Array, jax.Array]:
         """Prefix-view candidate generation at matryoshka level ``level``."""
+        if self.vecs is None:
+            raise ValueError(
+                "store_bf16=False: matryoshka prefix views need the bf16 "
+                "plane (the int8 table is full-dim only)")
         dim = self.cfg.matryoshka_dims[level]
         q = self.normalize_queries(queries).astype(self.vecs.dtype)
         return blocked_topk(
@@ -206,13 +252,15 @@ class DenseIndex:
         """
         q = self.normalize_queries(queries)
         safe = jnp.clip(candidates, 0, self.capacity - 1)
+        table = self.vecs if self.vecs is not None else self.int8
+        scale = 1.0 if self.vecs is not None else 1.0 / 127.0
         if level is None:
-            scores = gather_rescore(self.vecs, q, safe,
-                                    candidate_valid=candidate_valid)
+            scores = gather_rescore(table, q, safe,
+                                    candidate_valid=candidate_valid) * scale
         else:
             dim = self.cfg.matryoshka_dims[level]
-            scores = gather_rescore(self.vecs[:, :dim], q[:, :dim], safe,
-                                    candidate_valid=candidate_valid)
+            scores = gather_rescore(table[:, :dim], q[:, :dim], safe,
+                                    candidate_valid=candidate_valid) * scale
             scores = scores * self.inv_norms[safe, level]
         in_range = jnp.logical_and(candidates >= 0, candidates < self.size)
         return jnp.where(in_range, scores, -jnp.inf)

@@ -123,7 +123,12 @@ def fused_hybrid(
     invalid slots have score -inf and id INVALID_ID."""
     q = queries.astype(jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-    qb = q.astype(vecs.dtype)
+    # capacity mode (store_bf16=False): no bf16 plane — the int8 table
+    # doubles as the exact-rescore source (dequantized by 1/127; the
+    # rows were normalized before quantization)
+    rescore_table = vecs if vecs is not None else int8
+    rescore_scale = 1.0 if vecs is not None else 1.0 / 127.0
+    qb = q.astype(vecs.dtype) if vecs is not None else q
 
     mask = live
     if spec.has_filter and filter_mask is not None:
@@ -154,6 +159,7 @@ def fused_hybrid(
 
     # --- matryoshka cascade ---
     if spec.matryoshka_dims:
+        assert vecs is not None, "matryoshka cascade needs the bf16 plane"
         m = spec.matryoshka_limits
         vals, ids = corpus_scan(
             vecs, qb, m[0],
@@ -182,7 +188,7 @@ def fused_hybrid(
             i_vals, i_ids = corpus_scan(prefix_int8, quantize_int8(qp),
                                         spec.quantized_limit)
             # prefix scores are coarse: refine with an exact rescore
-            i_vals, i_ids = _exact_rescore(vecs, q, i_ids,
+            i_vals, i_ids = _exact_rescore(rescore_table, q, i_ids,
                                            jnp.isfinite(i_vals),
                                            spec.dense_limit)
         else:
@@ -231,7 +237,8 @@ def fused_hybrid(
     )
     all_ids = jnp.where(all_valid, all_ids, INVALID_ID)
     keep = first_occurrence_mask(all_ids) & (all_ids != INVALID_ID)
-    scores = gather_rescore(vecs, q, jnp.where(keep, all_ids, 0))
+    scores = gather_rescore(rescore_table, q,
+                            jnp.where(keep, all_ids, 0)) * rescore_scale
     scores = jnp.where(keep, scores, NEG_INF)
     k_eff = min(spec.k, all_ids.shape[-1])
     top_scores, pos = jax.lax.top_k(scores, k_eff)
@@ -302,6 +309,8 @@ class FusedSearcher:
         METRICS.inc("search_queries", q.shape[0])
         f = funnel or self.funnel
         d = self.dense
+        if d.vecs is None:  # capacity mode: prefix views unavailable
+            use_matryoshka = False
         use_sparse = sparse_queries is not None
         sparse_arrays = None
         sparse_pool = 1024

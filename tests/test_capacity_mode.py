@@ -1,0 +1,123 @@
+"""Capacity mode (store_bf16=False): int8-only storage for 2.4x more
+rows per chip. Search scans int8 and the exact rescore dequantizes int8
+rows — results must track the full-mode funnel up to quantization.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rag_application_tpu.config import FunnelConfig, IndexConfig
+from rag_application_tpu.index.dense import DenseIndex
+from rag_application_tpu.search.fused import FusedSearcher
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_capacity_mode_memory_and_search(rng):
+    n, d = 3000, 128
+    cfg = IndexConfig(dim=d, matryoshka_dims=(), store_bf16=False,
+                      initial_capacity=1024)
+    idx = DenseIndex(cfg)
+    assert idx.vecs is None
+    corpus = normed(rng, n, d)
+    idx.insert(corpus[:2000])
+    idx.insert(corpus[2000:])  # exercises capacity growth
+    assert idx.size == n and idx.capacity >= n
+    queries = corpus[:8] + 0.02 * rng.standard_normal((8, d)).astype(np.float32)
+    vals, ids = idx.search(queries, 5)
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
+    # matryoshka views are unavailable without the bf16 plane
+    cfg2 = IndexConfig(dim=d, matryoshka_dims=(64,), store_bf16=False,
+                       initial_capacity=1024)
+    idx2 = DenseIndex(cfg2)
+    idx2.insert(corpus[:100])
+    with pytest.raises(ValueError, match="matryoshka"):
+        idx2.search_matryoshka(queries, 5, 0)
+
+
+def test_capacity_mode_funnel_tracks_full_mode(rng):
+    n, d, k = 2500, 128, 10
+    corpus = normed(rng, n, d)
+    queries = corpus[:16] + 0.05 * rng.standard_normal((16, d)).astype(np.float32)
+    funnel = FunnelConfig(dense_limit=24, quantized_limit=32,
+                          sparse_limit=0, final_limit=k)
+
+    full = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                  initial_capacity=4096))
+    full.insert(corpus)
+    cap = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                 store_bf16=False, initial_capacity=4096))
+    cap.insert(corpus)
+
+    sf = FusedSearcher(full, None, funnel, scan_impl="pallas",
+                       scan_block_rows=512)
+    sc = FusedSearcher(cap, None, funnel, scan_impl="pallas",
+                       scan_block_rows=512)
+    v_f, i_f = sf.search(queries, None, k, use_matryoshka=False)
+    v_c, i_c = sc.search(queries, None, k, use_matryoshka=False)
+    i_f, i_c = np.asarray(i_f), np.asarray(i_c)
+    overlap = np.mean([np.isin(i_f[i], i_c[i]).mean() for i in range(16)])
+    assert overlap >= 0.9  # same candidates; rescore differs by int8 noise
+    # capacity-mode scores approximate the true cosines (dequantized int8)
+    v_c = np.asarray(v_c)
+    assert np.all(v_c[np.isfinite(v_c)] <= 1.02)
+    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+    exact_best = np.max(qn @ corpus.T, axis=-1)
+    np.testing.assert_allclose(v_c[:, 0], exact_best, atol=0.03)
+
+
+def test_capacity_mode_checkpoint_roundtrip(rng, tmp_path):
+    from rag_application_tpu.config import Config, SparseConfig
+    from rag_application_tpu.index.checkpoint import (load_collection,
+                                                      save_collection)
+    from rag_application_tpu.store.collection import Collection
+
+    cfg = Config()
+    cfg.index = IndexConfig(dim=64, matryoshka_dims=(), store_bf16=False,
+                            initial_capacity=256)
+    cfg.sparse = SparseConfig(candidate_pool=32, max_query_terms=8)
+    col = Collection("cap", cfg)
+    corpus = normed(rng, 100, 64)
+    col.store_document_vectors(
+        "doc", [{"text": f"chunk {i}"} for i in range(100)], corpus)
+    path = str(tmp_path / "snap")
+    save_collection(col, path)
+    col2 = load_collection(path, cfg)
+    assert col2.dense.vecs is None and col2.dense.int8 is not None
+    assert col2.dense.size == 100
+    vals, ids = col2.dense.search(corpus[:4], 3)
+    assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
+
+    # storage-plane mismatch is rejected
+    cfg_full = Config()
+    cfg_full.index = IndexConfig(dim=64, matryoshka_dims=(),
+                                 initial_capacity=256)
+    cfg_full.sparse = cfg.sparse
+    with pytest.raises(ValueError, match="storage planes"):
+        load_collection(path, cfg_full)
+
+
+def test_bf16_only_mode(rng):
+    """store_int8=False: quantized table dropped; bf16 paths intact."""
+    n, d = 1200, 64
+    cfg = IndexConfig(dim=d, matryoshka_dims=(), store_int8=False,
+                      initial_capacity=2048)
+    idx = DenseIndex(cfg)
+    corpus = normed(rng, n, d)
+    idx.insert(corpus)
+    assert idx.int8 is None
+    vals, ids = idx.search(corpus[:6], 5)
+    assert (np.asarray(ids)[:, 0] == np.arange(6)).all()
+    with pytest.raises(ValueError, match="store_int8"):
+        idx.search_int8(corpus[:2], 5)
+    with pytest.raises(ValueError, match="at least one"):
+        DenseIndex(IndexConfig(dim=d, store_int8=False, store_bf16=False))
