@@ -181,6 +181,17 @@ def fused_scan_topk(
     nb = cdiv(n, block_rows)
     padded = nb * block_rows
     if padded != n:
+        if corpus.nbytes > 256 * 1024 * 1024:
+            import logging
+
+            # the pad materializes a second copy of the table — at multi-
+            # GiB corpora that transient can OOM the chip (keep the index
+            # capacity a multiple of block_rows to avoid it)
+            logging.getLogger("rag_application_tpu.ops").warning(
+                "fused_scan_topk: corpus rows (%d) not a multiple of "
+                "block_rows (%d) — padding copies the %.1f GiB table; "
+                "align the index capacity to avoid the transient",
+                n, block_rows, corpus.nbytes / 2**30)
         corpus = jnp.pad(corpus, ((0, padded - n), (0, 0)))
         if inv_norms is not None:
             inv_norms = jnp.pad(inv_norms, (0, padded - n))
