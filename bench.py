@@ -86,9 +86,13 @@ def run():
     # reads 1/6th of the corpus bytes and runs 1/6th of the MXU work.
     # BENCH_STORE=int8 selects capacity mode (store_bf16=False): the
     # int8-only layout that fits 10M+ rows on one chip. Capacity is
-    # block-aligned there — fused_scan_topk pads-by-copy otherwise.
+    # aligned to the POST-CLAMP scan block (d>768 shrinks it) —
+    # fused_scan_topk pads-by-copy otherwise, doubling the table.
     int8_only = os.environ.get("BENCH_STORE", "full") == "int8"
-    cap = (-(-n // 16384) * 16384 if int8_only
+    scan_block = 16384
+    if d > 768:
+        scan_block = max(4096, (16384 * 768 // d) // 128 * 128)
+    cap = (-(-n // scan_block) * scan_block if int8_only
            else 1 << (n - 1).bit_length())
     dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(128, 256),
                                    store_bf16=not int8_only,
@@ -155,9 +159,7 @@ def run():
     # batches keep the full 16384-row corpus slab (d=2048 still OOMs
     # above ~6k rows; block 32768 fails Mosaic compile — don't).
     q_block = int(os.environ.get("BENCH_QBLOCK", 1024 if batch > 1024 else 0))
-    scan_block = 16384
-    if d > 768:
-        scan_block = max(4096, (16384 * 768 // d) // 128 * 128)
+    # scan_block computed once at build time (capacity alignment)
     searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas",
                              scan_block_rows=scan_block,
                              scan_approx_sheet=True,
@@ -389,12 +391,18 @@ def main():
     """Run the bench; retry once on a mid-run failure (the TPU attaches
     over a relay that occasionally drops transport mid-compile — a flap
     must not cost the round its number)."""
+    failed = False
     try:
         run()
     except Exception:  # noqa: BLE001
         import traceback
 
         traceback.print_exc(file=sys.stderr)
+        # retry OUTSIDE the except block: the active exception's
+        # traceback pins the failed attempt's frames — and with them
+        # multi-GiB device arrays — for the duration of a nested call
+        failed = True
+    if failed:
         log("[bench] attempt failed — retrying once in 90s")
         time.sleep(90)
         run()

@@ -188,10 +188,13 @@ class DenseIndex:
     ) -> Tuple[jax.Array, jax.Array]:
         """Exact (or per-block approx) full-precision search. In capacity
         mode (no bf16 plane) this scans the int8 table — exact up to
-        quantization."""
+        quantization, with scores rescaled back to cosines (the int8
+        dot of two 127-scaled unit rows is ~127^2 x cosine)."""
         if self.vecs is None:
-            return self.search_int8(queries, k, filter_mask=filter_mask,
-                                    approx=approx)
+            vals, ids = self.search_int8(queries, k,
+                                         filter_mask=filter_mask,
+                                         approx=approx)
+            return vals * (1.0 / (127.0 * 127.0)), ids
         q = self.normalize_queries(queries).astype(self.vecs.dtype)
         return blocked_topk(
             self.vecs, q, k,

@@ -120,7 +120,17 @@ def to_converse(
             turns.append({"role": m.role,
                           "content": [{"text": m.content or ""}]})
 
-    body: Dict[str, Any] = {"messages": turns}
+    # Converse enforces strictly alternating user/assistant roles —
+    # merge consecutive same-role turns (multiple toolResults, or a
+    # schema instruction appended after the user prompt) into one turn.
+    merged: List[Dict[str, Any]] = []
+    for t in turns:
+        if merged and merged[-1]["role"] == t["role"]:
+            merged[-1]["content"].extend(t["content"])
+        else:
+            merged.append(t)
+
+    body: Dict[str, Any] = {"messages": merged}
     if system:
         body["system"] = system
     p = params or {}

@@ -331,6 +331,12 @@ class FusedSearcher:
                    scan_q_block=self.scan_q_block,
                    scan_prefix_dim=(d.cfg.scan_prefix_dim
                                     if d.prefix_int8 is not None else 0))
+        if d.int8 is None:  # store_int8=False: no quantized scan table
+            spec = spec._replace(use_int8=False)
+        if not (spec.matryoshka_dims or spec.use_int8 or spec.sparse_limit):
+            raise ValueError(
+                "no funnel branch available: enable matryoshka (needs the "
+                "bf16 plane), int8 (store_int8=True), or the sparse index")
         scores, ids = fused_hybrid(
             d.vecs, d.int8, d.inv_norms, d.live,
             np.int32(d.size), q,

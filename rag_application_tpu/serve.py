@@ -15,14 +15,21 @@ import os
 
 
 def space_fingerprint(sp) -> tuple:
-    """Cheap change signal for skip-if-unchanged snapshots."""
-    return (sp.collection.chunk_count(),
+    """Change signal for skip-if-unchanged snapshots. Includes the
+    MONOTONIC dense.size and sparse doc count so delete+reinsert cycles
+    that leave the live chunk count unchanged still trigger a save."""
+    return (sp.collection.dense.size, len(sp.collection.sparse),
+            sp.collection.chunk_count(),
             tuple(sorted(sp.kg.stats().items())))
 
 
 def restore_spaces(state, ckpt_dir: str) -> list:
     """Load every user space found under `ckpt_dir` (one subdir per user,
-    the layout `checkpoint_spaces` writes). Returns restored user ids."""
+    the layout `checkpoint_spaces` writes). Returns restored user ids.
+
+    The user id is recovered from the checkpoint manifest (collection
+    name "user_<id>"), NOT from the directory name — directories are
+    filesystem-safe digests of the id."""
     from .api.app import UserSpace
     from .index.checkpoint import load_collection
     from .kg.checkpoint import load_kg
@@ -30,27 +37,33 @@ def restore_spaces(state, ckpt_dir: str) -> list:
     restored = []
     if not os.path.isdir(ckpt_dir):
         return restored
-    for user_id in sorted(os.listdir(ckpt_dir)):
-        path = os.path.join(ckpt_dir, user_id)
+    for entry in sorted(os.listdir(ckpt_dir)):
+        path = os.path.join(ckpt_dir, entry)
         if not os.path.isdir(os.path.join(path, "collection")):
             continue
         try:
             col = load_collection(os.path.join(path, "collection"),
                                   state.config)
             kg = load_kg(os.path.join(path, "kg"), state.config.kg)
+            user_id = (col.name[len("user_"):]
+                       if col.name.startswith("user_") else entry)
             pipe = state.make_pipeline(user_id, col, kg)
             state.users[user_id] = UserSpace(col, kg, pipe)
             restored.append(user_id)
             logging.info("restored space %r: %d chunks",
                          user_id, col.chunk_count())
         except Exception:  # noqa: BLE001
-            logging.exception("restore of %r failed", user_id)
+            logging.exception("restore of %r failed", entry)
     return restored
 
 
 def checkpoint_spaces(state, ckpt_dir: str, saved_fp: dict) -> list:
     """Snapshot every user space whose fingerprint moved since the last
-    save (atomic-by-rename per space). Returns saved user ids."""
+    save (atomic-by-rename per space). Returns saved user ids.
+
+    user_id comes from request bodies — it must never influence the
+    path (save_collection rmtree's siblings of its target), so the
+    per-user directory is the filesystem-safe digest name."""
     from .index.checkpoint import save_collection
     from .kg.checkpoint import save_kg
 
@@ -60,7 +73,7 @@ def checkpoint_spaces(state, ckpt_dir: str, saved_fp: dict) -> list:
             fp = space_fingerprint(sp)
             if saved_fp.get(user_id) == fp:
                 continue
-            path = os.path.join(ckpt_dir, user_id)
+            path = os.path.join(ckpt_dir, state._fs_safe(user_id))
             os.makedirs(path, exist_ok=True)
             save_collection(sp.collection, os.path.join(path, "collection"))
             save_kg(sp.kg, os.path.join(path, "kg"))
@@ -132,9 +145,13 @@ def main() -> None:
         async def checkpoint_loop():
             interval = float(
                 os.environ.get("RAGTPU_CHECKPOINT_INTERVAL", "300"))
+            loop = asyncio.get_running_loop()
             while True:
                 await asyncio.sleep(interval)
-                checkpoint_spaces(state, ckpt_dir, saved_fp)
+                # snapshots pull multi-GiB tables to host — keep them off
+                # the event loop so requests stay responsive
+                await loop.run_in_executor(
+                    None, checkpoint_spaces, state, ckpt_dir, saved_fp)
 
         asyncio.ensure_future(dedup_loop())
         if ckpt_dir:

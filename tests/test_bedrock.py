@@ -163,3 +163,30 @@ def test_google_provider_uses_openai_compat_base():
     r = LLMRouter(Provider.GOOGLE, model="gemini-2.0-flash")
     assert "generativelanguage.googleapis.com" in r.base_url
     assert r.base_url.endswith("/openai")
+
+
+def test_converse_roles_strictly_alternate():
+    """Converse rejects consecutive same-role turns — the mapper merges
+    them (schema instruction after the prompt; multiple toolResults)."""
+    msgs = [
+        ChatMessage("user", "question"),
+        ChatMessage("user", "Respond with ONLY valid JSON"),
+        ChatMessage("assistant", "", tool_calls=[
+            {"id": "a", "type": "function",
+             "function": {"name": "t1", "arguments": "{}"}},
+            {"id": "b", "type": "function",
+             "function": {"name": "t2", "arguments": "{}"}}]),
+        ChatMessage("tool", "r1", tool_call_id="a"),
+        ChatMessage("tool", "r2", tool_call_id="b"),
+        ChatMessage("user", "now answer"),
+    ]
+    body = to_converse(msgs)
+    roles = [t["role"] for t in body["messages"]]
+    for a, b in zip(roles, roles[1:]):
+        assert a != b, roles
+    # both tool results landed in ONE user turn
+    tr_turn = body["messages"][2]
+    assert [c["toolResult"]["toolUseId"] for c in tr_turn["content"]
+            if "toolResult" in c] == ["a", "b"]
+    # and the two user texts merged into one opening turn
+    assert len([c for c in body["messages"][0]["content"] if "text" in c]) == 2

@@ -121,3 +121,35 @@ def test_bf16_only_mode(rng):
         idx.search_int8(corpus[:2], 5)
     with pytest.raises(ValueError, match="at least one"):
         DenseIndex(IndexConfig(dim=d, store_int8=False, store_bf16=False))
+
+
+def test_bf16_only_funnel_disables_int8_branch(rng):
+    """store_int8=False must not crash the fused funnel — the int8
+    branch is disabled and matryoshka carries the search."""
+    n, d = 1500, 128
+    cfg = IndexConfig(dim=d, matryoshka_dims=(64,), store_int8=False,
+                      initial_capacity=2048)
+    idx = DenseIndex(cfg)
+    corpus = normed(rng, n, d)
+    idx.insert(corpus)
+    f = FunnelConfig(matryoshka_limits=(64,), dense_limit=16,
+                     quantized_limit=40, sparse_limit=0, final_limit=5)
+    s = FusedSearcher(idx, None, f, scan_impl="pallas", scan_block_rows=512)
+    queries = corpus[:6] + 0.01 * rng.standard_normal((6, d)).astype(np.float32)
+    v, i = s.search(queries, None, 5, use_matryoshka=True)
+    assert (np.asarray(i)[:, 0] == np.arange(6)).all()
+    # with every branch off, the error is informative, not a crash
+    with pytest.raises(ValueError, match="no funnel branch"):
+        s.search(queries, None, 5, use_matryoshka=False)
+
+
+def test_capacity_mode_search_scores_are_cosines(rng):
+    n, d = 1000, 128
+    idx = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                 store_bf16=False, initial_capacity=1024))
+    corpus = normed(rng, n, d)
+    idx.insert(corpus)
+    vals, ids = idx.search(corpus[:4], 3)
+    v = np.asarray(vals)
+    assert np.all(v[np.isfinite(v)] <= 1.02)
+    np.testing.assert_allclose(v[:, 0], 1.0, atol=0.02)  # self-match
