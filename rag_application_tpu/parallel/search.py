@@ -153,7 +153,9 @@ def sharded_hybrid_topk(
 
 def sharded_fused_hybrid(
     mesh: Mesh,
-    vecs: jax.Array,        # (S*R, d) bf16/f32 row-sharded over `axis`
+    vecs: Optional[jax.Array],  # (S*R, d) bf16/f32 row-sharded over `axis`,
+                                # or None (capacity mode: int8-only shards,
+                                # rescore dequantizes — 80M+ rows on a v5e-8)
     int8: jax.Array,        # (S*R, d) int8 row-sharded
     live: jax.Array,        # (S*R,) bool row-sharded
     post_packed: jax.Array,  # (S, V_pad, P) int32 stacked local postings
@@ -180,21 +182,14 @@ def sharded_fused_hybrid(
     from ..ops.bm25 import bm25_topk
     from ..ops.rrf import INVALID_ID, first_occurrence_mask
 
-    n = vecs.shape[0]
+    cap_mode = vecs is None
+    n = int8.shape[0]
     n_shards = mesh.shape[axis]
     if n % n_shards:
         raise ValueError(f"{n} rows not divisible by {n_shards}")
     rows_per_shard = n // n_shards
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis),
-                  P(axis, None, None), P(axis, None, None),
-                  P(), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    def search(v_s, i8_s, live_s, post_s, docp_s, q, qr, qt, qv):
+    def funnel(v_s, i8_s, live_s, post_s, docp_s, q, qr, qt, qv):
         shard_id = jax.lax.axis_index(axis)
         start = shard_id * rows_per_shard
         post_s, docp_s = post_s[0], docp_s[0]
@@ -217,15 +212,20 @@ def sharded_fused_hybrid(
             pool=sparse_pool, filter_mask=live_s,
         )
 
-        # deduped union -> exact local rescore -> per-shard top-k
+        # deduped union -> exact local rescore -> per-shard top-k.
+        # Capacity mode rescores from the int8 shard (rows normalized
+        # pre-quantization, so /127 restores cosines) — scores stay
+        # comparable across shards either way.
         all_ids = jnp.concatenate([i_ids, sp_ids], axis=-1)
         all_valid = jnp.concatenate(
             [jnp.isfinite(i_vals), jnp.isfinite(sp_vals)], axis=-1)
         all_ids = jnp.where(all_valid, all_ids, INVALID_ID)
         keep_m = first_occurrence_mask(all_ids) & (all_ids != INVALID_ID)
         safe = jnp.where(keep_m, all_ids, 0)
-        g = v_s[jnp.clip(safe, 0, rows_per_shard - 1)].astype(jnp.float32)
-        exact = jnp.einsum("qd,qcd->qc", q.astype(jnp.float32), g)
+        table = i8_s if v_s is None else v_s
+        scale = (1.0 / 127.0) if v_s is None else 1.0
+        g = table[jnp.clip(safe, 0, rows_per_shard - 1)].astype(jnp.float32)
+        exact = jnp.einsum("qd,qcd->qc", q.astype(jnp.float32), g) * scale
         exact = jnp.where(keep_m, exact, -jnp.inf)
         k_local = min(k, exact.shape[-1])
         top, pos = jax.lax.top_k(exact, k_local)
@@ -242,6 +242,20 @@ def sharded_fused_hybrid(
         out_i = jnp.take_along_axis(all_i, out_pos, axis=-1)
         return out_v, jnp.where(jnp.isfinite(out_v), out_i, INVALID_ID)
 
+    common_specs = (P(axis, None), P(axis),
+                    P(axis, None, None), P(axis, None, None),
+                    P(), P(), P(), P())
+    if cap_mode:
+        search = functools.partial(
+            shard_map, mesh=mesh, in_specs=common_specs,
+            out_specs=(P(), P()), check_vma=False,
+        )(lambda i8_s, *rest: funnel(None, i8_s, *rest))
+        return search(int8, live, post_packed, doc_packed,
+                      queries, q_rows, q_terms, q_valid)
+    search = functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(axis, None),) + common_specs,
+        out_specs=(P(), P()), check_vma=False,
+    )(funnel)
     return search(vecs, int8, live, post_packed, doc_packed,
                   queries, q_rows, q_terms, q_valid)
 
@@ -295,3 +309,12 @@ def sharded_topk_dryrun(mesh: Mesh) -> None:
         sparse_pool=32, block_size=32)
     i3 = np.asarray(i3)
     assert (i3[:, 0] == np.arange(q)).all(), f"full funnel failed: {i3[:, 0]}"
+
+    # capacity mode (vecs=None): int8-only shards, dequantized rescore
+    v4, i4 = sharded_fused_hybrid(
+        mesh, None, int8_sharded, live, post, docp,
+        jnp.asarray(queries), q_rows, q_terms, q_valid, k,
+        axis=axis, quantized_limit=8, dense_limit=8, sparse_limit=4,
+        sparse_pool=32, block_size=32)
+    i4 = np.asarray(i4)
+    assert (i4[:, 0] == np.arange(q)).all(), f"capacity funnel failed: {i4[:, 0]}"

@@ -150,6 +150,20 @@ def test_sharded_fused_hybrid_full_funnel(rng):
     # scores are global cosines, descending
     assert (np.diff(vals, axis=-1) <= 1e-6).all()
 
+    # capacity mode (vecs=None): same funnel from int8-only shards;
+    # top hits match and scores stay cosine-scaled
+    v_c, i_c = sharded_fused_hybrid(
+        mesh, None, int8_d, live_d, post_d, docp_d,
+        jnp.asarray(queries), q_rows, q_terms, q_valid, k,
+        axis=axis, quantized_limit=r, dense_limit=r, sparse_limit=8,
+        sparse_pool=64, block_size=32)
+    i_c = np.asarray(i_c); v_c = np.asarray(v_c)
+    assert (i_c[:, 0] == q_idx).all()
+    overlap = np.mean([np.isin(ids[i], i_c[i]).mean()
+                       for i in range(len(q_idx))])
+    assert overlap >= 0.9, overlap
+    assert np.all(v_c[np.isfinite(v_c)] <= 1.02)
+
 
 def test_sharded_sparse_scores_match_host_oracle(rng):
     """Per-shard BM25 with global stats reproduces the exact host scores
