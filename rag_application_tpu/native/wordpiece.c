@@ -178,8 +178,11 @@ int64_t wp_encode(void *h, const char *text, int64_t text_len,
     for (int64_t i = 0; i < text_len; i++)
         if ((unsigned char)text[i] >= 0x80) return -1;
 
+    if (max_len < 2) { /* no room for [CLS] ... [SEP]: write what fits */
+        if (max_len >= 1) out[0] = w->cls_id >= 0 ? w->cls_id : w->unk_id;
+        return max_len > 0 ? max_len : 0;
+    }
     int64_t body_cap = max_len - 2;
-    if (body_cap < 0) body_cap = 0;
     int32_t *body = out + 1; /* write body in place after [CLS] slot */
     int64_t n = 0;
 
