@@ -57,6 +57,31 @@ class UserSpace:
     collection: Collection
     kg: KGStore
     pipeline: IngestPipeline
+    batcher: Optional[object] = None  # lazy MicroBatcher (search/batcher.py)
+
+    def get_batcher(self, embedder):
+        """Per-space request micro-batcher: concurrent /search/hybrid
+        requests ride ONE encode + ONE engine dispatch
+        (see search/batcher.py)."""
+        if self.batcher is None:
+            import os
+
+            from ..search.batcher import MicroBatcher
+
+            col = self.collection
+
+            def run(embs, texts, limit):
+                if embs is None:
+                    embs = embedder.encode(texts)
+                return col.hybrid_search_batch(embs, texts, limit)
+
+            self.batcher = MicroBatcher(
+                run,
+                max_batch=int(os.environ.get("RAGTPU_MICROBATCH_MAX", 256)),
+                max_wait_ms=float(
+                    os.environ.get("RAGTPU_MICROBATCH_WAIT_MS", 2.0)),
+            )
+        return self.batcher
 
 
 @dataclass
@@ -579,9 +604,10 @@ def build_app(config: Optional[Config] = None, *,
             return deny
         body = req.json()
         sp = state.space(body.get("user_id", "default"))
-        q = state.embedder.encode([body["query"]])[0]
-        hits = sp.collection.hybrid_search(
-            q, body["query"], limit=body.get("limit", 10))
+        # concurrent requests micro-batch onto ONE encoder forward + ONE
+        # engine dispatch (embedding=None -> the batcher encodes)
+        hits = await sp.get_batcher(state.embedder).search(
+            None, body["query"], body.get("limit", 10))
         return {"results": [
             {"score": h.score, "payload": h.payload} for h in hits]}
 
