@@ -102,3 +102,37 @@ def test_auto_checkpoint_and_boot_restore(tmp_path):
         assert len(hits) > 0
 
     asyncio.run(main())
+
+
+def test_fingerprint_catches_count_neutral_mutation(tmp_path):
+    """Delete doc A + ingest same-size doc B within one interval: live
+    counts return to their old values, but the monotonic dense.size moves
+    — the next checkpoint pass must re-snapshot (review finding: the old
+    fingerprint skipped it, losing B on restore)."""
+    import numpy as np
+
+    from rag_application_tpu.serve import checkpoint_spaces, restore_spaces
+
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        _, state = build_app(small_config(), llm=llm, embedder=emb)
+        sp = state.space("u")
+        await sp.pipeline.ingest_text("alpha " * 40, document_id="A")
+        ckpt = str(tmp_path / "fp")
+        saved_fp = {}
+        assert checkpoint_spaces(state, ckpt, saved_fp) == ["u"]
+
+        n_before = sp.collection.chunk_count()
+        sp.collection.delete_document("A")
+        await sp.pipeline.ingest_text("omega " * 40, document_id="B")
+        assert sp.collection.chunk_count() == n_before  # count-neutral
+        assert checkpoint_spaces(state, ckpt, saved_fp) == ["u"]  # re-saved
+
+        _, state2 = build_app(small_config(), llm=llm, embedder=emb)
+        restore_spaces(state2, ckpt)
+        qv = np.asarray(emb.encode(["omega"]))[0]
+        hits = state2.space("u").collection.hybrid_search(qv, "omega", limit=3)
+        assert any("omega" in h.payload.get("text", "") for h in hits)
+
+    asyncio.run(main())
