@@ -153,3 +153,53 @@ def test_capacity_mode_search_scores_are_cosines(rng):
     v = np.asarray(vals)
     assert np.all(v[np.isfinite(v)] <= 1.02)
     np.testing.assert_allclose(v[:, 0], 1.0, atol=0.02)  # self-match
+
+
+def test_capacity_mode_through_app_stack(rng):
+    """Capacity mode config flows through build_app -> ingest -> hybrid
+    search over HTTP (the RAGTPU_INDEX_STORE_BF16=0 deployment path)."""
+    import asyncio
+
+    import httpx
+
+    from rag_application_tpu.api.app import build_app
+    from rag_application_tpu.api.http import HTTPServer
+    from rag_application_tpu.config import (Config, EncoderConfig,
+                                            SparseConfig)
+    from rag_application_tpu.llm.router import LLMRouter, Provider
+    from rag_application_tpu.models.embedder import Embedder
+
+    tiny = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1,
+                         num_heads=4, mlp_dim=64, max_len=32, out_dim=32,
+                         dtype="float32")
+    cfg = Config()
+    cfg.index = IndexConfig(dim=32, matryoshka_dims=(), store_bf16=False,
+                            initial_capacity=64)
+    cfg.sparse = SparseConfig(candidate_pool=32, max_query_terms=8)
+    cfg.funnel = FunnelConfig(dense_limit=5, quantized_limit=5,
+                              sparse_limit=5, final_limit=5)
+    cfg.kg.entity_dim = 32
+
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=tiny, batch_size=4, max_len=16)
+        router, state = build_app(cfg, llm=llm, embedder=emb)
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}", timeout=60
+            ) as c:
+                r = await c.post("/ingest/raw-text", json={
+                    "text": "capacity mode keeps only the int8 plane " * 10,
+                    "document_id": "d", "user_id": "u"})
+                assert r.status_code == 202, r.text
+                r = await c.post("/api/v1/search/hybrid",
+                                 json={"query": "int8 plane", "user_id": "u"})
+                assert r.status_code == 200 and r.json()["results"], r.text
+                assert state.users["u"].collection.dense.vecs is None
+                assert r.json()["results"][0]["score"] <= 1.02
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
