@@ -82,7 +82,7 @@ class MCPClient:
                                  {"name": tool, "arguments": arguments or {}})
         text = "".join(c.get("text", "")
                        for c in (result or {}).get("content", []))
-        if result.get("isError"):
+        if (result or {}).get("isError"):
             raise RuntimeError(text)
         try:
             return json.loads(text)
