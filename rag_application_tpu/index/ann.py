@@ -151,9 +151,22 @@ class GraphIndex:
         p = params or GraphSearchParams()
         q = self.dense.normalize_queries(queries)
         nq = q.shape[0]
-        entries = jnp.broadcast_to(
-            jnp.asarray(self.entry_ids)[None, :], (nq, len(self.entry_ids))
-        )
+        ent = jnp.asarray(self.entry_ids)
+        if len(self.entry_ids) > p.ef:
+            # Entries are shared across queries — score them with ONE
+            # (S, d) gather + matmul and hand each query only its top-ef.
+            # Broadcasting all S entries into the beam would gather a
+            # (Q, S, d) tensor (25 GiB at Q=2048, S=8192) for scores a
+            # plain matmul yields. Large S is how clustered corpora stay
+            # reachable (kNN graphs disconnect across well-separated
+            # clusters; entries must cover them).
+            evecs = self.dense.vecs[ent].astype(jnp.float32)  # (S, d)
+            escore = q.astype(jnp.float32) @ evecs.T          # (Q, S)
+            _, pos = jax.lax.approx_max_k(escore, p.ef)
+            entries = ent[pos]                                 # (Q, ef)
+        else:
+            entries = jnp.broadcast_to(
+                ent[None, :], (nq, len(self.entry_ids)))
         mask = self.dense.live
         if filter_mask is not None:
             mask = jnp.logical_and(mask, filter_mask)
