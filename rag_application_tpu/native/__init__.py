@@ -8,6 +8,7 @@ ctypes). Build artifacts land next to the sources.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -20,18 +21,38 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _src_digest(src: str) -> str:
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def build_lib(src: str, so: str, force: bool = False) -> str:
-    """Compile one C source into a shared library (lazy, mtime-checked)."""
+    """Compile one C source into a shared library.
+
+    Staleness is decided by a content hash of the source recorded in a
+    sidecar file, not mtime: a fresh checkout gives .c and a stale .so
+    identical mtimes, which would silently load outdated code.
+    """
+    stamp = so + ".sha256"
     with _lock:
-        if force or not os.path.exists(so) or (
-            os.path.getmtime(so) < os.path.getmtime(src)
-        ):
+        digest = _src_digest(src)
+        current = None
+        if os.path.exists(stamp):
+            try:
+                with open(stamp) as f:
+                    current = f.read().strip()
+            except OSError:
+                current = None
+        if force or not os.path.exists(so) or current != digest:
             tmp = so + ".tmp"
             subprocess.run(
                 ["cc", "-O3", "-fPIC", "-shared", "-o", tmp, src],
                 check=True, capture_output=True,
             )
             os.replace(tmp, so)
+            with open(stamp + ".tmp", "w") as f:
+                f.write(digest)
+            os.replace(stamp + ".tmp", stamp)
     return so
 
 
