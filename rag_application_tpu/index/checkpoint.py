@@ -43,40 +43,64 @@ def _u16_to_bf16(x: np.ndarray) -> jax.Array:
 
 
 def save_collection(col: "Collection", path: str) -> None:
+    # --- capture phase, under the collection's mutation lock -------------
+    # `serve.checkpoint_spaces` calls this from an executor thread while
+    # the event loop keeps mutating; a torn read (dense rows without the
+    # matching sparse/payload rows) would misalign the row space on
+    # restore. The dense planes must be pulled to host HERE: the insert
+    # jits donate their input buffers (dense.py donate_argnums), so a
+    # captured device reference is invalidated by the next insert.
+    with col.lock:
+        dense = col.dense
+        d_vecs = None if dense.vecs is None else (
+            _bf16_to_u16(dense.vecs) if dense.vecs.dtype == jnp.bfloat16
+            else np.asarray(dense.vecs, dtype=np.float32))
+        d_vecs_bf16 = dense.vecs is not None and dense.vecs.dtype == jnp.bfloat16
+        d_vec_dtype = str(dense.vecs.dtype) if dense.vecs is not None else None
+        d_int8 = None if dense.int8 is None else np.asarray(dense.int8)
+        d_inv_norms = np.asarray(dense.inv_norms)
+        d_live = np.asarray(dense.live)
+        d_size = dense.size
+
+        sp = col.sparse
+        # triplets cover ALL docs (tombstones re-applied on load via
+        # doc_deleted) — taken straight from the CSR chunks, no per-doc loop
+        terms, tfs, counts, lens = sp._flat()
+        n_docs = len(sp)
+        deleted_rows = sorted(sp._deleted) if sp._deleted else []
+        # id order == insertion order
+        vocab_terms = sorted(sp.analyzer.vocab, key=sp.analyzer.vocab.get)
+
+        payloads_json = json.dumps(col.payloads._payloads)
+        n_payloads = len(col.payloads)
+
+    # --- write phase -----------------------------------------------------
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
 
-    dense = col.dense
     # bf16 stores bitcast under vecs_u16; any other dtype must use the
     # plain key (both under vecs_u16 would bitcast f32 as bf16 on load).
     # Reduced storage modes simply omit the absent plane's key.
     vec_kw = {}
-    if dense.vecs is not None:
-        if dense.vecs.dtype == jnp.bfloat16:
-            vec_kw["vecs_u16"] = _bf16_to_u16(dense.vecs)
-        else:
-            vec_kw["vecs"] = np.asarray(dense.vecs, dtype=np.float32)
-    if dense.int8 is not None:
-        vec_kw["int8"] = np.asarray(dense.int8)
+    if d_vecs is not None:
+        vec_kw["vecs_u16" if d_vecs_bf16 else "vecs"] = d_vecs
+    if d_int8 is not None:
+        vec_kw["int8"] = d_int8
     np.savez(
         os.path.join(tmp, "dense.npz"),
         **vec_kw,
-        inv_norms=np.asarray(dense.inv_norms),
-        live=np.asarray(dense.live),
+        inv_norms=d_inv_norms,
+        live=d_live,
     )
 
-    sp = col.sparse
-    # triplets cover ALL docs (tombstones re-applied on load via
-    # doc_deleted) — taken straight from the CSR chunks, no per-doc loop
-    terms, tfs, counts, lens = sp._flat()
-    rows = np.repeat(np.arange(len(sp), dtype=np.int64), counts)
+    rows = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     trip = np.stack(
         [rows, terms.astype(np.int64), tfs.astype(np.int64)], axis=1)
-    deleted = np.zeros(len(sp), dtype=bool)
-    if sp._deleted:
-        deleted[np.asarray(sorted(sp._deleted))] = True
+    deleted = np.zeros(n_docs, dtype=bool)
+    if deleted_rows:
+        deleted[np.asarray(deleted_rows)] = True
     np.savez(
         os.path.join(tmp, "sparse.npz"),
         triplets=trip,
@@ -84,24 +108,21 @@ def save_collection(col: "Collection", path: str) -> None:
         doc_deleted=deleted,
     )
     with open(os.path.join(tmp, "vocab.json"), "w") as f:
-        # id order == insertion order
-        terms = sorted(sp.analyzer.vocab, key=sp.analyzer.vocab.get)
-        json.dump(terms, f)
+        json.dump(vocab_terms, f)
 
     with open(os.path.join(tmp, "payloads.json"), "w") as f:
-        json.dump(col.payloads._payloads, f)
+        f.write(payloads_json)
 
     manifest = {
         "version": MANIFEST_VERSION,
         "name": col.name,
-        "size": dense.size,
+        "size": d_size,
         "dim": dense.cfg.dim,
         "matryoshka_dims": list(dense.cfg.matryoshka_dims),
-        "vec_dtype": (str(dense.vecs.dtype)
-                      if dense.vecs is not None else None),
-        "store_bf16": dense.vecs is not None,
-        "store_int8": dense.int8 is not None,
-        "n_payloads": len(col.payloads),
+        "vec_dtype": d_vec_dtype,
+        "store_bf16": d_vecs is not None,
+        "store_int8": d_int8 is not None,
+        "n_payloads": n_payloads,
     }
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)

@@ -30,42 +30,55 @@ def _dump_array(x: jax.Array) -> np.ndarray:
 
 
 def save_kg(kg: KGStore, path: str) -> None:
+    # --- capture under the store's mutation lock -------------------------
+    # Called from the checkpoint executor thread while the event loop
+    # mutates (upserts, dedup merges). The vector planes are pulled to
+    # host here because the insert jits donate their inputs (a captured
+    # device reference dies on the next upsert); host dicts are
+    # serialized to JSON strings while still under the lock (a mutation
+    # mid-json.dump would tear the graph or raise "dict changed during
+    # iteration").
+    with kg.lock:
+        arrays = {}
+        meta_spaces = {}
+        for space, table in kg.spaces.items():
+            idx = table.index
+            arrays[f"{space.value}_vecs"] = _dump_array(idx.vecs)
+            arrays[f"{space.value}_int8"] = np.asarray(idx.int8)
+            arrays[f"{space.value}_live"] = np.asarray(idx.live)
+            meta_spaces[space.value] = {
+                "size": idx.size,
+                "bf16": str(idx.vecs.dtype) == "bfloat16",
+                "payloads": table.payloads,
+                "by_key": [[list(k), v] for k, v in table.by_key.items()],
+            }
+        graph = {
+            "documents": kg.documents,
+            "doc_pages": {d: {str(p): r for p, r in pages.items()}
+                          for d, pages in kg.doc_pages.items()},
+            "entity_edges": {str(k): v for k, v in kg.entity_edges.items()},
+            "page_mentions": {str(k): v for k, v in kg.page_mentions.items()},
+            "column_values": {str(k): v for k, v in kg.column_values.items()},
+            "scope": kg.scope,
+        }
+        graph_json = json.dumps(graph, default=str)
+        manifest_json = json.dumps(
+            {"version": KG_MANIFEST_VERSION, "dim": kg.dim,
+             "spaces": meta_spaces}, default=str)
+
+    # --- write phase -----------------------------------------------------
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
 
-    arrays = {}
-    meta_spaces = {}
-    for space, table in kg.spaces.items():
-        idx = table.index
-        arrays[f"{space.value}_vecs"] = _dump_array(idx.vecs)
-        arrays[f"{space.value}_int8"] = np.asarray(idx.int8)
-        arrays[f"{space.value}_live"] = np.asarray(idx.live)
-        meta_spaces[space.value] = {
-            "size": idx.size,
-            "bf16": str(idx.vecs.dtype) == "bfloat16",
-            "payloads": table.payloads,
-            "by_key": [[list(k), v] for k, v in table.by_key.items()],
-        }
     np.savez(os.path.join(tmp, "spaces.npz"), **arrays)
 
-    graph = {
-        "documents": kg.documents,
-        "doc_pages": {d: {str(p): r for p, r in pages.items()}
-                      for d, pages in kg.doc_pages.items()},
-        "entity_edges": {str(k): v for k, v in kg.entity_edges.items()},
-        "page_mentions": {str(k): v for k, v in kg.page_mentions.items()},
-        "column_values": {str(k): v for k, v in kg.column_values.items()},
-        "scope": kg.scope,
-    }
     with open(os.path.join(tmp, "graph.json"), "w") as f:
-        json.dump(graph, f, default=str)
+        f.write(graph_json)
 
-    manifest = {"version": KG_MANIFEST_VERSION, "dim": kg.dim,
-                "spaces": meta_spaces}
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump(manifest, f, default=str)
+        f.write(manifest_json)
 
     # swap via rename: rmtree-then-rename left a window with NO
     # checkpoint at `path` if the process died between the two calls

@@ -160,8 +160,11 @@ def merge_duplicates(kg: KGStore, pairs: List[Tuple[int, int, float]]) -> int:
 
 
 def deduplicate(kg: KGStore, **kw) -> int:
-    """One full dedup pass (parity: deduplicate_user_graph)."""
-    return merge_duplicates(kg, find_duplicates(kg, **kw))
+    """One full dedup pass (parity: deduplicate_user_graph). Holds the
+    store's mutation lock so a concurrent checkpoint snapshot never sees
+    a half-merged entity table."""
+    with kg.lock:
+        return merge_duplicates(kg, find_duplicates(kg, **kw))
 
 
 async def deduplication_loop(kg: KGStore, *, interval: float = 300.0,

@@ -24,6 +24,7 @@ program + score-sorted merge (parity: `search_across_spaces`,
 from __future__ import annotations
 
 import enum
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -32,6 +33,7 @@ import numpy as np
 
 from ..config import IndexConfig, KGConfig
 from ..index.dense import DenseIndex
+from ..store.collection import mutator
 
 
 class Space(str, enum.Enum):
@@ -86,6 +88,7 @@ class KGStore:
         node (neo4j_handler.py MATCH clauses on user_id/org_id).
         """
         self.cfg = config or KGConfig()
+        self.lock = threading.RLock()
         self.dim = dim
         self.scope = scope or {}
         icfg = IndexConfig(dim=dim, matryoshka_dims=(), initial_capacity=1024,
@@ -109,12 +112,14 @@ class KGStore:
 
     # ------------------------------------------------------------ documents
 
+    @mutator
     def upsert_document(self, document_id: str, metadata: Dict[str, Any]) -> None:
         meta = dict(metadata)
         meta.update(self.scope)
         self.documents[document_id] = meta
         self.doc_pages.setdefault(document_id, {})
 
+    @mutator
     def reset_document(self, document_id: str) -> int:
         """Delete every node hanging off a document (parity:
         reset_document, neo4j_handler.py:99-152). Idempotent."""
@@ -138,6 +143,7 @@ class KGStore:
         self._adj_cache = None
         return removed
 
+    @mutator
     def delete_document(self, document_id: str) -> int:
         removed = self.reset_document(document_id)
         self.doc_pages.pop(document_id, None)
@@ -152,6 +158,7 @@ class KGStore:
 
     # --------------------------------------------------------------- pages
 
+    @mutator
     def upsert_unstructured_page(
         self,
         document_id: str,
@@ -251,6 +258,7 @@ class KGStore:
 
     # ----------------------------------------------------- structured sheets
 
+    @mutator
     def upsert_structured_sheet(
         self,
         document_id: str,

@@ -10,6 +10,8 @@ maps them to Qdrant collection names (`create_collection`, :34-117).
 
 from __future__ import annotations
 
+import functools
+import threading
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -31,10 +33,25 @@ class SearchHit:
     payload: Dict[str, Any]
 
 
+def mutator(fn):
+    """Serialize writers against the checkpoint snapshotter.
+
+    Mutations all happen on the event-loop thread, but
+    `serve.checkpoint_spaces` captures state from an executor thread; a
+    snapshot taken mid-insert would hold dense rows without their
+    sparse/payload rows and misalign the row space on restore."""
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        with self.lock:
+            return fn(self, *args, **kwargs)
+    return inner
+
+
 class Collection:
     def __init__(self, name: str, config: Optional[Config] = None):
         self.name = name
         self.cfg = config or Config()
+        self.lock = threading.RLock()
         self.dense = DenseIndex(self.cfg.index)
         self.sparse = SparseIndex(self.cfg.sparse)
         self.payloads = PayloadStore()
@@ -81,6 +98,7 @@ class Collection:
 
     # ------------------------------------------------------------- writes
 
+    @mutator
     def store_document_vectors(
         self,
         document_id: str,
@@ -116,6 +134,7 @@ class Collection:
         chunks = [dict(m, kind="chat", thread_id=thread_id) for m in messages]
         return self.store_document_vectors(f"chat:{thread_id}", chunks, embeddings)
 
+    @mutator
     def delete_document(self, document_id: str) -> int:
         """Tombstone every chunk of a document (parity: reset_document /
         delete cascade, IndexerAPI neo4j_handler.py:99-152)."""

@@ -112,3 +112,43 @@ def test_checkpoint_atomic_overwrite(rng, tmp_path):
     save_collection(col, path)
     restored = load_collection(path, small_config())
     assert restored.chunk_count() == col.chunk_count()
+
+
+def test_checkpoint_consistent_under_concurrent_writes(rng, tmp_path):
+    """A snapshot taken while another thread inserts must stay row-aligned
+    (dense size == sparse docs == payload rows) — the executor-thread
+    checkpointer races the event-loop mutators in serve.py."""
+    import threading
+
+    col, _ = make_collection(rng)
+    path = str(tmp_path / "ckpt")
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            embs = rng.standard_normal((3, 32)).astype(np.float32)
+            chunks = [{"text": f"w{i} c{j} topic{j}"} for j in range(3)]
+            try:
+                col.store_document_vectors(f"wdoc-{i}", chunks, embs)
+                if i % 4 == 3:
+                    col.delete_document(f"wdoc-{i - 1}")
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(5):
+            save_collection(col, path)
+            restored = load_collection(path, small_config())
+            n = restored.dense.size
+            assert len(restored.sparse) == n
+            assert len(restored.payloads) == n
+    finally:
+        stop.set()
+        t.join()
+    assert not errors
