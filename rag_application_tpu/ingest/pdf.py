@@ -1,0 +1,1048 @@
+"""Pure-Python PDF page splitting + text extraction (stdlib only).
+
+The reference's headline ingest flow splits PDFs per page with pypdf and
+extracts page content via markitdown/pdfminer and a VLM
+(IndexerAPI/src/core/processors/file_processor.py:150-184,
+utils.py:16-22, _unstructured_processor.py:40-44). This module is the
+native equivalent: it parses the PDF object graph itself — classic xref
+tables AND cross-reference/object streams, FlateDecode (zlib) / LZW /
+ASCIIHex / ASCII85 / RunLength filters with PNG predictors — walks the
+page tree, and decodes each page's content streams into text using the
+fonts' ToUnicode CMaps and encoding /Differences.
+
+Covers the overwhelming majority of real-world digital PDFs. What it
+deliberately does not do: render glyphs (scanned/image-only pages yield
+no text and are routed to the VLM hook by the pipeline) and decrypt
+encrypted documents (raises PDFError, which the pipeline turns into a
+NonRetryableError).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+
+class PDFError(ValueError):
+    """Unparseable or unsupported PDF (surfaces as NonRetryableError)."""
+
+
+class Ref(tuple):
+    """Indirect object reference `num gen R`."""
+
+    __slots__ = ()
+
+    def __new__(cls, num: int, gen: int):
+        return super().__new__(cls, (num, gen))
+
+    @property
+    def num(self) -> int:
+        return self[0]
+
+
+class Name(str):
+    """A PDF name token (`/Foo`), distinct from string values."""
+
+    __slots__ = ()
+
+
+class Keyword(bytes):
+    """A bare keyword token (obj, stream, R, Tj, ...) — distinct from
+    string values, which are plain bytes."""
+
+    __slots__ = ()
+
+
+class Stream:
+    def __init__(self, d: Dict[str, Any], raw: bytes, doc: "PDFDocument"):
+        self.dict = d
+        self.raw = raw
+        self._doc = doc
+        self._data: Optional[bytes] = None
+
+    def data(self) -> bytes:
+        if self._data is None:
+            self._data = _decode_stream(self.dict, self.raw, self._doc)
+        return self._data
+
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+
+class Lexer:
+    """Tokenizer over the PDF byte syntax (also used for content
+    streams, whose operator keywords come back as plain `bytes`)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WHITESPACE:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def next(self):
+        """Return the next token: int/float, Name, bytes (string),
+        one of the markers '[' ']' '<<' '>>' '{' '}', a keyword bytes
+        like b'obj', or None at end."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        c = d[self.pos]
+        if c == 0x2F:  # '/'
+            return self._name()
+        if c == 0x28:  # '('
+            return self._literal_string()
+        if c == 0x3C:  # '<'
+            if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return "<<"
+            return self._hex_string()
+        if c == 0x3E:  # '>'
+            if self.pos + 1 < n and d[self.pos + 1] == 0x3E:
+                self.pos += 2
+                return ">>"
+            self.pos += 1
+            return ">"
+        if c in b"[]{}":
+            self.pos += 1
+            return chr(c)
+        if c == 0x29:  # stray ')'
+            self.pos += 1
+            return ")"
+        # number or keyword
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WHITESPACE and \
+                d[self.pos] not in _DELIMS:
+            self.pos += 1
+        tok = d[start:self.pos]
+        if not tok:  # defensive: lone delimiter already handled
+            self.pos += 1
+            return chr(c)
+        if re.fullmatch(rb"[+-]?\d+", tok):
+            return int(tok)
+        if re.fullmatch(rb"[+-]?(\d*\.\d*|\d+)", tok):
+            try:
+                return float(tok)
+            except ValueError:
+                return 0.0
+        # keyword: obj/endobj/stream/R/true/false/null/BT/Tj/...
+        return Keyword(tok)
+
+    def _name(self) -> Name:
+        d, n = self.data, len(self.data)
+        self.pos += 1
+        out = bytearray()
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WHITESPACE or c in _DELIMS:
+                break
+            if c == 0x23 and self.pos + 2 < n:  # '#xx'
+                try:
+                    out.append(int(d[self.pos + 1:self.pos + 3], 16))
+                    self.pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            self.pos += 1
+        return Name(out.decode("latin-1"))
+
+    def _literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[e])
+                    self.pos += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    self.pos += 1
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    val = 0
+                    for _ in range(3):
+                        if self.pos < n and 0x30 <= d[self.pos] <= 0x37:
+                            val = val * 8 + (d[self.pos] - 0x30)
+                            self.pos += 1
+                        else:
+                            break
+                    out.append(val & 0xFF)
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    break
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _hex_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1
+        hexs = bytearray()
+        while self.pos < n and d[self.pos] != 0x3E:
+            c = d[self.pos]
+            if c not in _WHITESPACE:
+                hexs.append(c)
+            self.pos += 1
+        self.pos += 1  # consume '>'
+        if len(hexs) % 2:
+            hexs.append(0x30)
+        try:
+            return bytes.fromhex(hexs.decode("ascii"))
+        except ValueError:
+            return b""
+
+
+def _parse_value(lex: Lexer, tok=None):
+    """Parse one object value starting at `tok` (or the next token).
+    `N G R` references are folded into Ref by lookahead."""
+    if tok is None:
+        tok = lex.next()
+    if tok is None:
+        raise PDFError("unexpected end of data")
+    if tok == "<<":
+        d: Dict[str, Any] = {}
+        while True:
+            k = lex.next()
+            if k == ">>" or k is None:
+                return d
+            if not isinstance(k, Name):
+                # skip malformed key
+                continue
+            d[str(k)] = _parse_value(lex)
+    if tok == "[":
+        arr: List[Any] = []
+        while True:
+            save = lex.pos
+            t = lex.next()
+            if t == "]" or t is None:
+                return arr
+            lex.pos = save
+            arr.append(_parse_value(lex))
+    if isinstance(tok, int):
+        # possible `N G R`
+        save = lex.pos
+        t2 = lex.next()
+        if isinstance(t2, int):
+            t3 = lex.next()
+            if isinstance(t3, Keyword) and t3 == b"R":
+                return Ref(tok, t2)
+        lex.pos = save
+        return tok
+    if isinstance(tok, Keyword):
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+    return tok  # Name, bytes string, float, or keyword
+
+
+# ----------------------------------------------------------------- filters
+
+def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data) or (pos < len(data) and
+                                             len(data) - pos - 1 > 0):
+        ft = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + row_len])
+        if len(row) < row_len:
+            row.extend(b"\x00" * (row_len - len(row)))
+        pos += 1 + row_len
+        if ft == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out.extend(row)
+        prev = row
+        if pos >= len(data):
+            break
+    return bytes(out)
+
+
+def _tiff_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    if bpc != 8:
+        return data
+    row_len = columns * colors
+    out = bytearray(data)
+    for r in range(0, len(out) - row_len + 1, row_len):
+        for i in range(colors, row_len):
+            out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF-flavored LZW (9->12 bit codes, 256=clear, 257=EOD)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits, buf, nbits = 0, 0, 9
+    prev: Optional[bytes] = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= nbits:
+            bits -= nbits
+            code = (buf >> bits) & ((1 << nbits) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                nbits = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) + early - 1 >= (1 << nbits) and nbits < 12:
+                nbits += 1
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = data.replace(b"<~", b"").replace(b"~>", b"")
+    data = bytes(c for c in data if c not in _WHITESPACE)
+    try:
+        return base64.a85decode(data)
+    except ValueError as e:
+        raise PDFError(f"bad ASCII85 data: {e}") from e
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out.extend(data[i + 1:i + 2 + l])
+            i += 2 + l
+        else:
+            out.extend(data[i + 1:i + 2] * (257 - l))
+            i += 2
+    return bytes(out)
+
+
+def _decode_stream(d: Dict[str, Any], raw: bytes, doc: "PDFDocument") -> bytes:
+    filters = doc.resolve(d.get("Filter"))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = doc.resolve(d.get("DecodeParms") or d.get("DP"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, p in zip(filters, parms):
+        f = str(doc.resolve(f) or "")
+        p = doc.resolve(p) or {}
+        if f in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                try:  # tolerate truncated streams
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error as e:
+                    raise PDFError(f"bad Flate stream: {e}") from e
+        elif f in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data, int(doc.resolve(p.get("EarlyChange", 1))))
+        elif f in ("ASCIIHexDecode", "AHx"):
+            h = bytes(c for c in data if c not in _WHITESPACE and c != 0x3E)
+            if len(h) % 2:
+                h += b"0"
+            data = bytes.fromhex(h.decode("ascii", "ignore"))
+        elif f in ("ASCII85Decode", "A85"):
+            data = _a85_decode(data)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _rl_decode(data)
+        elif f == "Crypt":
+            raise PDFError("encrypted stream (Crypt filter) unsupported")
+        else:
+            # image codecs (DCTDecode/JPXDecode/CCITT/JBIG2) stay raw —
+            # they carry no extractable text
+            return data
+        pred = int(doc.resolve(p.get("Predictor", 1)) or 1)
+        if pred >= 10:
+            data = _png_predictor(
+                data, int(doc.resolve(p.get("Colors", 1)) or 1),
+                int(doc.resolve(p.get("BitsPerComponent", 8)) or 8),
+                int(doc.resolve(p.get("Columns", 1)) or 1))
+        elif pred == 2:
+            data = _tiff_predictor(
+                data, int(doc.resolve(p.get("Colors", 1)) or 1),
+                int(doc.resolve(p.get("BitsPerComponent", 8)) or 8),
+                int(doc.resolve(p.get("Columns", 1)) or 1))
+    return data
+
+
+# ---------------------------------------------------------------- document
+
+class PDFDocument:
+    def __init__(self, data: bytes):
+        if not data.lstrip()[:5].startswith(b"%PDF-"):
+            raise PDFError("not a PDF (missing %PDF- header)")
+        self.data = data
+        # objnum -> ("off", byte_offset) | ("objstm", container_num, idx)
+        self.xref: Dict[int, Tuple[str, int, int]] = {}
+        self.trailer: Dict[str, Any] = {}
+        self._cache: Dict[int, Any] = {}
+        self._objstm_cache: Dict[int, List[Tuple[int, Any]]] = {}
+        try:
+            self._load_xref()
+        except Exception:
+            # fall through to the recovery scan below
+            pass
+        if not self.xref or "Root" not in self.trailer:
+            self._scan_objects()
+        if self.trailer.get("Encrypt") is not None:
+            raise PDFError("encrypted PDF unsupported")
+
+    # -- xref chain ------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PDFError("no startxref")
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen and offset < len(self.data):
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+
+    def _load_xref_section(self, offset: int) -> int:
+        lex = Lexer(self.data, offset)
+        save = lex.pos
+        tok = lex.next()
+        if tok == b"xref":
+            return self._load_xref_table(lex)
+        lex.pos = save
+        # xref stream: `N G obj <<...>> stream`
+        num, stream = self._parse_indirect_at(offset)
+        if not isinstance(stream, Stream):
+            raise PDFError("startxref points at a non-stream object")
+        return self._load_xref_stream(stream)
+
+    def _load_xref_table(self, lex: Lexer) -> int:
+        while True:
+            save = lex.pos
+            tok = lex.next()
+            if tok == b"trailer":
+                t = lex.next()
+                if t != "<<":
+                    raise PDFError("malformed trailer")
+                trailer = _parse_value(lex, "<<")
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                # hybrid files: /XRefStm points to an xref stream with
+                # entries for compressed objects
+                if "XRefStm" in trailer:
+                    try:
+                        _, s = self._parse_indirect_at(int(trailer["XRefStm"]))
+                        if isinstance(s, Stream):
+                            self._load_xref_stream(s)
+                    except Exception:
+                        pass
+                return int(trailer.get("Prev", 0) or 0)
+            if not isinstance(tok, int):
+                raise PDFError("malformed xref table")
+            start = tok
+            count = lex.next()
+            if not isinstance(count, int):
+                raise PDFError("malformed xref subsection")
+            lex._skip_ws()
+            for i in range(count):
+                line = self.data[lex.pos:lex.pos + 20]
+                mm = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", line)
+                if not mm:
+                    raise PDFError("malformed xref entry")
+                lex.pos += mm.end()
+                lex._skip_ws()
+                if mm.group(3) == b"n" and (start + i) not in self.xref:
+                    self.xref[start + i] = ("off", int(mm.group(1)), 0)
+            _ = save
+
+    def _load_xref_stream(self, stream: Stream) -> int:
+        d = stream.dict
+        w = [int(self.resolve(x)) for x in self.resolve(d.get("W", []))]
+        if len(w) < 3:
+            raise PDFError("xref stream missing /W")
+        size = int(self.resolve(d.get("Size", 0)))
+        index = self.resolve(d.get("Index")) or [0, size]
+        data = stream.data()
+        entry_len = sum(w)
+        pos = 0
+
+        def field(b: bytes, start: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(b[start:start + width], "big")
+
+        for i in range(0, len(index) - 1, 2):
+            first, count = int(self.resolve(index[i])), int(
+                self.resolve(index[i + 1]))
+            for j in range(count):
+                if pos + entry_len > len(data):
+                    break
+                e = data[pos:pos + entry_len]
+                pos += entry_len
+                typ = field(e, 0, w[0], 1)
+                f2 = field(e, w[0], w[1], 0)
+                f3 = field(e, w[0] + w[1], w[2], 0)
+                num = first + j
+                if num in self.xref:
+                    continue
+                if typ == 1:
+                    self.xref[num] = ("off", f2, f3)
+                elif typ == 2:
+                    self.xref[num] = ("objstm", f2, f3)
+        for k, v in d.items():
+            if k not in ("W", "Index", "Filter", "DecodeParms", "Length",
+                         "Type"):
+                self.trailer.setdefault(k, v)
+        return int(self.resolve(d.get("Prev", 0)) or 0)
+
+    def _scan_objects(self) -> None:
+        """Recovery path: index every `N G obj` in the raw bytes (last
+        occurrence of an object number wins, matching incremental-update
+        semantics) and find a /Root."""
+        for m in re.finditer(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b", self.data):
+            self.xref[int(m.group(1))] = ("off", m.start(), 0)
+        if "Root" not in self.trailer:
+            for m in re.finditer(rb"/Root\s+(\d+)\s+(\d+)\s+R", self.data):
+                self.trailer["Root"] = Ref(int(m.group(1)), int(m.group(2)))
+        if "Root" not in self.trailer:
+            # last resort: any object with /Type /Catalog
+            for num in list(self.xref):
+                try:
+                    obj = self.get(num)
+                except Exception:
+                    continue
+                if isinstance(obj, dict) and \
+                        str(obj.get("Type", "")) == "Catalog":
+                    self.trailer["Root"] = Ref(num, 0)
+                    break
+        if "Root" not in self.trailer:
+            raise PDFError("no document catalog found")
+
+    # -- object access ---------------------------------------------------
+
+    def _parse_indirect_at(self, offset: int) -> Tuple[int, Any]:
+        lex = Lexer(self.data, offset)
+        num = lex.next()
+        gen = lex.next()
+        kw = lex.next()
+        if not isinstance(num, int) or kw != b"obj":
+            raise PDFError(f"no indirect object at offset {offset}")
+        val = _parse_value(lex)
+        save = lex.pos
+        tok = lex.next()
+        if tok == b"stream":
+            if not isinstance(val, dict):
+                raise PDFError("stream without a dictionary")
+            # EOL after `stream` is CRLF or LF
+            p = lex.pos
+            if self.data[p:p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p:p + 1] in (b"\n", b"\r"):
+                p += 1
+            length = self.resolve(val.get("Length"))
+            raw = None
+            if isinstance(length, int) and 0 <= length <= len(self.data) - p:
+                raw = self.data[p:p + length]
+                # sanity: endstream should follow (possibly after EOL)
+                trail = self.data[p + length:p + length + 20]
+                if b"endstream" not in trail:
+                    raw = None
+            if raw is None:
+                end = self.data.find(b"endstream", p)
+                if end < 0:
+                    raise PDFError("unterminated stream")
+                raw = self.data[p:end].rstrip(b"\r\n")
+            return num, Stream(val, raw, self)
+        lex.pos = save
+        return num, val
+
+    def get(self, ref: Union[Ref, int]) -> Any:
+        num = ref.num if isinstance(ref, Ref) else int(ref)
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            return None
+        self._cache[num] = None  # cycle guard
+        if entry[0] == "off":
+            try:
+                got_num, val = self._parse_indirect_at(entry[1])
+            except PDFError:
+                val = None
+            else:
+                if got_num != num:
+                    val = None
+        else:  # in an object stream
+            val = self._get_from_objstm(entry[1], entry[2], num)
+        self._cache[num] = val
+        return val
+
+    def _get_from_objstm(self, container: int, idx: int,
+                         want: int) -> Any:
+        objs = self._objstm_cache.get(container)
+        if objs is None:
+            stm = self.get(container)
+            if not isinstance(stm, Stream):
+                return None
+            data = stm.data()
+            n = int(self.resolve(stm.dict.get("N", 0)))
+            first = int(self.resolve(stm.dict.get("First", 0)))
+            head = Lexer(data[:first])
+            pairs = []
+            for _ in range(n):
+                onum = head.next()
+                ooff = head.next()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    break
+                pairs.append((onum, ooff))
+            objs = []
+            for onum, ooff in pairs:
+                lex = Lexer(data, first + ooff)
+                try:
+                    objs.append((onum, _parse_value(lex)))
+                except PDFError:
+                    objs.append((onum, None))
+            self._objstm_cache[container] = objs
+        for onum, val in objs:
+            if onum == want:
+                return val
+        if 0 <= idx < len(objs):
+            return objs[idx][1]
+        return None
+
+    def resolve(self, obj: Any, depth: int = 0) -> Any:
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.get(obj)
+            depth += 1
+        return obj
+
+    # -- page tree -------------------------------------------------------
+
+    def pages(self) -> List[Dict[str, Any]]:
+        """Flattened page dicts with inherited attributes resolved."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PDFError("missing /Root catalog")
+        tree = self.resolve(root.get("Pages"))
+        out: List[Dict[str, Any]] = []
+        if isinstance(tree, dict):
+            self._walk_pages(tree, {}, out, set())
+        if not out:
+            # recovery: collect /Type /Page objects directly
+            for num in sorted(self.xref):
+                obj = self.resolve(self.get(num))
+                if isinstance(obj, dict) and str(obj.get("Type", "")) == "Page":
+                    out.append(obj)
+        if not out:
+            raise PDFError("no pages found")
+        return out
+
+    _INHERIT = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+    def _walk_pages(self, node: Dict[str, Any], inherited: Dict[str, Any],
+                    out: List[Dict[str, Any]], seen: set) -> None:
+        nid = id(node)
+        if nid in seen or len(out) > 50_000:
+            return
+        seen.add(nid)
+        inh = dict(inherited)
+        for k in self._INHERIT:
+            if k in node:
+                inh[k] = node[k]
+        if str(node.get("Type", "")) == "Page" or (
+                "Contents" in node and "Kids" not in node):
+            page = dict(node)
+            for k, v in inh.items():
+                page.setdefault(k, v)
+            out.append(page)
+            return
+        for kid in self.resolve(node.get("Kids")) or []:
+            k = self.resolve(kid)
+            if isinstance(k, dict):
+                self._walk_pages(k, inh, out, seen)
+
+
+# ------------------------------------------------------------------- fonts
+
+# Minimal Adobe Glyph List subset: the names that show up in real-world
+# /Differences arrays. uniXXXX / uXXXX(XX) handled programmatically.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "fi": "ﬁ", "fl": "ﬂ",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "trademark": "™", "copyright": "©", "registered": "®",
+    "degree": "°", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "adieresis": "ä",
+    "odieresis": "ö", "udieresis": "ü", "ntilde": "ñ",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "section": "§", "paragraph": "¶",
+    "minus": "−", "multiply": "×", "divide": "÷",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    if len(name) == 1:
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    return ""
+
+
+class FontDecoder:
+    """Decodes show-string bytes for one font."""
+
+    def __init__(self, doc: PDFDocument, font: Dict[str, Any]):
+        self.two_byte = False
+        self.cmap: Dict[int, str] = {}
+        self.diffs: Dict[int, str] = {}
+        subtype = str(doc.resolve(font.get("Subtype", "")))
+        if subtype == "Type0":
+            self.two_byte = True  # Identity-H/V and most CID encodings
+        tu = doc.resolve(font.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                self._parse_tounicode(tu.data())
+            except Exception:
+                pass
+        enc = doc.resolve(font.get("Encoding"))
+        if isinstance(enc, dict):
+            diffs = doc.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        self.diffs[code] = _glyph_to_unicode(str(item))
+                        code += 1
+
+    def _parse_tounicode(self, data: bytes) -> None:
+        text = data.decode("latin-1", "replace")
+        # codespace width
+        m = re.search(r"begincodespacerange\s+<([0-9A-Fa-f]+)>", text)
+        if m and len(m.group(1)) >= 4:
+            self.two_byte = True
+        for m in re.finditer(
+                r"beginbfchar(.*?)endbfchar", text, re.S):
+            for src, dst in re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+                self.cmap[int(src, 16)] = self._hex_to_str(dst)
+                if len(src) >= 4:
+                    self.two_byte = True
+        for m in re.finditer(
+                r"beginbfrange(.*?)endbfrange", text, re.S):
+            body = m.group(1)
+            for lo, hi, dst in re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                    body):
+                lo_i, hi_i = int(lo, 16), int(hi, 16)
+                if len(lo) >= 4:
+                    self.two_byte = True
+                base = self._hex_to_str(dst)
+                if not base:
+                    continue
+                base_cp = ord(base[-1])
+                prefix = base[:-1]
+                for c in range(lo_i, min(hi_i, lo_i + 65535) + 1):
+                    self.cmap[c] = prefix + chr(base_cp + (c - lo_i))
+            for lo, hi, arr in re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+                    body, re.S):
+                lo_i = int(lo, 16)
+                if len(lo) >= 4:
+                    self.two_byte = True
+                for k, dst in enumerate(
+                        re.findall(r"<([0-9A-Fa-f]+)>", arr)):
+                    self.cmap[lo_i + k] = self._hex_to_str(dst)
+
+    @staticmethod
+    def _hex_to_str(h: str) -> str:
+        if len(h) % 4 == 0 and len(h) >= 4:
+            try:
+                return bytes.fromhex(h).decode("utf-16-be", "ignore")
+            except ValueError:
+                return ""
+        try:
+            return chr(int(h, 16))
+        except ValueError:
+            return ""
+
+    def decode(self, raw: bytes) -> str:
+        out = []
+        if self.two_byte:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                if code in self.cmap:
+                    out.append(self.cmap[code])
+                # unmapped CIDs carry no recoverable text
+        else:
+            for b in raw:
+                if b in self.cmap:
+                    out.append(self.cmap[b])
+                elif b in self.diffs:
+                    out.append(self.diffs[b])
+                else:
+                    out.append(bytes([b]).decode("latin-1"))
+        return "".join(out)
+
+
+_DEFAULT_FONT = FontDecoder.__new__(FontDecoder)
+_DEFAULT_FONT.two_byte = False
+_DEFAULT_FONT.cmap = {}
+_DEFAULT_FONT.diffs = {}
+
+
+# --------------------------------------------------------- text extraction
+
+class _PageText:
+    """Interprets a content stream's text operators. Layout handling is
+    deliberately simple: a new output line on every text-line transition
+    (Td/TD/T*/Tm/'/\") whose vertical position moved, a space for large
+    negative TJ kerning."""
+
+    def __init__(self, doc: PDFDocument, fonts: Dict[str, FontDecoder]):
+        self.doc = doc
+        self.fonts = fonts
+        self.font = _DEFAULT_FONT
+        self.parts: List[str] = []
+        self._ty = 0.0
+        self._line_open = False
+
+    def _newline(self) -> None:
+        if self._line_open:
+            self.parts.append("\n")
+            self._line_open = False
+
+    def _show(self, raw: bytes) -> None:
+        s = self.font.decode(raw)
+        if s:
+            self.parts.append(s)
+            self._line_open = True
+
+    def run(self, content: bytes) -> None:
+        lex = Lexer(content)
+        stack: List[Any] = []
+        while True:
+            try:
+                tok = lex.next()
+            except Exception:
+                break
+            if tok is None:
+                break
+            if tok == "<<" or tok == "[":
+                try:
+                    stack.append(_parse_value(lex, tok))
+                except PDFError:
+                    break
+                continue
+            if not isinstance(tok, Keyword):
+                # operand: number, Name, or string bytes
+                stack.append(tok)
+                continue
+            op = bytes(tok)
+            # --- operators ---
+            if op == b"BI":
+                # inline image: operands up to ID, then binary up to EI
+                m = re.search(rb"\bID[\x00\t\r\n ]", lex.data[lex.pos:])
+                if not m:
+                    break
+                start = lex.pos + m.end()
+                me = re.search(rb"[\x00\t\r\n ]EI\b", lex.data[start:])
+                if not me:
+                    break
+                lex.pos = start + me.end()
+                stack.clear()
+                continue
+            if op == b"Tf" and len(stack) >= 2:
+                name = stack[-2]
+                if isinstance(name, Name):
+                    self.font = self.fonts.get(str(name), _DEFAULT_FONT)
+            elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                self._show(stack[-1])
+            elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
+                self._newline()
+                self._show(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes) and not isinstance(item, Keyword):
+                        self._show(item)
+                    elif isinstance(item, (int, float)) and item < -180:
+                        # big negative adjustment = inter-word gap
+                        if self.parts and not self.parts[-1].endswith(
+                                (" ", "\n")):
+                            self.parts.append(" ")
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                ty = stack[-1]
+                if isinstance(ty, (int, float)) and abs(ty) > 1e-6:
+                    self._newline()
+                elif self.parts and not self.parts[-1].endswith((" ", "\n")):
+                    self.parts.append(" ")
+            elif op == b"T*":
+                self._newline()
+            elif op == b"Tm" and len(stack) >= 6:
+                ty = stack[-1]
+                if isinstance(ty, (int, float)):
+                    if abs(float(ty) - self._ty) > 1e-6:
+                        self._newline()
+                    self._ty = float(ty)
+            elif op == b"ET":
+                self._newline()
+            stack.clear()
+
+    def text(self) -> str:
+        return "".join(self.parts)
+
+
+def _page_fonts(doc: PDFDocument, page: Dict[str, Any]) -> Dict[str, FontDecoder]:
+    fonts: Dict[str, FontDecoder] = {}
+    res = doc.resolve(page.get("Resources"))
+    if isinstance(res, dict):
+        fdict = doc.resolve(res.get("Font"))
+        if isinstance(fdict, dict):
+            for name, f in fdict.items():
+                f = doc.resolve(f)
+                if isinstance(f, dict):
+                    try:
+                        fonts[name] = FontDecoder(doc, f)
+                    except Exception:
+                        pass
+    return fonts
+
+
+def _page_content(doc: PDFDocument, page: Dict[str, Any]) -> bytes:
+    contents = doc.resolve(page.get("Contents"))
+    streams: List[bytes] = []
+    if isinstance(contents, Stream):
+        streams.append(contents.data())
+    elif isinstance(contents, list):
+        for c in contents:
+            c = doc.resolve(c)
+            if isinstance(c, Stream):
+                streams.append(c.data())
+    return b"\n".join(streams)
+
+
+def extract_page_text(doc: PDFDocument, page: Dict[str, Any]) -> str:
+    content = _page_content(doc, page)
+    if not content:
+        return ""
+    ex = _PageText(doc, _page_fonts(doc, page))
+    ex.run(content)
+    # normalize: collapse trailing spaces per line, drop blank runs
+    lines = [ln.rstrip() for ln in ex.text().splitlines()]
+    out: List[str] = []
+    for ln in lines:
+        if ln or (out and out[-1]):
+            out.append(ln)
+    return "\n".join(out).strip()
+
+
+def extract_pages(data: bytes) -> List[str]:
+    """data -> per-page extracted text (the page-split parity surface;
+    reference: pypdf PdfReader/PdfWriter per-page split,
+    file_processor.py:161-166)."""
+    doc = PDFDocument(data)
+    return [extract_page_text(doc, p) for p in doc.pages()]
+
+
+def page_count(data: bytes) -> int:
+    return len(PDFDocument(data).pages())
+
+
+def is_pdf(data: bytes) -> bool:
+    return data.lstrip()[:5].startswith(b"%PDF-")

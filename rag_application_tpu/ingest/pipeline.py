@@ -87,6 +87,7 @@ class IngestPipeline:
         kg=None,
         kg_extractor: Optional[Callable[[str], Any]] = None,
         page_describer: Optional[Callable[[bytes], str]] = None,
+        pdf_rasterizer: Optional[Callable[[bytes, int], bytes]] = None,
         contextualizer=None,  # LLMRouter: enables contextual augmentation
         object_store=None,  # store.objects.ObjectStore: page-payload handoff
         url_fetcher=None,  # async url -> str: enables /ingest/url
@@ -97,6 +98,9 @@ class IngestPipeline:
         self.kg = kg
         self.kg_extractor = kg_extractor  # text -> {entities, relationships}
         self.page_describer = page_describer  # image bytes -> description
+        # (pdf bytes, page_no) -> image bytes; enables the VLM flow for
+        # scanned PDFs (parity: pdf2image rasterize, utils.py:16-22)
+        self.pdf_rasterizer = pdf_rasterizer
         self.contextualizer = contextualizer
         self.object_store = object_store
         self.url_fetcher = url_fetcher
@@ -347,14 +351,54 @@ class IngestPipeline:
         raise NonRetryableError(f"unsupported structured format: {filename}")
 
     def _split_unstructured(self, filename: str, data: bytes) -> List[Dict]:
-        """Best-effort page split. Without external converters, treat the
-        payload as text and page it by the chunk budget (the reference
-        needs a remote unoserver for true PDF conversion; that converter
-        is a pluggable hook here)."""
+        """Page split by content type — all native, no external
+        converters (parity: pypdf page split + markitdown text,
+        IndexerAPI file_processor.py:150-184, utils.py:16-22):
+
+          PDF   -> ingest/pdf.py (xref/page-tree/content-stream parse)
+          docx/pptx -> ingest/office.py (zip + XML)
+          text  -> paged by the chunk budget
+
+        Undecodable binary fails loudly into the ledger instead of
+        indexing replacement-character soup."""
+        from . import office, pdf
+
+        if pdf.is_pdf(data):
+            try:
+                texts = pdf.extract_pages(data)
+            except pdf.PDFError as e:
+                raise NonRetryableError(f"PDF parse failed: {e}") from e
+            if not any(texts) and self.pdf_rasterizer is None:
+                raise NonRetryableError(
+                    "PDF has no extractable text (scanned or image-only) "
+                    "and no pdf_rasterizer hook is configured")
+            pages = [{"text": t} for t in texts]
+            if self.pdf_rasterizer is not None and self.page_describer is not None:
+                for i, page in enumerate(pages):
+                    try:
+                        page["image"] = self.pdf_rasterizer(data, i + 1)
+                    except Exception:  # rasterize is best-effort
+                        pass
+            return pages
+
+        kind = office.ooxml_kind(data)
+        if kind in ("docx", "pptx"):
+            try:
+                return [{"text": t} for t in office.extract_pages(data)]
+            except office.OfficeError as e:
+                raise NonRetryableError(
+                    f"{kind} parse failed: {e}") from e
+
         try:
-            text = data.decode("utf-8", errors="replace")
-        except Exception as e:  # pragma: no cover
-            raise NonRetryableError(str(e)) from e
+            text = data.decode("utf-8")
+        except UnicodeDecodeError as e:
+            if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                text = data.decode("utf-16", errors="replace")
+            else:
+                raise NonRetryableError(
+                    f"binary payload {filename!r} is not a supported "
+                    "document format (pdf/docx/pptx/text); configure a "
+                    "converter hook") from e
         pages = chunk_words(text, self.cfg.chunk_chars)
         return [{"text": t} for t in pages]
 
