@@ -216,11 +216,24 @@ class BaseAgent:
                     "thoughts": {"type": "string"},
                     "action": {"type": "string"},
                     "result": {"type": "string"}}},
+                # procedural tier: durable how-to-respond rules, typically
+                # born from user corrections ("don't do X", "always Y")
+                # (parity: ProceduralMemoryModel + the procedural
+                # reflection executor, base_agent.py:604-655)
+                "procedures": {"type": "array", "items": {
+                    "type": "object", "properties": {
+                        "name": {"type": "string"},
+                        "conditions": {"type": "string"},
+                        "steps": {"type": "array",
+                                  "items": {"type": "string"}}}}},
             },
         }
         try:
             data = await self.llm.generate_structured(
-                f"Extract memories from this exchange:\n{convo}", schema)
+                "Extract memories from this exchange: semantic facts, "
+                "profile facts, an episode, and procedures (durable "
+                "how-to-respond rules implied by user corrections or "
+                f"instructions).\n{convo}", schema)
         except ValueError:
             return
         for i, s in enumerate(data.get("semantic") or []):
@@ -242,6 +255,16 @@ class BaseAgent:
             self.memory.put(("memory", self.user_id, "episodic"),
                             f"ep-{len(state.messages)}", ep,
                             text=json.dumps(ep))
+        for proc in data.get("procedures") or []:
+            name = (proc.get("name") or "").strip()
+            if not name and not proc.get("conditions"):
+                continue
+            text = (f"{name} when {proc.get('conditions', '')}: "
+                    + " -> ".join(proc.get("steps") or []))
+            # keyed by name so a refined rule replaces its predecessor
+            key = hashlib.sha256(name.encode()).hexdigest()[:16]
+            self.memory.put(("memory", self.user_id, "procedural"),
+                            f"proc-{key}", proc, text=text)
 
     # ------------------------------------------------------------- invoke
 

@@ -203,7 +203,10 @@ def test_agent_reflections(embedder):
                           "object": "tpus"}],
             "profile_facts": ["likes tpus"],
             "episode": {"observation": "o", "thoughts": "t", "action": "a",
-                        "result": "r"}}))
+                        "result": "r"},
+            "procedures": [{"name": "answer style",
+                            "conditions": "user asks for code",
+                            "steps": ["reply with bullet points"]}]}))
         agent = BaseAgent(llm, memory_store=store, reflections=True,
                           user_id="u7")
         await agent.ainvoke("i like tpus", thread_id="r1")
@@ -211,6 +214,36 @@ def test_agent_reflections(embedder):
         assert store.list(("memory", "u7", "semantic"))
         assert store.list(("memory", "u7", "profile"))[-1]["facts"] == ["likes tpus"]
         assert store.list(("memory", "u7", "episodic"))
+        procs = store.list(("memory", "u7", "procedural"))
+        assert procs and procs[-1]["name"] == "answer style"
+    asyncio.run(main())
+
+
+def test_procedural_correction_changes_precontext(embedder):
+    """A user correction becomes a procedural memory that shows up in the
+    NEXT turn's system precontext (parity: the procedural reflection
+    executor feeding _precontext, base_agent.py:604-655 + :561-569)."""
+    from rag_application_tpu.agents.base_agent import AgentState
+
+    async def main():
+        store = VectorMemoryStore(embedder)
+        llm = LLMRouter(Provider.STUB)
+        llm.stub.on(r"extract memories", lambda _: json.dumps({
+            "procedures": [{"name": "citation rule",
+                            "conditions": "any summary request",
+                            "steps": ["always cite the source document"]}]}))
+        agent = BaseAgent(llm, memory_store=store, reflections=True,
+                          user_id="u8")
+        # before the correction: no procedures in precontext
+        pre_state = AgentState(
+            messages=[{"role": "user", "content": "summarize the report"}])
+        assert "citation rule" not in agent._precontext(pre_state)
+        await agent.ainvoke("please always cite the source document",
+                            thread_id="c1")
+        await agent.drain_reflections()
+        pre = agent._precontext(AgentState(
+            messages=[{"role": "user", "content": "summarize the report"}]))
+        assert "citation rule" in pre and "cite the source" in pre
     asyncio.run(main())
 
 
