@@ -88,6 +88,8 @@ class IngestPipeline:
         kg_extractor: Optional[Callable[[str], Any]] = None,
         page_describer: Optional[Callable[[bytes], str]] = None,
         pdf_rasterizer: Optional[Callable[[bytes, int], bytes]] = None,
+        audio_decoder: Optional[Callable[[bytes], Any]] = None,
+        audio_transcriber: Optional[Callable[[bytes], str]] = None,
         contextualizer=None,  # LLMRouter: enables contextual augmentation
         object_store=None,  # store.objects.ObjectStore: page-payload handoff
         url_fetcher=None,  # async url -> str: enables /ingest/url
@@ -101,6 +103,10 @@ class IngestPipeline:
         # (pdf bytes, page_no) -> image bytes; enables the VLM flow for
         # scanned PDFs (parity: pdf2image rasterize, utils.py:16-22)
         self.pdf_rasterizer = pdf_rasterizer
+        # bytes -> (waveform float32, sample_rate); decodes compressed
+        # audio (mp3/flac/...) — WAV is handled natively (models/audio.py)
+        self.audio_decoder = audio_decoder
+        self.audio_transcriber = audio_transcriber  # bytes -> transcript
         self.contextualizer = contextualizer
         self.object_store = object_store
         self.url_fetcher = url_fetcher
@@ -207,6 +213,8 @@ class IngestPipeline:
             await self._handle_structured_chunk(task)
         elif task.task_type == TaskType.UNSTRUCTURED_PAGE:
             await self._handle_unstructured_page(task)
+        elif task.task_type == TaskType.AUDIO_CHUNK:
+            await self._handle_audio_chunk(task)
         else:
             raise NonRetryableError(f"unsupported task type {task.task_type}")
 
@@ -265,11 +273,24 @@ class IngestPipeline:
             ))
             return
         if kind == "media":
-            # declared surface, unimplemented — parity with the reference's
-            # audio/video stub processors (they return None; we fail the
-            # task into the ledger instead of silently dropping it)
+            # audio embeds through the multimodal tower's spectrogram
+            # branch (parity: ImageBind audio, imagebind_handler.py:23-32);
+            # video remains declared-but-stub like the reference, failing
+            # into the ledger instead of silently dropping
+            is_audio = (mime or "").startswith("audio/") or any(
+                p["filename"].lower().endswith(s)
+                for s in (".wav", ".mp3", ".flac", ".ogg", ".m4a"))
+            if is_audio and getattr(self.embedder, "supports_audio", False):
+                await self.queue.put(Task(
+                    TaskType.AUDIO_CHUNK,
+                    {"document_id": document_id, "data": p["data"],
+                     "filename": p["filename"]},
+                    priority=task_priority(TaskType.AUDIO_CHUNK, 0),
+                ))
+                return
             raise NonRetryableError(
-                f"no processor for media file {p['filename']}")
+                f"no processor for media file {p['filename']}"
+                + (" (audio needs a multimodal encoder)" if is_audio else ""))
         if kind == "direct":
             try:
                 text = p["data"].decode("utf-8")
@@ -451,6 +472,50 @@ class IngestPipeline:
         )
         await self._store_kg(p["document_id"], p["page_number"], text,
                              kg_data, emb[0])
+
+    async def _handle_audio_chunk(self, task: Task) -> None:
+        """Audio file -> log-mel features -> multimodal-tower embedding
+        (parity: ImageBind audio modality, imagebind_handler.py:23-32;
+        the reference's AudioProcessor stub returns None — here the clip
+        becomes a searchable chunk)."""
+        from ..models import audio as audio_mod
+
+        p = task.payload
+        data = p["data"]
+
+        def features() -> np.ndarray:
+            if self.audio_decoder is not None:
+                wave, sr = self.audio_decoder(data)
+                m = audio_mod.log_mel(np.asarray(wave, np.float32), int(sr))
+                n = audio_mod.N_FRAMES
+                m = (m[:n] if m.shape[0] >= n
+                     else np.pad(m, ((0, n - m.shape[0]), (0, 0))))
+                return ((m - m.mean()) / max(float(m.std()), 1e-6)
+                        ).astype(np.float32)
+            return audio_mod.wav_to_features(data)
+
+        try:
+            feats = await asyncio.to_thread(features)
+        except ValueError as e:
+            raise NonRetryableError(
+                f"cannot decode audio {p['filename']!r} natively ({e}); "
+                "configure an audio_decoder hook") from e
+        text = ""
+        if self.audio_transcriber is not None:
+            text = await asyncio.to_thread(self.audio_transcriber, data)
+        emb = await asyncio.to_thread(
+            self.embedder.encode_audio, feats[None],
+            [text] if text else None)
+        display = text or f"[audio] {p['filename']}"
+        self.collection.store_document_vectors(
+            p["document_id"],
+            [{"text": display, "source": "audio", "page_number": 1,
+              "filename": p["filename"]}],
+            emb,
+        )
+        if text:
+            kg_data = await self._extract_kg(text)
+            await self._store_kg(p["document_id"], 1, text, kg_data, emb[0])
 
     async def _handle_structured_chunk(self, task: Task) -> None:
         p = task.payload

@@ -34,6 +34,7 @@ class TaskType(str, enum.Enum):
     UNSTRUCTURED_PAGE = "unstructured_page"
     STRUCTURED_CHUNK = "structured_chunk"
     DIRECT_CHUNK = "direct_chunk"
+    AUDIO_CHUNK = "audio_chunk"
 
 
 class TaskState(str, enum.Enum):
@@ -59,6 +60,10 @@ def task_priority(task_type: TaskType, index: int = 0) -> int:
     if task_type == TaskType.DIRECT_CHUNK:
         return max(0, 230 - index)
     if task_type == TaskType.UNSTRUCTURED_PAGE:
+        return max(0, 205 - index)
+    if task_type == TaskType.AUDIO_CHUNK:
+        # same band as unstructured pages (the reference has no audio
+        # priorities; its audio processor is a stub)
         return max(0, 205 - index)
     return 128
 

@@ -81,3 +81,56 @@ class Embedder:
 
     def encode_one(self, text: str) -> np.ndarray:
         return self.encode([text])[0]
+
+    # ------------------------------------------------------------- audio
+
+    @property
+    def supports_audio(self) -> bool:
+        from .encoder import MultimodalEncoder
+
+        return isinstance(self.state.model, MultimodalEncoder)
+
+    def encode_audio(self, features: np.ndarray,
+                     texts: Optional[Sequence[str]] = None) -> np.ndarray:
+        """Log-mel features (N, frames, mels) -> (N, out_dim) unit
+        vectors via the multimodal tower's audio branch (parity:
+        ImageBind ModalityType.AUDIO, imagebind_handler.py:23-32).
+        Optional `texts` interleave caption tokens with the audio
+        patches (single-tower fusion)."""
+        if not self.supports_audio:
+            raise ValueError(
+                "audio embedding needs a MultimodalEncoder "
+                "(init_encoder(multimodal=True))")
+        model = self.state.model
+        feats = np.asarray(features, dtype=np.float32)
+        if feats.ndim == 2:
+            feats = feats[None]
+        if feats.shape[1:] != (model.audio_frames, model.audio_mels):
+            raise ValueError(
+                f"audio features must be (N, {model.audio_frames}, "
+                f"{model.audio_mels}); got {feats.shape}")
+        n = feats.shape[0]
+        batch_texts = list(texts) if texts is not None else [""] * n
+        ids, mask = self.tokenizer.encode_batch(batch_texts, self.max_len)
+        if texts is None:
+            mask = np.zeros_like(mask)  # audio-only: no text tokens attend
+        out = np.zeros((n, self.cfg.out_dim), dtype=np.float32)
+        for start in range(0, n, self.batch_size):
+            sl = slice(start, min(start + self.batch_size, n))
+            k = sl.stop - sl.start
+            pad = self.batch_size - k
+            b_ids = np.pad(ids[sl], ((0, pad), (0, 0)))
+            b_mask = np.pad(mask[sl], ((0, pad), (0, 0)))
+            b_feats = np.pad(feats[sl], ((0, pad), (0, 0), (0, 0)))
+            vecs = np.asarray(self._audio_forward(
+                self.state.params, jnp.asarray(b_ids), jnp.asarray(b_mask),
+                jnp.asarray(b_feats)))[:k]
+            out[sl] = vecs
+        return out
+
+    def _audio_forward(self, params, ids, mask, feats):
+        if not hasattr(self, "_audio_forward_jit"):
+            self._audio_forward_jit = jax.jit(
+                lambda p, i, m, a: self.state.model.apply(
+                    p, i, m, None, None, a))
+        return self._audio_forward_jit(params, ids, mask, feats)

@@ -86,18 +86,25 @@ class TextEncoder(nn.Module):
 
 
 class MultimodalEncoder(nn.Module):
-    """Single-tower multimodal encoder: image patches as prefix tokens.
+    """Single-tower multimodal encoder: image and audio patches as
+    prefix tokens (ImageBind-style).
 
     Parity surface: the v2 2048-d multimodal embedding endpoint that
-    accepts interleaved text+image content (model_handler.py:131-169).
+    accepts interleaved text+image content (model_handler.py:131-169)
+    plus ImageBind's audio modality (imagebind_handler.py:23-32 —
+    there a waveform->mel->ViT path; here the host computes the log-mel
+    (models/audio.py) and the same tower patch-embeds it).
     """
 
     cfg: EncoderConfig
     patch_size: int = 16
     image_size: int = 224
+    audio_frames: int = 256
+    audio_mels: int = 128
 
     @nn.compact
     def __call__(self, ids, mask, images=None, image_mask=None,
+                 audio=None, audio_mask=None,
                  *, return_tokens: bool = False):
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
@@ -125,6 +132,26 @@ class MultimodalEncoder(nn.Module):
             pmask = jnp.broadcast_to(image_mask[:, None], (b, ph * pw))
             x = jnp.concatenate([patches, x], axis=1)
             full_mask = jnp.concatenate([pmask, mask], axis=1)
+
+        if audio is not None:
+            # audio: (B, frames, mels) log-mel -> patch tokens, same
+            # tower (the spectrogram is a 1-channel image to the MXU)
+            p = self.patch_size
+            spec = audio[..., None]  # (B, T, M, 1)
+            apatches = nn.Conv(c.hidden_dim, (p, p), strides=(p, p),
+                               dtype=dtype, name="audio_patch_embed")(spec)
+            b, at, am, h = apatches.shape
+            apatches = apatches.reshape(b, at * am, h)
+            apos = self.param(
+                "audio_patch_pos", nn.initializers.normal(0.02),
+                (at * am, c.hidden_dim),
+            ).astype(dtype)
+            apatches = apatches + apos[None, :, :]
+            if audio_mask is None:
+                audio_mask = jnp.ones((b,), dtype=bool)
+            amask = jnp.broadcast_to(audio_mask[:, None], (b, at * am))
+            x = jnp.concatenate([apatches, x], axis=1)
+            full_mask = jnp.concatenate([amask, full_mask], axis=1)
 
         for i in range(c.num_layers):
             x = TransformerLayer(c.hidden_dim, c.num_heads, c.mlp_dim,
@@ -157,12 +184,15 @@ def init_encoder(cfg: Optional[EncoderConfig] = None, *, seed: int = 0,
         model = MultimodalEncoder(cfg)
         dummy_img = jnp.zeros((1, model.image_size, model.image_size, 3),
                               dtype=jnp.float32)
+        dummy_audio = jnp.zeros((1, model.audio_frames, model.audio_mels),
+                                dtype=jnp.float32)
     else:
         model = TextEncoder(cfg)
     ids = jnp.zeros((1, max_len), dtype=jnp.int32)
     mask = jnp.ones((1, max_len), dtype=bool)
     if multimodal:
-        params = model.init(jax.random.PRNGKey(seed), ids, mask, dummy_img)
+        params = model.init(jax.random.PRNGKey(seed), ids, mask, dummy_img,
+                            None, dummy_audio)
     else:
         params = model.init(jax.random.PRNGKey(seed), ids, mask)
     return EncoderState(model=model, params=params, cfg=cfg)
