@@ -76,22 +76,26 @@ class MicroBatcher:
             while not self._queue.empty() and len(group) < self.max_batch:
                 group.append(self._queue.get_nowait())
 
-            embs = [p.embedding for p in group]
-            texts = ([p.text for p in group]
-                     if any(p.text is not None for p in group) else None)
-            if texts is not None:
-                texts = [t if t is not None else "" for t in texts]
-            limit = max(p.limit for p in group)
-            # pad the query axis to its bucket so repeated batch sizes
-            # reuse the compiled funnel variant
-            b = _bucket(len(group))
-            if b > len(group):
-                embs = embs + [embs[0]] * (b - len(group))
-                if texts is not None:
-                    texts = texts + [texts[0]] * (b - len(group))
-            stacked = (None if all(e is None for e in embs)
-                       else np.stack(embs))
             try:
+                # group assembly is inside the try: a mixed group (some
+                # embedding=None, some ndarray) makes np.stack raise, and
+                # an escape here would kill the worker with every future
+                # unresolved — hanging those HTTP requests forever
+                embs = [p.embedding for p in group]
+                texts = ([p.text for p in group]
+                         if any(p.text is not None for p in group) else None)
+                if texts is not None:
+                    texts = [t if t is not None else "" for t in texts]
+                limit = max(p.limit for p in group)
+                # pad the query axis to its bucket so repeated batch sizes
+                # reuse the compiled funnel variant
+                b = _bucket(len(group))
+                if b > len(group):
+                    embs = embs + [embs[0]] * (b - len(group))
+                    if texts is not None:
+                        texts = texts + [texts[0]] * (b - len(group))
+                stacked = (None if all(e is None for e in embs)
+                           else np.stack(embs))
                 results = await loop.run_in_executor(
                     None, lambda: self.run_batch(stacked, texts, limit))
                 self.batches_run += 1

@@ -107,3 +107,25 @@ def test_api_hybrid_endpoint_microbatches():
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_mixed_embedding_group_resolves_every_future():
+    """A group mixing embedding=None and ndarray submissions must resolve
+    every future (result or exception), not kill the worker and hang the
+    requests, and the worker must survive for the next group."""
+    def run_batch(embs, texts, limit):
+        return [["ok"]] * (embs.shape[0] if embs is not None else len(texts))
+
+    async def main():
+        b = MicroBatcher(run_batch, max_wait_ms=10.0)
+        results = await asyncio.wait_for(asyncio.gather(
+            b.search(None, "query one", 1),
+            b.search(np.zeros(4, dtype=np.float32), "query two", 1),
+            return_exceptions=True), timeout=10)
+        assert len(results) == 2  # resolved, not hung
+        # the worker survives for the next clean group
+        out = await asyncio.wait_for(b.search(None, "query three", 1),
+                                     timeout=10)
+        assert out == ["ok"]
+
+    asyncio.run(main())
