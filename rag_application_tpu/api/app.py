@@ -93,6 +93,11 @@ class AppState:
     users: Dict[str, UserSpace] = field(default_factory=dict)
     checkpointer: ThreadCheckpointer = field(default_factory=ThreadCheckpointer)
     memory: Optional[VectorMemoryStore] = None
+    # LLM-in-the-loop ingest stages (parity: per-page KG extraction +
+    # VLM description, _unstructured_processor.py:44-66) — optional so
+    # the engine serves without network dependencies
+    kg_extractor: Optional[Any] = None
+    page_describer: Optional[Any] = None
 
     @staticmethod
     def _fs_safe(user_id: str) -> str:
@@ -122,6 +127,8 @@ class AppState:
         from ..tools.web import make_http_fetch_backend
 
         return IngestPipeline(col, self.embedder, kg=kg,
+                              kg_extractor=self.kg_extractor,
+                              page_describer=self.page_describer,
                               object_store=objects,
                               url_fetcher=make_http_fetch_backend(),
                               config=self.config.ingest)
@@ -139,14 +146,18 @@ class AppState:
 def build_app(config: Optional[Config] = None, *,
               llm: Optional[LLMRouter] = None,
               embedder: Optional[Embedder] = None,
-              api_key: Optional[str] = None):
+              api_key: Optional[str] = None,
+              kg_extractor=None,
+              page_describer=None):
     """Returns (router, state). Serve with HTTPServer(router)."""
     config = config or Config()
     embedder = embedder or Embedder(cfg=config.encoder)
     llm = llm or LLMRouter()
     state = AppState(config=config, embedder=embedder, llm=llm,
                      api_key=api_key,
-                     memory=VectorMemoryStore(embedder))
+                     memory=VectorMemoryStore(embedder),
+                     kg_extractor=kg_extractor,
+                     page_describer=page_describer)
     router = Router()
 
     def _auth(req: Request) -> Optional[JSONResponse]:

@@ -2,10 +2,11 @@
 
 The reference serves its four APIs with FastAPI/uvicorn; this image has
 neither, so the framework owns a small, dependency-free server: asyncio
-streams, path-pattern routing ({param} segments), JSON bodies, and SSE
-streaming for the chat endpoint. Deliberately small — request parsing
-covers what the API surface needs (JSON/binary bodies, query strings,
-keep-alive off).
+streams, path-pattern routing ({param} segments), JSON bodies, SSE
+streaming for the chat endpoint, and HTTP/1.1 keep-alive (bounded by
+requests/connection and an idle timeout) so serving loops amortize the
+TCP handshake across requests. SSE responses still close their
+connection — the stream owns it until [DONE].
 """
 
 from __future__ import annotations
@@ -20,6 +21,8 @@ from typing import Any, AsyncIterator, Awaitable, Callable, Dict, List, Optional
 logger = logging.getLogger("rag_application_tpu.api")
 
 MAX_BODY = 256 * 1024 * 1024  # chunked uploads cap (reference: 50MB chunks)
+KEEPALIVE_MAX_REQUESTS = 1000
+KEEPALIVE_IDLE_S = 75.0
 
 
 @dataclass
@@ -47,11 +50,12 @@ class Response:
                 401: "Unauthorized", 404: "Not Found", 405: "Method Not Allowed",
                 422: "Unprocessable Entity", 500: "Internal Server Error"}
 
-    def render_head(self) -> bytes:
+    def render_head(self, *, keep_alive: bool = False) -> bytes:
         reason = self._REASONS.get(self.status, "Unknown")
         head = [f"HTTP/1.1 {self.status} {reason}"]
         headers = {"content-length": str(len(self.body)),
-                   "connection": "close", **self.headers}
+                   "connection": "keep-alive" if keep_alive else "close",
+                   **self.headers}
         head += [f"{k}: {v}" for k, v in headers.items()]
         return ("\r\n".join(head) + "\r\n\r\n").encode()
 
@@ -152,47 +156,62 @@ class HTTPServer:
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
         try:
-            req = await self._read_request(reader)
-            if req is None:
-                return
-            handler, params, exists = self.router.match(req.method, req.path)
-            if handler is None:
-                resp = JSONResponse(
-                    {"detail": "Method Not Allowed" if exists else "Not Found"},
-                    405 if exists else 404)
-            else:
-                req.params = params
+            for served in range(KEEPALIVE_MAX_REQUESTS):
                 try:
-                    resp = await handler(req)
-                except json.JSONDecodeError as e:
-                    resp = JSONResponse({"detail": f"invalid JSON: {e}"}, 422)
-                except (KeyError, TypeError, ValueError) as e:
-                    resp = JSONResponse({"detail": str(e)}, 422)
-                except Exception as e:  # noqa: BLE001 — boundary
-                    logger.exception("handler error")
-                    resp = JSONResponse({"detail": str(e)}, 500)
+                    req = await asyncio.wait_for(
+                        self._read_request(reader),
+                        KEEPALIVE_IDLE_S if served else None)
+                except asyncio.TimeoutError:
+                    return
+                if req is None:
+                    return
+                handler, params, exists = self.router.match(
+                    req.method, req.path)
+                if handler is None:
+                    resp = JSONResponse(
+                        {"detail": "Method Not Allowed" if exists
+                         else "Not Found"},
+                        405 if exists else 404)
+                else:
+                    req.params = params
+                    try:
+                        resp = await handler(req)
+                    except json.JSONDecodeError as e:
+                        resp = JSONResponse(
+                            {"detail": f"invalid JSON: {e}"}, 422)
+                    except (KeyError, TypeError, ValueError) as e:
+                        resp = JSONResponse({"detail": str(e)}, 422)
+                    except Exception as e:  # noqa: BLE001 — boundary
+                        logger.exception("handler error")
+                        resp = JSONResponse({"detail": str(e)}, 500)
 
-            if isinstance(resp, SSEResponse):
-                head = ("HTTP/1.1 200 OK\r\n"
-                        "content-type: text/event-stream\r\n"
-                        "cache-control: no-cache\r\n"
-                        "connection: close\r\n"
-                        + "".join(f"{k}: {v}\r\n" for k, v in resp.headers.items())
-                        + "\r\n").encode()
-                writer.write(head)
-                await writer.drain()
-                async for event in resp.events:
-                    if not isinstance(event, str):
-                        event = json.dumps(event, default=str)
-                    writer.write(f"data: {event}\n\n".encode())
+                if isinstance(resp, SSEResponse):
+                    # the stream owns the connection until [DONE]
+                    head = ("HTTP/1.1 200 OK\r\n"
+                            "content-type: text/event-stream\r\n"
+                            "cache-control: no-cache\r\n"
+                            "connection: close\r\n"
+                            + "".join(f"{k}: {v}\r\n"
+                                      for k, v in resp.headers.items())
+                            + "\r\n").encode()
+                    writer.write(head)
                     await writer.drain()
-                writer.write(b"data: [DONE]\n\n")
-                await writer.drain()
-            else:
+                    async for event in resp.events:
+                        if not isinstance(event, str):
+                            event = json.dumps(event, default=str)
+                        writer.write(f"data: {event}\n\n".encode())
+                        await writer.drain()
+                    writer.write(b"data: [DONE]\n\n")
+                    await writer.drain()
+                    return
                 if isinstance(resp, dict):
                     resp = JSONResponse(resp)
-                writer.write(resp.render_head() + resp.body)
+                keep = (req.headers.get("connection", "").lower() != "close"
+                        and served + 1 < KEEPALIVE_MAX_REQUESTS)
+                writer.write(resp.render_head(keep_alive=keep) + resp.body)
                 await writer.drain()
+                if not keep:
+                    return
         except (ConnectionResetError, BrokenPipeError):
             pass
         finally:

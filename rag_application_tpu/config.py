@@ -38,6 +38,12 @@ class IndexConfig:
     #                       rows; matryoshka prefix views are unavailable.
     store_int8: bool = True
     store_bf16: bool = True
+    # Capacity-mode per-row int8 scaling: rows quantize at 127/max|x|
+    # with the reciprocal stored per row (+4 B/row), recovering ~7x
+    # rescore resolution over the global /127 scale — the int8-rescore
+    # precision floor that capped 10M recall at ~0.91. Full mode keeps
+    # the global scale (its exact rescore reads the bf16 plane anyway).
+    int8_per_row_scale: bool = True
     metric: str = "cosine"  # vectors are L2-normalized at insert
     # Device block size for scanned scoring kernels.
     block_size: int = 131072

@@ -58,6 +58,8 @@ def save_collection(col: "Collection", path: str) -> None:
         d_vecs_bf16 = dense.vecs is not None and dense.vecs.dtype == jnp.bfloat16
         d_vec_dtype = str(dense.vecs.dtype) if dense.vecs is not None else None
         d_int8 = None if dense.int8 is None else np.asarray(dense.int8)
+        d_recip = (None if getattr(dense, "int8_recip", None) is None
+                   else np.asarray(dense.int8_recip))
         d_inv_norms = np.asarray(dense.inv_norms)
         d_live = np.asarray(dense.live)
         d_size = dense.size
@@ -88,6 +90,8 @@ def save_collection(col: "Collection", path: str) -> None:
         vec_kw["vecs_u16" if d_vecs_bf16 else "vecs"] = d_vecs
     if d_int8 is not None:
         vec_kw["int8"] = d_int8
+    if d_recip is not None:
+        vec_kw["int8_recip"] = d_recip
     np.savez(
         os.path.join(tmp, "dense.npz"),
         **vec_kw,
@@ -122,6 +126,7 @@ def save_collection(col: "Collection", path: str) -> None:
         "vec_dtype": d_vec_dtype,
         "store_bf16": d_vecs is not None,
         "store_int8": d_int8 is not None,
+        "int8_per_row_scale": d_recip is not None,
         "n_payloads": n_payloads,
     }
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -174,6 +179,16 @@ def load_collection(path: str, config=None) -> "Collection":
         dense.vecs = jnp.asarray(d["vecs"])
     if "int8" in d:
         dense.int8 = jnp.asarray(d["int8"])
+    if "int8_recip" in d:
+        if dense.int8_recip is None:
+            raise ValueError(
+                "checkpoint has per-row int8 scales but the config "
+                "disables int8_per_row_scale")
+        dense.int8_recip = jnp.asarray(d["int8_recip"])
+    elif dense.int8_recip is not None and manifest.get("store_bf16") is False:
+        raise ValueError(
+            "config expects per-row int8 scales but the checkpoint "
+            "predates them — set int8_per_row_scale=False to load")
     dense.inv_norms = jnp.asarray(d["inv_norms"])
     dense.live = jnp.asarray(d["live"])
     dense.size = int(manifest["size"])

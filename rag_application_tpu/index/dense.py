@@ -66,6 +66,30 @@ def _insert_update_single(plane, inv_norms, live, x, start, *, dims, keep):
     return plane, inv_norms, live
 
 
+@functools.partial(jax.jit, static_argnames=("dims",),
+                   donate_argnums=(0, 1, 2, 3))
+def _insert_update_int8_scaled(plane, recip, inv_norms, live, x, start, *,
+                               dims):
+    """Capacity-mode insert with per-row max-abs int8 scaling: the row
+    quantizes at s_r = 127/max|x_r| (full int8 range regardless of dim)
+    and `recip` stores 1/s_r, so cosine = (q_f32 . int8_row) * recip."""
+    xf = x.astype(jnp.float32)
+    xn = xf * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(xf * xf, axis=-1, keepdims=True), 1e-24))
+    _, _, inv = prepare_vectors_xla(xf, dims, out_dtype=jnp.bfloat16)
+    amax = jnp.maximum(jnp.max(jnp.abs(xn), axis=-1, keepdims=True), 1e-12)
+    i8 = jnp.clip(jnp.round(xn * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    n = x.shape[0]
+    plane = jax.lax.dynamic_update_slice_in_dim(plane, i8, start, 0)
+    recip = jax.lax.dynamic_update_slice_in_dim(
+        recip, (amax[:, 0] / 127.0).astype(jnp.float32), start, 0)
+    inv_norms = jax.lax.dynamic_update_slice_in_dim(inv_norms, inv, start, 0)
+    live = jax.lax.dynamic_update_slice_in_dim(
+        live, jnp.ones((n,), dtype=bool), start, 0
+    )
+    return plane, recip, inv_norms, live
+
+
 @functools.partial(jax.jit, static_argnames=("prefix_dim",),
                    donate_argnums=(0,))
 def _prefix_update(prefix_int8, x, start, *, prefix_dim):
@@ -93,6 +117,12 @@ class DenseIndex:
         self.int8 = (jnp.zeros((cap, d), dtype=jnp.int8)
                      if self.cfg.store_int8 else None)
         self.inv_norms = jnp.zeros((cap, m), dtype=jnp.float32)
+        # capacity-mode per-row dequantization factors (config flag):
+        # cosine = (q . int8_row) * int8_recip[row]
+        self.int8_recip = (
+            jnp.zeros((cap,), dtype=jnp.float32)
+            if (self.cfg.store_int8 and not self.cfg.store_bf16
+                and self.cfg.int8_per_row_scale) else None)
         self.live = jnp.zeros((cap,), dtype=bool)
         p = self.cfg.scan_prefix_dim
         if p and (p % 128 != 0 or p >= d):
@@ -120,6 +150,8 @@ class DenseIndex:
         if self.int8 is not None:
             self.int8 = jnp.pad(self.int8, ((0, pad), (0, 0)))
         self.inv_norms = jnp.pad(self.inv_norms, ((0, pad), (0, 0)))
+        if self.int8_recip is not None:
+            self.int8_recip = jnp.pad(self.int8_recip, (0, pad))
         self.live = jnp.pad(self.live, (0, pad))
         if self.prefix_int8 is not None:
             self.prefix_int8 = jnp.pad(self.prefix_int8, ((0, pad), (0, 0)))
@@ -145,10 +177,17 @@ class DenseIndex:
                 x, np.int32(start), dims=self.cfg.matryoshka_dims,
             )
         elif self.int8 is not None:  # capacity mode
-            self.int8, self.inv_norms, self.live = _insert_update_single(
-                self.int8, self.inv_norms, self.live, x, np.int32(start),
-                dims=self.cfg.matryoshka_dims, keep="int8",
-            )
+            if self.int8_recip is not None:
+                (self.int8, self.int8_recip, self.inv_norms,
+                 self.live) = _insert_update_int8_scaled(
+                    self.int8, self.int8_recip, self.inv_norms, self.live,
+                    x, np.int32(start), dims=self.cfg.matryoshka_dims,
+                )
+            else:
+                self.int8, self.inv_norms, self.live = _insert_update_single(
+                    self.int8, self.inv_norms, self.live, x, np.int32(start),
+                    dims=self.cfg.matryoshka_dims, keep="int8",
+                )
         else:
             self.vecs, self.inv_norms, self.live = _insert_update_single(
                 self.vecs, self.inv_norms, self.live, x, np.int32(start),
@@ -194,7 +233,11 @@ class DenseIndex:
             vals, ids = self.search_int8(queries, k,
                                          filter_mask=filter_mask,
                                          approx=approx)
-            return vals * (1.0 / (127.0 * 127.0)), ids
+            # per-row scaled table: the scan already multiplied by the
+            # row recip, leaving only the query quantization factor
+            scale = (1.0 / 127.0 if self.int8_recip is not None
+                     else 1.0 / (127.0 * 127.0))
+            return vals * scale, ids
         q = self.normalize_queries(queries).astype(self.vecs.dtype)
         return blocked_topk(
             self.vecs, q, k,
@@ -218,6 +261,8 @@ class DenseIndex:
             self.int8, q8, k,
             block_size=self.cfg.block_size,
             valid_n=self.size,
+            # per-row scaled rows need the recip multiply to rank
+            inv_norms=self.int8_recip,
             filter_mask=self._mask(filter_mask),
             approx=approx,
             recall_target=self.cfg.approx_recall_target,
@@ -256,14 +301,23 @@ class DenseIndex:
         q = self.normalize_queries(queries)
         safe = jnp.clip(candidates, 0, self.capacity - 1)
         table = self.vecs if self.vecs is not None else self.int8
-        scale = 1.0 if self.vecs is not None else 1.0 / 127.0
         if level is None:
             scores = gather_rescore(table, q, safe,
-                                    candidate_valid=candidate_valid) * scale
+                                    candidate_valid=candidate_valid)
+            scores = scores * self._rescore_scale(safe)
         else:
             dim = self.cfg.matryoshka_dims[level]
             scores = gather_rescore(table[:, :dim], q[:, :dim], safe,
-                                    candidate_valid=candidate_valid) * scale
+                                    candidate_valid=candidate_valid)
+            scores = scores * self._rescore_scale(safe)
             scores = scores * self.inv_norms[safe, level]
         in_range = jnp.logical_and(candidates >= 0, candidates < self.size)
         return jnp.where(in_range, scores, -jnp.inf)
+
+    def _rescore_scale(self, safe_rows):
+        """Per-candidate dequantization factor for the rescore table."""
+        if self.vecs is not None:
+            return 1.0
+        if self.int8_recip is not None:
+            return self.int8_recip[safe_rows]
+        return 1.0 / 127.0

@@ -460,7 +460,10 @@ class IngestPipeline:
             text = p["text"]
             image = p.get("image")
         if image is not None and self.page_describer is not None:
-            desc = await asyncio.to_thread(self.page_describer, image)
+            if asyncio.iscoroutinefunction(self.page_describer):
+                desc = await self.page_describer(image)
+            else:
+                desc = await asyncio.to_thread(self.page_describer, image)
             text = f"{text}\n\n{desc}" if text else desc
         kg_data = await self._extract_kg(text)
         emb = await asyncio.to_thread(self.embedder.encode, [text])

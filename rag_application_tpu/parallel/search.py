@@ -172,6 +172,9 @@ def sharded_fused_hybrid(
     spec: Optional["FusedSpec"] = None,
     valid_n: Optional[int] = None,     # global logical row count
     filter_mask: Optional[jax.Array] = None,  # (S*R,) bool row-sharded
+    int8_recip: Optional[jax.Array] = None,   # (S*R,) f32 row-sharded
+                                              # (capacity-mode per-row
+                                              # dequant, index/dense.py)
     quantized_limit: int = 64,
     dense_limit: int = 48,
     sparse_limit: int = 32,
@@ -236,6 +239,11 @@ def sharded_fused_hybrid(
         fm = live
     else:
         fm = filter_mask
+    use_recip = cap_mode and int8_recip is not None
+    if not use_recip:
+        int8_recip = jax.device_put(
+            jnp.zeros((n,), dtype=jnp.float32),
+            NamedSharding(mesh, P(axis)))
     if not has_sparse:
         post_packed = jax.device_put(
             jnp.zeros((n_shards, 1, 1), dtype=jnp.int32),
@@ -247,7 +255,8 @@ def sharded_fused_hybrid(
         q_rows = q_terms = jnp.zeros((qn, 1), dtype=jnp.int32)
         q_valid = jnp.zeros((qn, 1), dtype=bool)
 
-    def funnel(v_s, i8_s, inv_s, live_s, fm_s, post_s, docp_s, q, qr, qt, qv):
+    def funnel(v_s, i8_s, inv_s, live_s, fm_s, recip_s, post_s, docp_s,
+               q, qr, qt, qv):
         shard_id = jax.lax.axis_index(axis)
         start = shard_id * rows_per_shard
         local_valid = jnp.clip(g_valid - start, 0, rows_per_shard)
@@ -257,7 +266,8 @@ def sharded_fused_hybrid(
         top, ids = fused_core(
             v_s, i8_s, inv_s, live_s, local_valid.astype(jnp.int32), q,
             fm_s if spec.has_filter else None,
-            sparse_arrays, sparse_queries, spec)
+            sparse_arrays, sparse_queries, spec,
+            int8_recip=recip_s if use_recip else None)
         idx = jnp.where(ids != INVALID_ID, ids + start, INVALID_ID)
 
         # ICI merge: candidate lists only (KBs)
@@ -271,6 +281,7 @@ def sharded_fused_hybrid(
         return out_v, jnp.where(jnp.isfinite(out_v), out_i, INVALID_ID)
 
     common_specs = (P(axis, None), P(axis, None), P(axis), P(axis),
+                    P(axis),
                     P(axis, None, None), P(axis, None, None),
                     P(), P(), P(), P())
     if cap_mode:
@@ -278,13 +289,15 @@ def sharded_fused_hybrid(
             shard_map, mesh=mesh, in_specs=common_specs,
             out_specs=(P(), P()), check_vma=False,
         )(lambda i8_s, *rest: funnel(None, i8_s, *rest))
-        return search(int8, inv_norms, live, fm, post_packed, doc_packed,
+        return search(int8, inv_norms, live, fm, int8_recip,
+                      post_packed, doc_packed,
                       queries, q_rows, q_terms, q_valid)
     search = functools.partial(
         shard_map, mesh=mesh, in_specs=(P(axis, None),) + common_specs,
         out_specs=(P(), P()), check_vma=False,
     )(funnel)
-    return search(vecs, int8, inv_norms, live, fm, post_packed, doc_packed,
+    return search(vecs, int8, inv_norms, live, fm, int8_recip,
+                  post_packed, doc_packed,
                   queries, q_rows, q_terms, q_valid)
 
 

@@ -117,6 +117,8 @@ def fused_core(
     sparse_queries: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
     spec: FusedSpec,
     prefix_int8: Optional[jax.Array] = None,  # (cap, scan_prefix_dim)
+    int8_recip: Optional[jax.Array] = None,   # (cap,) capacity-mode per-row
+                                              # dequant factors (dense.py)
 ) -> Tuple[jax.Array, jax.Array]:
     """The funnel body, traceable inline — `fused_hybrid` jits it for
     the single-chip engine and `parallel.search.sharded_fused_hybrid`
@@ -127,11 +129,19 @@ def fused_core(
     q = queries.astype(jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     # capacity mode (store_bf16=False): no bf16 plane — the int8 table
-    # doubles as the exact-rescore source (dequantized by 1/127; the
-    # rows were normalized before quantization)
+    # doubles as the exact-rescore source. With per-row scaling
+    # (int8_recip) the dequant factor is per candidate; otherwise the
+    # global 1/127 (rows normalized before quantization).
     rescore_table = vecs if vecs is not None else int8
+    cap_scaled = vecs is None and int8_recip is not None
     rescore_scale = 1.0 if vecs is not None else 1.0 / 127.0
     qb = q.astype(vecs.dtype) if vecs is not None else q
+
+    def candidate_rescale(safe_ids):
+        """Per-candidate dequantization factor for gathered rescores."""
+        if cap_scaled:
+            return int8_recip[safe_ids]
+        return rescore_scale
 
     mask = live
     if spec.has_filter and filter_mask is not None:
@@ -191,12 +201,19 @@ def fused_core(
             i_vals, i_ids = corpus_scan(prefix_int8, quantize_int8(qp),
                                         spec.quantized_limit)
             # prefix scores are coarse: refine with an exact rescore
-            i_vals, i_ids = _exact_rescore(rescore_table, q, i_ids,
-                                           jnp.isfinite(i_vals),
-                                           spec.dense_limit)
+            valid = jnp.isfinite(i_vals)
+            safe = jnp.where(valid, i_ids, 0)
+            rs = gather_rescore(rescore_table, q, safe) \
+                * candidate_rescale(safe)
+            rs = jnp.where(valid, rs, NEG_INF)
+            keep = min(spec.dense_limit, i_ids.shape[-1])
+            i_vals, pos = jax.lax.top_k(rs, keep)
+            i_ids = jnp.take_along_axis(i_ids, pos, axis=-1)
         else:
             q8 = quantize_int8(q)
-            i_vals, i_ids = corpus_scan(int8, q8, spec.quantized_limit)
+            i_vals, i_ids = corpus_scan(
+                int8, q8, spec.quantized_limit,
+                inv=int8_recip if cap_scaled else None)
             # the scan's values ARE full-dim int8 dots — rank-select the
             # refine set directly from them instead of re-gathering the
             # bf16 rows (the reference's int8->dense refine only chooses
@@ -240,8 +257,9 @@ def fused_core(
     )
     all_ids = jnp.where(all_valid, all_ids, INVALID_ID)
     keep = first_occurrence_mask(all_ids) & (all_ids != INVALID_ID)
-    scores = gather_rescore(rescore_table, q,
-                            jnp.where(keep, all_ids, 0)) * rescore_scale
+    safe_ids = jnp.where(keep, all_ids, 0)
+    scores = gather_rescore(rescore_table, q, safe_ids) \
+        * candidate_rescale(safe_ids)
     scores = jnp.where(keep, scores, NEG_INF)
     k_eff = min(spec.k, all_ids.shape[-1])
     top_scores, pos = jax.lax.top_k(scores, k_eff)
@@ -349,6 +367,7 @@ class FusedSearcher:
             jnp.asarray(filter_mask) if filter_mask is not None else None,
             sparse_arrays, sparse_queries, spec,
             prefix_int8=d.prefix_int8,
+            int8_recip=getattr(d, "int8_recip", None),
         )
         return scores, ids
 

@@ -108,8 +108,34 @@ def main() -> None:
         base_url=os.environ.get("RAGTPU_LLM_BASE_URL"),
         api_key=os.environ.get("RAGTPU_LLM_API_KEY"),
     )
+
+    # LLM-in-the-loop ingest stages (parity: per-page KG extraction +
+    # VLM alt-text, _unstructured_processor.py:44-66). "auto" = on when
+    # a real provider is configured; the stub would only produce noise.
+    def _stage_on(env: str) -> bool:
+        mode = os.environ.get(env, "auto")
+        return mode == "1" or (mode == "auto" and provider != Provider.STUB)
+
+    kg_extractor = None
+    if _stage_on("RAGTPU_KG_EXTRACT"):
+        from .kg.extract import EntityRelationExtractor
+
+        kg_extractor = EntityRelationExtractor(llm).extract
+    page_describer = None
+    if _stage_on("RAGTPU_VLM"):
+        import base64
+
+        from .llm.vlm import VLMProcessor
+
+        vlm = VLMProcessor(llm)
+
+        async def page_describer(image: bytes) -> str:  # noqa: F811
+            return await vlm.describe(base64.b64encode(image).decode())
+
     router, state = build_app(cfg, llm=llm,
-                              api_key=os.environ.get("RAGTPU_API_KEY"))
+                              api_key=os.environ.get("RAGTPU_API_KEY"),
+                              kg_extractor=kg_extractor,
+                              page_describer=page_describer)
 
     host = os.environ.get("RAGTPU_HOST", "0.0.0.0")
     port = int(os.environ.get("RAGTPU_PORT", "8000"))

@@ -29,7 +29,7 @@ def col():
     col.store_document_vectors(
         "d1", [{"text": f"chunk {i}", "tag": "a" if i % 2 == 0 else "b"}
                for i in range(300)], embs)
-    col.build_ann(m=8, k_build=16, entry_size=32, batch=128)
+    col.build_ann(engine="graph", m=8, k_build=16, entry_size=32, batch=128)
     return col, embs
 
 

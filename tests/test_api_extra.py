@@ -187,3 +187,92 @@ def test_documents_rest_crud():
                                  params={"user_id": "d"})
         assert r.status_code == 404
     with_server(fn)
+
+
+def test_keep_alive_reuses_connection():
+    """Two requests ride ONE TCP connection (keep-alive); an explicit
+    Connection: close closes it."""
+    import asyncio
+
+    from rag_application_tpu.api.http import HTTPServer, JSONResponse, Router
+
+    async def main():
+        router = Router()
+
+        @router.route("GET", "/ping")
+        async def ping(req):
+            return JSONResponse({"ok": True})
+
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            for i in range(3):
+                writer.write(b"GET /ping HTTP/1.1\r\nhost: x\r\n\r\n")
+                await writer.drain()
+                status = await reader.readline()
+                assert b"200" in status
+                headers = {}
+                while True:
+                    line = await reader.readline()
+                    if line in (b"\r\n", b"\n"):
+                        break
+                    k, _, v = line.decode().partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                body = await reader.readexactly(
+                    int(headers["content-length"]))
+                assert b"true" in body
+                assert headers["connection"] == "keep-alive"
+            # explicit close is honored
+            writer.write(b"GET /ping HTTP/1.1\r\nhost: x\r\n"
+                         b"connection: close\r\n\r\n")
+            await writer.drain()
+            data = await reader.read()  # server closes after response
+            assert b"connection: close" in data
+            writer.close()
+            await writer.wait_closed()
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
+
+
+def test_app_wires_kg_extractor_into_ingest():
+    """build_app(kg_extractor=...) must flow into every user pipeline so
+    served ingest populates the knowledge graph (parity: per-page KG
+    extraction, _unstructured_processor.py:55-66)."""
+    import asyncio
+
+    from rag_application_tpu.api.app import build_app
+    from rag_application_tpu.config import (
+        Config, EncoderConfig, FunnelConfig, IndexConfig, SparseConfig)
+    from rag_application_tpu.llm.router import LLMRouter, Provider
+    from rag_application_tpu.models.embedder import Embedder
+
+    cfg = Config()
+    cfg.index = IndexConfig(dim=32, matryoshka_dims=(8, 16),
+                            initial_capacity=16)
+    cfg.sparse = SparseConfig(candidate_pool=64, max_query_terms=8)
+    cfg.funnel = FunnelConfig(matryoshka_limits=(8, 6), dense_limit=5,
+                              quantized_limit=5, sparse_limit=5,
+                              final_limit=5)
+    tiny = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1,
+                         num_heads=4, mlp_dim=64, max_len=32, out_dim=32,
+                         dtype="float32")
+
+    async def extractor(text):
+        return {"entities": [
+            {"id": "ada", "text": "Ada", "entity_type": "PERSON",
+             "entity_profile": "mathematician"}], "relationships": []}
+
+    router, state = build_app(
+        cfg, llm=LLMRouter(Provider.STUB),
+        embedder=Embedder(cfg=tiny, batch_size=4, max_len=16),
+        kg_extractor=extractor)
+    sp = state.space("u1")
+    assert sp.pipeline.kg_extractor is extractor
+    res = asyncio.run(sp.pipeline.ingest_text(
+        "Ada wrote the first program.", document_id="d1"))
+    assert res.failed_tasks == 0
+    ents = sp.kg.get_entities()
+    assert any(e.get("text") == "Ada" for e in ents)

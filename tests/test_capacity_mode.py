@@ -94,6 +94,9 @@ def test_capacity_mode_checkpoint_roundtrip(rng, tmp_path):
     col2 = load_collection(path, cfg)
     assert col2.dense.vecs is None and col2.dense.int8 is not None
     assert col2.dense.size == 100
+    # per-row dequant factors roundtrip bit-exact
+    np.testing.assert_array_equal(np.asarray(col2.dense.int8_recip),
+                                  np.asarray(col.dense.int8_recip))
     vals, ids = col2.dense.search(corpus[:4], 3)
     assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
 
@@ -203,3 +206,48 @@ def test_capacity_mode_through_app_stack(rng):
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_per_row_scale_recovers_rescore_precision():
+    """The int8-rescore precision floor capped 10M recall at ~0.91
+    (CLAUDE.md): normalized 768-d rows only span ~±17 int8 codes at the
+    global /127 scale. Per-row max-abs scaling (int8_per_row_scale)
+    must recover most of the f32-exact recall; the unscaled layout must
+    measurably trail it."""
+    import numpy as np
+
+    from rag_application_tpu.config import IndexConfig
+    from rag_application_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(11)
+    n, d, nq, k = 20_000, 768, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    q = x[rng.choice(n, nq, replace=False)] + \
+        0.05 * rng.standard_normal((nq, d)).astype(np.float32)
+    exact = np.argsort(-(q @ x.T), axis=-1)[:, :k]
+
+    from rag_application_tpu.config import FunnelConfig
+    from rag_application_tpu.search.fused import FusedSearcher
+
+    def recall(per_row):
+        idx = DenseIndex(IndexConfig(
+            dim=d, matryoshka_dims=(), initial_capacity=1024,
+            store_bf16=False, int8_per_row_scale=per_row))
+        idx.insert(x)
+        assert (idx.int8_recip is not None) == per_row
+        # the production capacity path: int8 candidate scan + exact
+        # rescore of the union (the rescore is where per-row scaling
+        # pays — the scan's error is query-quantization-dominated)
+        f = FusedSearcher(idx, None, FunnelConfig(
+            matryoshka_limits=(), dense_limit=32, quantized_limit=64,
+            sparse_limit=0, final_limit=k), scan_impl="xla")
+        vals, ids = f.search(q, None, k, use_matryoshka=False)
+        ids = np.asarray(ids)
+        assert np.asarray(vals).max() <= 1.05  # cosine scale either way
+        return np.mean([np.isin(exact[i], ids[i]).mean()
+                        for i in range(nq)])
+
+    r_scaled, r_global = recall(True), recall(False)
+    assert r_scaled >= 0.97, (r_scaled, r_global)
+    assert r_scaled > r_global + 0.02, (r_scaled, r_global)

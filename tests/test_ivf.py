@@ -1,0 +1,151 @@
+"""IVF-flat ANN engine (index/ivf.py).
+
+Parity surface: Qdrant HNSW + hnsw_ef recall knob
+(qdrant_handler.py:363-372) — probes is the ef analogue. The engine
+must hit recall >= 0.95 on clustered corpora (VERDICT round-1 bar) and
+keep freshly-inserted rows findable without a rebuild.
+"""
+
+import numpy as np
+import pytest
+
+from rag_application_tpu.config import Config, IndexConfig
+from rag_application_tpu.index.dense import DenseIndex
+from rag_application_tpu.index.ivf import IVFIndex, IVFSearchParams
+from rag_application_tpu.store.collection import Collection
+
+
+def clustered_corpus(rng, n, d, n_clusters=64, noise=0.25):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    x = centers[assign] + noise * rng.standard_normal((n, d)).astype(
+        np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    n, d = 20_000, 64
+    x = clustered_corpus(rng, n, d)
+    idx = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                 initial_capacity=1024))
+    idx.insert(x)
+    ivf = IVFIndex.build(idx, n_clusters=128, bucket_rows=32, iters=8,
+                         block_rows=4096)
+    return rng, x, idx, ivf
+
+
+def test_recall_meets_bar_on_clustered(built):
+    rng, x, idx, ivf = built
+    n = x.shape[0]
+    q_idx = rng.choice(n, 64, replace=False)
+    q = x[q_idx] + 0.05 * rng.standard_normal((64, 64)).astype(np.float32)
+    exact = np.argsort(-(q @ x.T), axis=-1)[:, :10]
+    vals, ids = ivf.search(q, 10, params=IVFSearchParams(probes=48))
+    ids = np.asarray(ids)
+    recall = np.mean([np.isin(exact[i], ids[i]).mean() for i in range(64)])
+    assert recall >= 0.95, recall
+    # the seed row need not be THE nearest (cluster noise), but it must
+    # be found
+    assert np.mean([q_idx[i] in ids[i] for i in range(64)]) >= 0.95
+    vals = np.asarray(vals)
+    assert (np.diff(vals, axis=-1) <= 1e-6).all()  # descending cosines
+    assert vals.max() <= 1.01
+
+
+def test_probes_is_the_recall_knob(built):
+    rng, x, idx, ivf = built
+    q_idx = rng.choice(x.shape[0], 64, replace=False)
+    q = x[q_idx] + 0.05 * rng.standard_normal((64, 64)).astype(np.float32)
+    exact = np.argsort(-(q @ x.T), axis=-1)[:, :10]
+
+    def recall(probes):
+        _, ids = ivf.search(q, 10, params=IVFSearchParams(probes=probes))
+        ids = np.asarray(ids)
+        return np.mean([np.isin(exact[i], ids[i]).mean()
+                        for i in range(64)])
+
+    r_low, r_high = recall(4), recall(64)
+    assert r_high >= r_low
+    assert r_high >= 0.95
+
+
+def test_bucket_coverage_complete(built):
+    _, x, idx, ivf = built
+    rid = np.asarray(ivf.bucket_rowids)
+    cov = rid[rid >= 0]
+    assert len(np.unique(cov)) == x.shape[0]
+    assert len(cov) == len(np.unique(cov))  # no duplicates
+
+
+def test_tail_rows_findable_without_rebuild(built):
+    rng, x, idx, ivf = built
+    extra = clustered_corpus(rng, 16, 64)
+    rows = idx.insert(extra)
+    try:
+        vals, ids = ivf.search(extra, 3, params=IVFSearchParams(probes=8))
+        ids = np.asarray(ids)
+        assert (ids[:, 0] == np.asarray(rows)).all()
+        assert ivf.tail_rows == 16
+        assert not ivf.needs_rebuild
+    finally:
+        idx.delete(np.asarray(rows))
+
+
+def test_rebuild_folds_tail(built):
+    rng, x, idx, ivf = built
+    extra = clustered_corpus(rng, 8, 64)
+    rows = idx.insert(extra)
+    try:
+        ivf.rebuild(n_clusters=128, iters=4, block_rows=4096)
+        assert ivf.tail_rows == 0
+        _, ids = ivf.search(extra, 1, params=IVFSearchParams(probes=32))
+        assert (np.asarray(ids)[:, 0] == np.asarray(rows)).all()
+    finally:
+        idx.delete(np.asarray(rows))
+        ivf.rebuild(n_clusters=128, iters=4, block_rows=4096)
+
+
+def test_filter_mask_and_tombstones(built):
+    rng, x, idx, ivf = built
+    q = x[:4]
+    mask = np.zeros(idx.capacity, dtype=bool)
+    mask[1000:2000] = True
+    vals, ids = ivf.search(q, 5, params=IVFSearchParams(probes=64),
+                           filter_mask=mask)
+    ids = np.asarray(ids)
+    ok = ids[np.isfinite(np.asarray(vals))]
+    assert ((ok >= 1000) & (ok < 2000)).all()
+
+
+def test_collection_integration():
+    rng = np.random.default_rng(3)
+    cfg = Config()
+    cfg.index = IndexConfig(dim=32, matryoshka_dims=(), initial_capacity=64)
+    col = Collection("user_ivf", cfg)
+    x = clustered_corpus(rng, 512, 32, n_clusters=8)
+    chunks = [{"text": f"chunk {i}"} for i in range(512)]
+    col.store_document_vectors("doc", chunks, x)
+    col.build_ann(n_clusters=16, bucket_rows=16, iters=4, block_rows=256)
+    from rag_application_tpu.index.ivf import IVFIndex as I
+
+    assert isinstance(col.ann, I)
+    hits = col.ann_search(x[37], limit=3, ef=8)
+    assert hits and hits[0].row == 37
+
+
+def test_capacity_mode_int8_only():
+    rng = np.random.default_rng(5)
+    n, d = 4096, 32
+    x = clustered_corpus(rng, n, d, n_clusters=16)
+    idx = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                 initial_capacity=1024, store_bf16=False))
+    idx.insert(x)
+    ivf = IVFIndex.build(idx, n_clusters=32, bucket_rows=16, iters=4,
+                         block_rows=1024)
+    q = x[:16]
+    vals, ids = ivf.search(q, 3, params=IVFSearchParams(probes=16))
+    ids = np.asarray(ids)
+    assert (ids[:, 0] == np.arange(16)).all()
+    assert np.asarray(vals).max() <= 1.05  # dequantized cosine scale
