@@ -48,10 +48,16 @@ class MicroBatcher:
     per-request encode otherwise serializes on the event loop)."""
 
     def __init__(self, run_batch: Callable[..., List[List[Any]]], *,
-                 max_batch: int = 256, max_wait_ms: float = 2.0):
+                 max_batch: int = 256, max_wait_ms: float = 2.0,
+                 max_inflight: int = 2):
         self.run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # groups processed concurrently: 2 pipelines the next group's
+        # assembly + encode + upload under the previous group's engine
+        # dispatch and host-side hit materialization (the device itself
+        # serializes; the overlap hides host/transfer time)
+        self.max_inflight = max(1, max_inflight)
         self._queue: "asyncio.Queue[_Pending]" = asyncio.Queue()
         self._worker: Optional[asyncio.Task] = None
         self.batches_run = 0
@@ -66,44 +72,53 @@ class MicroBatcher:
         return await fut
 
     async def _run(self) -> None:
-        import numpy as np
-
-        loop = asyncio.get_running_loop()
+        sem = asyncio.Semaphore(self.max_inflight)
         while True:
             first = await self._queue.get()
             await asyncio.sleep(self.max_wait_s)  # collect a window
             group: List[_Pending] = [first]
             while not self._queue.empty() and len(group) < self.max_batch:
                 group.append(self._queue.get_nowait())
+            # up to max_inflight groups process concurrently (pipelining);
+            # the semaphore backpressures group assembly
+            await sem.acquire()
+            asyncio.ensure_future(self._process(group, sem))
 
-            try:
-                # group assembly is inside the try: a mixed group (some
-                # embedding=None, some ndarray) makes np.stack raise, and
-                # an escape here would kill the worker with every future
-                # unresolved — hanging those HTTP requests forever
-                embs = [p.embedding for p in group]
-                texts = ([p.text for p in group]
-                         if any(p.text is not None for p in group) else None)
+    async def _process(self, group: List[_Pending],
+                       sem: asyncio.Semaphore) -> None:
+        import numpy as np
+
+        loop = asyncio.get_running_loop()
+        try:
+            # group assembly is inside the try: a mixed group (some
+            # embedding=None, some ndarray) makes np.stack raise, and
+            # an escape here would kill the worker with every future
+            # unresolved — hanging those HTTP requests forever
+            embs = [p.embedding for p in group]
+            texts = ([p.text for p in group]
+                     if any(p.text is not None for p in group) else None)
+            if texts is not None:
+                texts = [t if t is not None else "" for t in texts]
+            limit = max(p.limit for p in group)
+            # pad the query axis to its bucket so repeated batch sizes
+            # reuse the compiled funnel variant
+            b = _bucket(len(group))
+            if b > len(group):
+                embs = embs + [embs[0]] * (b - len(group))
                 if texts is not None:
-                    texts = [t if t is not None else "" for t in texts]
-                limit = max(p.limit for p in group)
-                # pad the query axis to its bucket so repeated batch sizes
-                # reuse the compiled funnel variant
-                b = _bucket(len(group))
-                if b > len(group):
-                    embs = embs + [embs[0]] * (b - len(group))
-                    if texts is not None:
-                        texts = texts + [texts[0]] * (b - len(group))
-                stacked = (None if all(e is None for e in embs)
-                           else np.stack(embs))
-                results = await loop.run_in_executor(
-                    None, lambda: self.run_batch(stacked, texts, limit))
-                self.batches_run += 1
-                for p, hits in zip(group, results):
-                    if not p.future.done():
-                        p.future.set_result(hits[: p.limit])
-                self.requests_served += len(group)
-            except Exception as e:  # noqa: BLE001
-                for p in group:
-                    if not p.future.done():
-                        p.future.set_exception(e)
+                    texts = texts + [texts[0]] * (b - len(group))
+            stacked = (None if all(e is None for e in embs)
+                       else np.stack(embs))
+            results = await loop.run_in_executor(
+                None, lambda: self.run_batch(stacked, texts, limit))
+            self.batches_run += 1
+            for p, hits in zip(group, results):
+                if not p.future.done():
+                    p.future.set_result(hits[: p.limit])
+            self.requests_served += len(group)
+        except Exception as e:  # noqa: BLE001
+            for p in group:
+                if not p.future.done():
+                    p.future.set_exception(e)
+        finally:
+            sem.release()
