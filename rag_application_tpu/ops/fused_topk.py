@@ -53,32 +53,39 @@ def _packed_fits(d: int, block_rows: int) -> bool:
 
 def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
                  *, valid_n: int | None, block_rows: int,
-                 int8_mode: bool, packed: bool = False):
+                 int8_mode: bool, packed: bool = False, strips: int = 1):
     i = pl.program_id(0)
     q = q_ref[:]
-    c = c_ref[:]
-    acc = jnp.int32 if int8_mode else jnp.float32
-    scores = jax.lax.dot_general(
-        q, c, (((1,), (1,)), ((), ())), preferred_element_type=acc
-    )  # (Q, B)
 
-    qn, b = scores.shape
-    rows = b // LANES
+    qn = q.shape[0]
+    rows_total = block_rows // LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
+    acc = jnp.int32 if int8_mode else jnp.float32
 
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    gcol = col + i * block_rows
-    valid = jnp.ones(scores.shape, dtype=jnp.bool_)
-    if valid_n is not None:
-        valid = gcol < valid_n
-    if mask_ref is not None:
-        valid = jnp.logical_and(valid, mask_ref[:][None, :])
+    def strip_scores(s):
+        """(Q, bs) scores + validity for column strip s of the block."""
+        bs = block_rows // strips
+        c = c_ref[pl.ds(s * bs, bs), :] if strips > 1 else c_ref[:]
+        scores = jax.lax.dot_general(
+            q, c, (((1,), (1,)), ((), ())), preferred_element_type=acc)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        gcol = col + s * bs + i * block_rows
+        valid = jnp.ones(scores.shape, dtype=jnp.bool_)
+        if valid_n is not None:
+            valid = gcol < valid_n
+        if mask_ref is not None:
+            mrow = (mask_ref[pl.ds(s * bs, bs)] if strips > 1
+                    else mask_ref[:])
+            valid = jnp.logical_and(valid, mrow[None, :])
+        return scores, valid, bs
 
     # Bin along lanes: flat column c = r*LANES + lane, so the reshape
     # (Q, B) -> (Q, B/LANES, LANES) preserves the minor-dim tiling (an
     # arbitrary minor-dim split is an unsupported Mosaic shape cast).
     # Bin `lane` holds the strided columns {lane, lane+128, ...}; the
-    # sublane reduce takes each bin's max.
+    # sublane reduce takes each bin's max. `strips` > 1 splits the block
+    # into column strips reduced immediately, so only a (Q, B/strips)
+    # score tile is ever live — VMEM headroom for larger corpus blocks.
     if packed:
         # int8 fast path: pack (score, rows-1-row) into one int32 so a
         # single sublane max yields the bin max AND its row — one reduce
@@ -87,36 +94,55 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
         # Sentinel = -(max_abs+1): strictly below any real score AND
         # covered by the _packed_fits overflow bound when multiplied by
         # `rows` (a fixed -(2^24)+1 sentinel overflows int32 at
-        # rows > 128, flipping masked slots positive).
+        # rows > 128, flipping masked slots positive). Row ids are
+        # block-global so strip maxima combine with one running max.
         sentinel = -(c_ref.shape[-1] * 127 * 127 + 1)
-        s = jnp.where(valid, scores, sentinel)
-        s3 = s.reshape(qn, rows, LANES)
-        row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-        m = jnp.max(s3 * rows + (rows - 1 - row), axis=1)  # (Q, LANES)
-        vals = m // rows
-        local_row = (rows - 1) - (m - vals * rows)
+        best = None
+        for s in range(strips):
+            scores, valid, bs = strip_scores(s)
+            sv = jnp.where(valid, scores, sentinel)
+            s3 = sv.reshape(qn, bs // LANES, LANES)
+            row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) \
+                + s * (bs // LANES)
+            m = jnp.max(s3 * rows_total + (rows_total - 1 - row), axis=1)
+            best = m if best is None else jnp.maximum(best, m)
+        vals = best // rows_total
+        local_row = (rows_total - 1) - (best - vals * rows_total)
         vals_ref[0] = jnp.where(vals <= sentinel, NEG,
                                 vals.astype(jnp.float32))
         idx_ref[0] = local_row * LANES + lane + i * block_rows
         return
 
-    scores = scores.astype(jnp.float32)
-    if inv_ref is not None:
-        scores = scores * inv_ref[:][None, :]
-    scores = jnp.where(valid, scores, NEG)
-    s3 = scores.reshape(qn, rows, LANES)
-    m = jnp.max(s3, axis=1)  # (Q, LANES)
-    iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-    hit = s3 == m[:, None, :]
-    local_row = jnp.min(jnp.where(hit, iota, rows), axis=1)  # (Q, LANES)
-    vals_ref[0] = m
-    idx_ref[0] = local_row * LANES + lane + i * block_rows
+    best_m = None
+    best_row = None
+    for s in range(strips):
+        scores, valid, bs = strip_scores(s)
+        scores = scores.astype(jnp.float32)
+        if inv_ref is not None:
+            invr = (inv_ref[pl.ds(s * bs, bs)] if strips > 1
+                    else inv_ref[:])
+            scores = scores * invr[None, :]
+        scores = jnp.where(valid, scores, NEG)
+        s3 = scores.reshape(qn, bs // LANES, LANES)
+        m = jnp.max(s3, axis=1)  # (Q, LANES)
+        iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) \
+            + s * (bs // LANES)
+        hit = s3 == m[:, None, :]
+        local_row = jnp.min(jnp.where(hit, iota, rows_total), axis=1)
+        if best_m is None:
+            best_m, best_row = m, local_row
+        else:
+            better = m > best_m
+            best_row = jnp.where(better, local_row, best_row)
+            best_m = jnp.maximum(m, best_m)
+    vals_ref[0] = best_m
+    idx_ref[0] = best_row * LANES + lane + i * block_rows
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "bins", "block_rows", "valid_n", "prefix_dim",
-                     "approx_sheet", "select", "q_block"),
+                     "approx_sheet", "select", "q_block", "strips"),
 )
 def fused_scan_topk(
     corpus: jax.Array,
@@ -136,6 +162,9 @@ def fused_scan_topk(
     select: bool = True,  # False: return the raw (Q, nb*bins) candidate
                           # sheet instead of top-k — profiling/composition
                           # hook (callers then select or merge themselves)
+    strips: int = 1,  # split each block into column strips reduced
+                      # immediately — only a (Q, B/strips) score tile is
+                      # live, freeing VMEM for larger blocks
     q_block: Optional[int] = None,  # tile the query dim: the (q_block, B)
                                     # score tile is the VMEM limiter, so
                                     # tiling decouples batch size from
@@ -200,6 +229,9 @@ def fused_scan_topk(
         if valid_n is None:
             valid_n = n
 
+    if block_rows % (strips * LANES):
+        raise ValueError(
+            f"block_rows {block_rows} not divisible by strips*{LANES}")
     kernel = functools.partial(
         _scan_kernel,
         valid_n=valid_n,
@@ -207,6 +239,7 @@ def fused_scan_topk(
         int8_mode=int8_mode,
         packed=(int8_mode and inv_norms is None
                 and _packed_fits(d_load, block_rows)),
+        strips=strips,
     )
 
     qb = q_block if q_block is not None else q_count
