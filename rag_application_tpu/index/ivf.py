@@ -363,3 +363,30 @@ class IVFIndex:
         fresh = IVFIndex.build(self.dense, bucket_rows=self.bucket_rows, **kw)
         self.__dict__.update(fresh.__dict__)
         return self
+
+    # -------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Centroids + partition layout to an npz (the dense shard
+        checkpoints separately via index/checkpoint.py; the bucket slab
+        table is NOT stored — it regathers from the int8 plane on load,
+        keeping the file at ids + centroids size)."""
+        np.savez(path,
+                 centroids=np.asarray(self.centroids),
+                 bucket_cluster=np.asarray(self.bucket_cluster),
+                 bucket_rowids=np.asarray(self.bucket_rowids),
+                 built_n=self.built_n, bucket_rows=self.bucket_rows,
+                 rebuild_threshold=self.rebuild_threshold)
+
+    @classmethod
+    def load(cls, path: str, dense: DenseIndex) -> "IVFIndex":
+        d = np.load(path)
+        rowids = jnp.asarray(d["bucket_rowids"])
+        safe = jnp.where(rowids >= 0, rowids, 0)
+        tbl = jnp.where((rowids >= 0)[..., None],
+                        dense.int8[safe], jnp.int8(0))
+        return cls(dense, jnp.asarray(d["centroids"]),
+                   jnp.asarray(d["bucket_cluster"]), tbl, rowids,
+                   built_n=int(d["built_n"]),
+                   bucket_rows=int(d["bucket_rows"]),
+                   rebuild_threshold=float(d["rebuild_threshold"]))

@@ -59,6 +59,9 @@ class FusedSpec(NamedTuple):
     # (q_block, block_rows) score tile is the VMEM limiter, so tiling
     # lets big batches keep the full corpus block.
     scan_q_block: int = 0
+    # >1: column-strip reduce inside the scan kernel (ops.fused_topk
+    # strips) — smaller live score tile, VMEM headroom for larger blocks
+    scan_strips: int = 1
 
     @classmethod
     def from_funnel(cls, f: FunnelConfig, dims: Tuple[int, ...], *,
@@ -159,6 +162,7 @@ def fused_core(
                 prefix_dim=prefix_dim, inv_norms=inv, mask=mask,
                 approx_sheet=spec.scan_approx_sheet,
                 q_block=spec.scan_q_block or None,
+                strips=spec.scan_strips,
             )
         return blocked_topk(
             table, qs, limit,
@@ -282,7 +286,8 @@ class FusedSearcher:
                  *, scan_impl: Optional[str] = None,
                  scan_block_rows: Optional[int] = None,
                  scan_approx_sheet: Optional[bool] = None,
-                 scan_q_block: Optional[int] = None):
+                 scan_q_block: Optional[int] = None,
+                 scan_strips: Optional[int] = None):
         # NOTE: the kernel bins along the 128 VPU lanes — bin size is
         # tuned via scan_block_rows (bins/block is fixed at 128).
         # Engine knobs default to the funnel config's (FunnelConfig
@@ -300,6 +305,8 @@ class FusedSearcher:
             is not None else getattr(f, "scan_approx_sheet", True)
         self.scan_q_block = scan_q_block if scan_q_block is not None else \
             getattr(f, "scan_q_block", 1024)
+        self.scan_strips = scan_strips if scan_strips is not None else \
+            getattr(f, "scan_strips", 1)
 
     def _resolved_engine(self) -> Tuple[str, int]:
         """(impl, block_rows) with "auto" and the dim clamp applied."""
@@ -353,6 +360,7 @@ class FusedSearcher:
         )._replace(scan_block_rows=block_rows,
                    scan_approx_sheet=self.scan_approx_sheet,
                    scan_q_block=self.scan_q_block,
+                   scan_strips=self.scan_strips,
                    scan_prefix_dim=(d.cfg.scan_prefix_dim
                                     if d.prefix_int8 is not None else 0))
         if d.int8 is None:  # store_int8=False: no quantized scan table

@@ -149,3 +149,15 @@ def test_capacity_mode_int8_only():
     ids = np.asarray(ids)
     assert (ids[:, 0] == np.arange(16)).all()
     assert np.asarray(vals).max() <= 1.05  # dequantized cosine scale
+
+
+def test_save_load_roundtrip(built, tmp_path):
+    rng, x, idx, ivf = built
+    path = str(tmp_path / "ivf.npz")
+    ivf.save(path)
+    restored = IVFIndex.load(path, idx)
+    q = x[:8]
+    v1, i1 = ivf.search(q, 5, params=IVFSearchParams(probes=16))
+    v2, i2 = restored.search(q, 5, params=IVFSearchParams(probes=16))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
