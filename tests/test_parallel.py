@@ -287,3 +287,50 @@ def test_sharded_funnel_equals_single_chip_at_100k(rng):
     assert (m_ids == s_ids).all(), (
         f"id mismatch:\nsingle={s_ids}\nsharded={m_ids}")
     np.testing.assert_allclose(m_vals, s_vals, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_ivf_search(rng):
+    """Multi-chip IVF (parallel/ivf.py): per-shard partitions + ICI
+    merge — the beyond-HBM extension of the ANN leg. Recall must hold
+    vs the exact oracle and the exact rescore must be score-faithful."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_application_tpu.config import IndexConfig
+    from rag_application_tpu.index.dense import DenseIndex
+    from rag_application_tpu.parallel.ivf import (
+        build_sharded_ivf, place_sharded_ivf, sharded_ivf_search)
+    from rag_application_tpu.parallel.mesh import make_mesh
+
+    n, d = 40_000, 64
+    centers = rng.standard_normal((64, d)).astype(np.float32)
+    x = centers[rng.integers(0, 64, n)] + \
+        0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                   initial_capacity=1024))
+    dense.insert(x)
+    mesh = make_mesh(8)
+    stacked = build_sharded_ivf(dense, 8, n_clusters=32, bucket_rows=16,
+                                iters=5, block_rows=1024)
+    placed = place_sharded_ivf(mesh, stacked)
+    r = stacked["rows_per_shard"]
+    pad = 8 * r - n
+    vecs = jnp.pad(dense.vecs[:n].astype(jnp.bfloat16), ((0, pad), (0, 0)))
+    vecs = jax.device_put(vecs, NamedSharding(mesh, P("data", None)))
+
+    q_idx = rng.choice(n, 48, replace=False)
+    q = x[q_idx] + 0.05 * rng.standard_normal((48, d)).astype(np.float32)
+    exact = np.argsort(-(q @ x.T), axis=-1)[:, :10]
+    vals, ids = sharded_ivf_search(mesh, placed, jnp.asarray(q), 10,
+                                   probes=32, rescore_vecs=vecs)
+    ids = np.asarray(ids)
+    rec = np.mean([np.isin(exact[i], ids[i]).mean() for i in range(48)])
+    assert rec >= 0.95, rec
+    # scores are true cosines (bf16 rescore), descending
+    vals = np.asarray(vals)
+    assert vals.max() <= 1.01
+    assert (np.diff(vals, axis=-1) <= 1e-6).all()
+    # the no-rescore path works too (coarse int8 scores)
+    v2, i2 = sharded_ivf_search(mesh, placed, jnp.asarray(q), 10,
+                                probes=32)
+    assert np.isfinite(np.asarray(v2)).any()

@@ -299,3 +299,97 @@ def test_real_reference_fixture_if_present():
     assert len(pages) == 8
     assert "Retrieval Augmented Generation" in pages[0]
     assert sum(len(p) for p in pages) > 20_000
+
+
+# ------------------------------------------------------------- filters
+
+def test_filters_roundtrip():
+    import zlib as _z
+
+    from rag_application_tpu.ingest.pdf import (
+        _a85_decode, _lzw_decode, _png_predictor, _rl_decode)
+
+    # RunLength: literal run + repeat run + EOD
+    data = bytes([2]) + b"abc" + bytes([257 - 4]) + b"x" + bytes([128])
+    assert _rl_decode(data) == b"abc" + b"x" * 4
+
+    # ASCII85 (with and without <~ ~> wrapper)
+    import base64
+    payload = b"hello pdf filter world"
+    enc = base64.a85encode(payload)
+    assert _a85_decode(enc) == payload
+    assert _a85_decode(b"<~" + enc + b"~>") == payload
+
+    # LZW: decode a stream produced by a tiny reference encoder
+    def lzw_encode(raw):
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        nbits = 9
+        out_bits = []
+        w = b""
+        out_bits.append((256, 9))  # clear
+        for ch in raw:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                out_bits.append((table[w], nbits))
+                table[wc] = next_code
+                next_code += 1
+                if next_code + 0 >= (1 << nbits) and nbits < 12:
+                    nbits += 1
+                w = bytes([ch])
+        if w:
+            out_bits.append((table[w], nbits))
+        out_bits.append((257, nbits))  # EOD
+        buf = 0
+        bits = 0
+        by = bytearray()
+        for code, nb in out_bits:
+            buf = (buf << nb) | code
+            bits += nb
+            while bits >= 8:
+                bits -= 8
+                by.append((buf >> bits) & 0xFF)
+        if bits:
+            by.append((buf << (8 - bits)) & 0xFF)
+        return bytes(by)
+
+    raw = b"TOBEORNOTTOBEORTOBEORNOT" * 4
+    assert _lzw_decode(lzw_encode(raw)) == raw
+
+    # PNG Up predictor row chain
+    rows = [bytes([10, 20, 30, 40]), bytes([11, 22, 33, 44])]
+    pred = bytearray()
+    prev = bytes(4)
+    for r in rows:
+        pred.append(2)
+        pred.extend((r[i] - prev[i]) & 0xFF for i in range(4))
+        prev = r
+    assert _png_predictor(bytes(pred), 1, 8, 4) == b"".join(rows)
+
+
+def test_parser_never_crashes_on_mutations():
+    """Bit-flipped/truncated PDFs must raise PDFError (or parse) —
+    never escape with an arbitrary exception."""
+    import random
+
+    base = build_pdf([text_page(["stable text here"]),
+                      text_page(["second page"])])
+    rng = random.Random(0)
+    for trial in range(60):
+        data = bytearray(base)
+        kind = trial % 3
+        if kind == 0:  # flip bytes
+            for _ in range(rng.randint(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        elif kind == 1:  # truncate
+            data = data[: rng.randrange(6, len(data))]
+        else:  # splice garbage
+            pos = rng.randrange(len(data))
+            data[pos:pos] = bytes(rng.randrange(256) for _ in range(16))
+        try:
+            pages = extract_pages(bytes(data))
+            assert isinstance(pages, list)
+        except PDFError:
+            pass
