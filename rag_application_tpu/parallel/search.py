@@ -381,3 +381,23 @@ def sharded_topk_dryrun(mesh: Mesh) -> None:
     i5 = np.asarray(i5)
     assert (i5[:, 0] == np.arange(q)).all(), \
         f"cascade funnel failed: {i5[:, 0]}"
+
+    # multi-chip IVF (parallel/ivf.py): per-shard partitions + ICI merge
+    from ..config import IndexConfig
+    from ..index.dense import DenseIndex
+    from .ivf import build_sharded_ivf, place_sharded_ivf, sharded_ivf_search
+
+    dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                   initial_capacity=max(n, 64)))
+    dense.insert(corpus)
+    stacked = build_sharded_ivf(dense, n_shards, n_clusters=4,
+                                bucket_rows=8, iters=3, block_rows=32)
+    placed = place_sharded_ivf(mesh, stacked)
+    rps = stacked["rows_per_shard"]
+    pad = n_shards * rps - n
+    vs = jnp.pad(dense.vecs[:n].astype(jnp.bfloat16), ((0, pad), (0, 0)))
+    vs = jax.device_put(vs, NamedSharding(mesh, P(axis, None)))
+    v6, i6 = sharded_ivf_search(mesh, placed, jnp.asarray(queries), k,
+                                probes=4, rescore_vecs=vs)
+    i6 = np.asarray(i6)
+    assert (i6[:, 0] == np.arange(q)).all(), f"sharded ivf failed: {i6[:, 0]}"
