@@ -44,6 +44,12 @@ def synth_tokens(rng, n, vocab=50_000, doc_len=24):
 def run():
     t_start = time.time()
     import jax
+
+    # BENCH_PLATFORM=cpu: off-TPU smoke runs (the JAX_PLATFORMS env var
+    # is overridden by the axon sitecustomize; this knob wins because it
+    # runs before first backend use)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     small = os.environ.get("BENCH_SMALL") == "1"
