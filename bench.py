@@ -258,16 +258,24 @@ def run():
     dt = engine_dt
 
     # --- end-to-end through the relay --- (fail-soft: the core metric
-    # above is already measured; a relay flap here must not lose it)
+    # above is already measured; a relay flap here must not lose it).
+    # Queries upload as f16 — half the bytes on this 15-45 MB/s attach;
+    # precision cost is below the bf16 storage floor (prepare docstring).
     try:
+        warm = searcher.search_prepared(
+            searcher.prepare(batches[0][0], batches[0][1],
+                             upload_dtype="float16"),
+            k, use_matryoshka=False)
+        float(jnp.sum(warm[0]))  # compile the f16-input variant
         t0 = time.time()
-        outs = [searcher.search(b_q, b_t, k, use_matryoshka=False)
-                for b_q, b_t in batches]
+        outs = [searcher.search_prepared(
+            searcher.prepare(b_q, b_t, upload_dtype="float16"),
+            k, use_matryoshka=False) for b_q, b_t in batches]
         float(jnp.sum(outs[-1][0]))
         e2e_dt = (time.time() - t0) / reps
         e2e_qps = batch / e2e_dt
-        log(f"[bench] e2e via relay: {e2e_dt*1e3:.2f} ms/batch -> "
-            f"{e2e_qps:,.0f} QPS")
+        log(f"[bench] e2e via relay (f16 upload): {e2e_dt*1e3:.2f} "
+            f"ms/batch -> {e2e_qps:,.0f} QPS")
     except Exception as e:  # noqa: BLE001
         e2e_qps = -1.0
         log(f"[bench] e2e leg failed ({type(e).__name__}) — continuing")

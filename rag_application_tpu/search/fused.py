@@ -320,10 +320,21 @@ class FusedSearcher:
             block = min(block, max(4096, (16384 * 768 // d) // 128 * 128))
         return impl, block
 
-    def prepare(self, query_embeddings, query_texts=None):
+    def prepare(self, query_embeddings, query_texts=None, *,
+                upload_dtype=None):
         """Host-side query prep + device upload, separated from execution
-        so serving loops can overlap/pre-stage transfers."""
-        q = jax.device_put(jnp.asarray(query_embeddings, dtype=jnp.float32))
+        so serving loops can overlap/pre-stage transfers.
+
+        `upload_dtype="float16"` halves the host->device bytes on thin
+        attaches (the funnel normalizes and casts in f32 on device; the
+        scan quantizes queries to int8 anyway, so the precision cost is
+        below the bf16 storage floor)."""
+        q = np.asarray(query_embeddings)
+        if upload_dtype is not None:
+            q = q.astype(upload_dtype)
+        elif q.dtype not in (np.float16, np.float32):
+            q = q.astype(np.float32)
+        q = jax.device_put(jnp.asarray(q))
         sparse_queries = None
         if (self.sparse is not None and query_texts is not None
                 and len(self.sparse) > 0):
