@@ -12,6 +12,7 @@ Run: timeout 1200 python examples/tune_int4.py
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -35,18 +36,22 @@ def main():
     log(f"backend={jax.default_backend()} shapes q={q} b={b} d={d} "
         f"reps={reps}")
     rng = np.random.default_rng(0)
-    qs8 = jnp.asarray(rng.integers(-127, 128, (q, d)), dtype=jnp.int8)
+    # per CLAUDE.md: scan over an (R, ...) QUERY STACK — a loop-invariant
+    # matmul would be hoisted by XLA LICM and time one matmul + R adds
+    qstack8 = jnp.asarray(rng.integers(-127, 128, (reps, q, d)),
+                          dtype=jnp.int8)
     cs8 = jnp.asarray(rng.integers(-127, 128, (b, d)), dtype=jnp.int8)
 
-    def timed(name, qa, ca):
-        def body(carry, _):
+    def timed(name, qstack, ca):
+        def body(carry, qa):
             s = jax.lax.dot_general(
                 qa, ca, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
             return carry + jnp.sum(s, dtype=jnp.int32), None
 
-        f = jax.jit(lambda: jax.lax.scan(
-            body, jnp.int32(0), None, length=reps)[0])
+        f = jax.jit(lambda qs, c: jax.lax.scan(
+            body, jnp.int32(0), qs)[0])
+        f = functools.partial(f, qstack, ca)
         try:
             t0 = time.time()
             v = f()
@@ -66,15 +71,15 @@ def main():
             log(f"{name} failed: {type(e).__name__}: {e}")
             return None
 
-    t8 = timed("s8 x s8", qs8, cs8)
+    t8 = timed("s8 x s8", qstack8, cs8)
     try:
         cs4 = cs8.astype(jnp.int4)  # values exceed int4 range; timing only
-        qs4 = qs8.astype(jnp.int4)
+        qstack4 = qstack8.astype(jnp.int4)
     except Exception as e:  # noqa: BLE001
         log(f"int4 dtype unavailable: {e}")
         return
-    t84 = timed("s8 x s4", qs8, cs4)
-    t44 = timed("s4 x s4", qs4, cs4)
+    t84 = timed("s8 x s4", qstack8, cs4)
+    t44 = timed("s4 x s4", qstack4, cs4)
     if t8 and t44:
         log(f"speedup s4xs4 vs s8xs8: {t8 / t44:.2f}x")
     if t8 and t84:

@@ -207,7 +207,13 @@ class HTTPServer:
                 if isinstance(resp, dict):
                     resp = JSONResponse(resp)
                 keep = (req.headers.get("connection", "").lower() != "close"
-                        and served + 1 < KEEPALIVE_MAX_REQUESTS)
+                        and served + 1 < KEEPALIVE_MAX_REQUESTS
+                        # bodies are only framed by Content-Length here;
+                        # a chunked body would desync the stream (its
+                        # bytes would parse as the next request line),
+                        # so such connections close after the response
+                        # and the unread body is discarded with them
+                        and "transfer-encoding" not in req.headers)
                 writer.write(resp.render_head(keep_alive=keep) + resp.body)
                 await writer.drain()
                 if not keep:

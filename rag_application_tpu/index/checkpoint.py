@@ -47,21 +47,18 @@ def save_collection(col: "Collection", path: str) -> None:
     # `serve.checkpoint_spaces` calls this from an executor thread while
     # the event loop keeps mutating; a torn read (dense rows without the
     # matching sparse/payload rows) would misalign the row space on
-    # restore. The dense planes must be pulled to host HERE: the insert
-    # jits donate their input buffers (dense.py donate_argnums), so a
-    # captured device reference is invalidated by the next insert.
+    # restore. Under the lock only REFERENCES + row-aligned host state
+    # are captured and the index is PINNED (inserts switch to
+    # non-donating jits so the captured buffers stay valid); the
+    # multi-GiB device->host pulls happen after release — holding the
+    # lock through a relay transfer would stall every mutator (and the
+    # event loop with them) for minutes.
+    dense = col.dense
     with col.lock:
-        dense = col.dense
-        d_vecs = None if dense.vecs is None else (
-            _bf16_to_u16(dense.vecs) if dense.vecs.dtype == jnp.bfloat16
-            else np.asarray(dense.vecs, dtype=np.float32))
-        d_vecs_bf16 = dense.vecs is not None and dense.vecs.dtype == jnp.bfloat16
-        d_vec_dtype = str(dense.vecs.dtype) if dense.vecs is not None else None
-        d_int8 = None if dense.int8 is None else np.asarray(dense.int8)
-        d_recip = (None if getattr(dense, "int8_recip", None) is None
-                   else np.asarray(dense.int8_recip))
-        d_inv_norms = np.asarray(dense.inv_norms)
-        d_live = np.asarray(dense.live)
+        dense.pin()
+        r_vecs, r_int8 = dense.vecs, dense.int8
+        r_recip = getattr(dense, "int8_recip", None)
+        r_inv_norms, r_live = dense.inv_norms, dense.live
         d_size = dense.size
 
         sp = col.sparse
@@ -75,6 +72,19 @@ def save_collection(col: "Collection", path: str) -> None:
 
         payloads_json = json.dumps(col.payloads._payloads)
         n_payloads = len(col.payloads)
+
+    try:
+        d_vecs = None if r_vecs is None else (
+            _bf16_to_u16(r_vecs) if r_vecs.dtype == jnp.bfloat16
+            else np.asarray(r_vecs, dtype=np.float32))
+        d_vecs_bf16 = r_vecs is not None and r_vecs.dtype == jnp.bfloat16
+        d_vec_dtype = str(r_vecs.dtype) if r_vecs is not None else None
+        d_int8 = None if r_int8 is None else np.asarray(r_int8)
+        d_recip = None if r_recip is None else np.asarray(r_recip)
+        d_inv_norms = np.asarray(r_inv_norms)
+        d_live = np.asarray(r_live)
+    finally:
+        dense.unpin()
 
     # --- write phase -----------------------------------------------------
     tmp = path + ".tmp"

@@ -32,11 +32,9 @@ from ..ops.topk import blocked_topk, gather_rescore
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("dims",),
-                   donate_argnums=(0, 1, 2, 3))
-def _insert_update(vecs, int8, inv_norms, live, x, start, *, dims):
-    """One compiled, buffer-donating index update: derive all views of the
-    batch and splice them into the capacity arrays at ``start``."""
+def _insert_update_impl(vecs, int8, inv_norms, live, x, start, *, dims):
+    """One compiled index update: derive all views of the batch and
+    splice them into the capacity arrays at ``start``."""
     norm, i8, inv = prepare_vectors_xla(x.astype(jnp.float32), dims,
                                         out_dtype=vecs.dtype)
     n = x.shape[0]
@@ -49,9 +47,20 @@ def _insert_update(vecs, int8, inv_norms, live, x, start, *, dims):
     return vecs, int8, inv_norms, live
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "keep"),
-                   donate_argnums=(0, 1, 2))
-def _insert_update_single(plane, inv_norms, live, x, start, *, dims, keep):
+# Donating variant (the default — no copies of the capacity arrays) and
+# a non-donating twin used while a checkpoint snapshot PINS the current
+# buffers (index/checkpoint.py captures references under the mutation
+# lock and pulls them to host after releasing it; donation would
+# invalidate those references mid-pull).
+_insert_update = functools.partial(
+    jax.jit, static_argnames=("dims",), donate_argnums=(0, 1, 2, 3)
+)(_insert_update_impl)
+_insert_update_nodonate = functools.partial(
+    jax.jit, static_argnames=("dims",))(_insert_update_impl)
+
+
+def _insert_update_single_impl(plane, inv_norms, live, x, start, *, dims,
+                               keep):
     """Single-plane update for the reduced storage modes: keep="int8"
     (capacity mode, no bf16 plane) or keep="bf16" (no quantized table)."""
     norm, i8, inv = prepare_vectors_xla(x.astype(jnp.float32), dims,
@@ -66,10 +75,15 @@ def _insert_update_single(plane, inv_norms, live, x, start, *, dims, keep):
     return plane, inv_norms, live
 
 
-@functools.partial(jax.jit, static_argnames=("dims",),
-                   donate_argnums=(0, 1, 2, 3))
-def _insert_update_int8_scaled(plane, recip, inv_norms, live, x, start, *,
-                               dims):
+_insert_update_single = functools.partial(
+    jax.jit, static_argnames=("dims", "keep"), donate_argnums=(0, 1, 2)
+)(_insert_update_single_impl)
+_insert_update_single_nodonate = functools.partial(
+    jax.jit, static_argnames=("dims", "keep"))(_insert_update_single_impl)
+
+
+def _insert_update_int8_scaled_impl(plane, recip, inv_norms, live, x, start,
+                                    *, dims):
     """Capacity-mode insert with per-row max-abs int8 scaling: the row
     quantizes at s_r = 127/max|x_r| (full int8 range regardless of dim)
     and `recip` stores 1/s_r, so cosine = (q_f32 . int8_row) * recip."""
@@ -90,9 +104,14 @@ def _insert_update_int8_scaled(plane, recip, inv_norms, live, x, start, *,
     return plane, recip, inv_norms, live
 
 
-@functools.partial(jax.jit, static_argnames=("prefix_dim",),
-                   donate_argnums=(0,))
-def _prefix_update(prefix_int8, x, start, *, prefix_dim):
+_insert_update_int8_scaled = functools.partial(
+    jax.jit, static_argnames=("dims",), donate_argnums=(0, 1, 2, 3)
+)(_insert_update_int8_scaled_impl)
+_insert_update_int8_scaled_nodonate = functools.partial(
+    jax.jit, static_argnames=("dims",))(_insert_update_int8_scaled_impl)
+
+
+def _prefix_update_impl(prefix_int8, x, start, *, prefix_dim):
     """Derive + splice the contiguous prefix scan table: int8 of the
     renormalized first `prefix_dim` columns (so the raw int8 dot IS the
     prefix cosine, no inverse-norm multiply in the scan kernel)."""
@@ -101,6 +120,13 @@ def _prefix_update(prefix_int8, x, start, *, prefix_dim):
         jnp.maximum(jnp.sum(xp * xp, axis=-1, keepdims=True), 1e-12))
     i8 = jnp.clip(jnp.round(xp * 127.0), -127, 127).astype(jnp.int8)
     return jax.lax.dynamic_update_slice_in_dim(prefix_int8, i8, start, 0)
+
+
+_prefix_update = functools.partial(
+    jax.jit, static_argnames=("prefix_dim",), donate_argnums=(0,)
+)(_prefix_update_impl)
+_prefix_update_nodonate = functools.partial(
+    jax.jit, static_argnames=("prefix_dim",))(_prefix_update_impl)
 
 
 class DenseIndex:
@@ -130,6 +156,18 @@ class DenseIndex:
                 f"scan_prefix_dim must be a multiple of 128 below dim, got {p}")
         self.prefix_int8 = jnp.zeros((cap, p), dtype=jnp.int8) if p else None
         self.size = 0  # rows [0, size) are allocated (live unless deleted)
+        # >0: a checkpoint snapshot holds references to the current
+        # buffers — inserts switch to non-donating jits so those
+        # references stay valid while the snapshot pulls them to host
+        # (index/checkpoint.py pins under the mutation lock, releases
+        # the lock, pulls, then unpins)
+        self._pins = 0
+
+    def pin(self) -> None:
+        self._pins += 1
+
+    def unpin(self) -> None:
+        self._pins = max(0, self._pins - 1)
 
     @property
     def capacity(self) -> int:
@@ -171,30 +209,39 @@ class DenseIndex:
         if self.size + n > self.capacity:
             self._grow(self.size + n)
         start = self.size
+        pinned = self._pins > 0
         if self.vecs is not None and self.int8 is not None:
-            self.vecs, self.int8, self.inv_norms, self.live = _insert_update(
+            upd = _insert_update_nodonate if pinned else _insert_update
+            self.vecs, self.int8, self.inv_norms, self.live = upd(
                 self.vecs, self.int8, self.inv_norms, self.live,
                 x, np.int32(start), dims=self.cfg.matryoshka_dims,
             )
         elif self.int8 is not None:  # capacity mode
             if self.int8_recip is not None:
+                upd = (_insert_update_int8_scaled_nodonate if pinned
+                       else _insert_update_int8_scaled)
                 (self.int8, self.int8_recip, self.inv_norms,
-                 self.live) = _insert_update_int8_scaled(
+                 self.live) = upd(
                     self.int8, self.int8_recip, self.inv_norms, self.live,
                     x, np.int32(start), dims=self.cfg.matryoshka_dims,
                 )
             else:
-                self.int8, self.inv_norms, self.live = _insert_update_single(
+                upd = (_insert_update_single_nodonate if pinned
+                       else _insert_update_single)
+                self.int8, self.inv_norms, self.live = upd(
                     self.int8, self.inv_norms, self.live, x, np.int32(start),
                     dims=self.cfg.matryoshka_dims, keep="int8",
                 )
         else:
-            self.vecs, self.inv_norms, self.live = _insert_update_single(
+            upd = (_insert_update_single_nodonate if pinned
+                   else _insert_update_single)
+            self.vecs, self.inv_norms, self.live = upd(
                 self.vecs, self.inv_norms, self.live, x, np.int32(start),
                 dims=self.cfg.matryoshka_dims, keep="bf16",
             )
         if self.prefix_int8 is not None:
-            self.prefix_int8 = _prefix_update(
+            upd = _prefix_update_nodonate if pinned else _prefix_update
+            self.prefix_int8 = upd(
                 self.prefix_int8, x, np.int32(start),
                 prefix_dim=self.cfg.scan_prefix_dim)
         self.size += n

@@ -298,9 +298,15 @@ class IVFIndex:
         safe = jnp.where(rowids_dev >= 0, rowids_dev, 0)
         tbl = jnp.where((rowids_dev >= 0)[..., None],
                         dense.int8[safe], jnp.int8(0))
-        return cls(dense, cents, jnp.asarray(bucket_cluster),
-                   tbl, rowids_dev,
-                   built_n=n, bucket_rows=bucket_rows)
+        out = cls(dense, cents, jnp.asarray(bucket_cluster),
+                  tbl, rowids_dev,
+                  built_n=n, bucket_rows=bucket_rows)
+        # remembered so rebuild() reproduces THIS configuration instead
+        # of silently reverting to defaults
+        out._build_kw = dict(n_clusters=n_clusters, bucket_rows=bucket_rows,
+                             iters=iters, train_sample=train_sample,
+                             seed=seed, block_rows=block_rows)
+        return out
 
     # ------------------------------------------------------------ queries
 
@@ -360,8 +366,15 @@ class IVFIndex:
         del rows
 
     def rebuild(self, **kw) -> "IVFIndex":
-        fresh = IVFIndex.build(self.dense, bucket_rows=self.bucket_rows, **kw)
+        """Fold the tail into a fresh partition. Reuses the original
+        build configuration (n_clusters/iters/...) unless overridden,
+        and keeps this index's rebuild_threshold."""
+        params = dict(getattr(self, "_build_kw", {}))
+        params.update(kw)
+        threshold = self.rebuild_threshold
+        fresh = IVFIndex.build(self.dense, **params)
         self.__dict__.update(fresh.__dict__)
+        self.rebuild_threshold = threshold
         return self
 
     # -------------------------------------------------------- persistence

@@ -395,6 +395,11 @@ def _decode_stream(d: Dict[str, Any], raw: bytes, doc: "PDFDocument") -> bytes:
     parms = doc.resolve(d.get("DecodeParms") or d.get("DP"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # malformed files ship short DecodeParms lists; zip() would
+        # silently drop the trailing filters and return half-decoded
+        # bytes — pad instead
+        parms = list(parms) + [None] * (len(filters) - len(parms))
     data = raw
     for f, p in zip(filters, parms):
         f = str(doc.resolve(f) or "")

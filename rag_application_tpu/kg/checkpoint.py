@@ -32,20 +32,19 @@ def _dump_array(x: jax.Array) -> np.ndarray:
 def save_kg(kg: KGStore, path: str) -> None:
     # --- capture under the store's mutation lock -------------------------
     # Called from the checkpoint executor thread while the event loop
-    # mutates (upserts, dedup merges). The vector planes are pulled to
-    # host here because the insert jits donate their inputs (a captured
-    # device reference dies on the next upsert); host dicts are
-    # serialized to JSON strings while still under the lock (a mutation
-    # mid-json.dump would tear the graph or raise "dict changed during
-    # iteration").
+    # mutates (upserts, dedup merges). Under the lock: device REFERENCES
+    # (the per-space indexes are pinned so upserts stop donating and the
+    # references survive) + host dicts serialized to JSON strings (a
+    # mutation mid-json.dump would tear the graph or raise "dict changed
+    # during iteration"). The device->host pulls run after release so
+    # mutators never wait on a relay transfer.
     with kg.lock:
-        arrays = {}
+        refs = {}
         meta_spaces = {}
         for space, table in kg.spaces.items():
             idx = table.index
-            arrays[f"{space.value}_vecs"] = _dump_array(idx.vecs)
-            arrays[f"{space.value}_int8"] = np.asarray(idx.int8)
-            arrays[f"{space.value}_live"] = np.asarray(idx.live)
+            idx.pin()
+            refs[space.value] = (idx, idx.vecs, idx.int8, idx.live)
             meta_spaces[space.value] = {
                 "size": idx.size,
                 "bf16": str(idx.vecs.dtype) == "bfloat16",
@@ -65,6 +64,16 @@ def save_kg(kg: KGStore, path: str) -> None:
         manifest_json = json.dumps(
             {"version": KG_MANIFEST_VERSION, "dim": kg.dim,
              "spaces": meta_spaces}, default=str)
+
+    arrays = {}
+    try:
+        for name, (idx, vecs, int8, live) in refs.items():
+            arrays[f"{name}_vecs"] = _dump_array(vecs)
+            arrays[f"{name}_int8"] = np.asarray(int8)
+            arrays[f"{name}_live"] = np.asarray(live)
+    finally:
+        for idx, *_ in refs.values():
+            idx.unpin()
 
     # --- write phase -----------------------------------------------------
     tmp = path + ".tmp"

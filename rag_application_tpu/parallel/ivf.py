@@ -1,5 +1,10 @@
 """Multi-chip IVF: per-shard partitions, ICI top-k merge.
 
+Parity surface: the reference's ANN recall knob is Qdrant HNSW hnsw_ef
+(app/core/vector_store/qdrant/qdrant_handler.py:363-372) and its
+"scale" story is adding service replicas; this is the ANN leg's
+corpus-axis sharding (SURVEY §2.6 / §5.8).
+
 The scan funnel shards rows and streams every byte of its shard per
 batch (parallel/search.py); the IVF leg extends past that regime —
 each device holds its own coarse partition over its corpus rows and a
@@ -59,6 +64,15 @@ def build_sharded_ivf(dense: DenseIndex, n_shards: int, *,
     btbl = np.zeros((n_shards, nb_max, r, d), np.int8)
     brid = np.full((n_shards, nb_max, r), -1, np.int32)
     nbs = np.zeros((n_shards,), np.int32)
+    # capacity-mode per-row dequant factors (index/dense.py
+    # int8_per_row_scale): raw int8 dots are NOT comparable across rows
+    # without them — stacked bucket-aligned so the search multiplies in
+    # place (the single-chip engine does the same, index/ivf.py)
+    scaled = getattr(dense, "int8_recip", None) is not None \
+        and dense.vecs is None
+    brecip = (np.zeros((n_shards, nb_max, r), np.float32)
+              if scaled else None)
+    recip_host = (np.asarray(dense.int8_recip) if scaled else None)
     for s, p in enumerate(parts):
         if p is None:
             continue
@@ -69,10 +83,18 @@ def build_sharded_ivf(dense: DenseIndex, n_shards: int, *,
         nbs[s] = nb
         rid = np.asarray(p.bucket_rowids)
         # shard-local ids -> global rows
-        brid[s, :nb] = np.where(rid >= 0, rid + s * rows_per_shard, -1)
-    return {"centroids": cents, "bucket_cluster": bcl,
-            "bucket_tbl": btbl, "bucket_rowids": brid, "n_buckets": nbs,
-            "rows_per_shard": rows_per_shard}
+        grid = np.where(rid >= 0, rid + s * rows_per_shard, -1)
+        brid[s, :nb] = grid
+        if scaled:
+            brecip[s, :nb] = np.where(
+                grid >= 0, recip_host[np.clip(grid, 0, len(recip_host) - 1)],
+                0.0)
+    out = {"centroids": cents, "bucket_cluster": bcl,
+           "bucket_tbl": btbl, "bucket_rowids": brid, "n_buckets": nbs,
+           "rows_per_shard": rows_per_shard}
+    if scaled:
+        out["bucket_recip"] = brecip
+    return out
 
 
 class _ShardView:
@@ -100,6 +122,8 @@ def place_sharded_ivf(mesh: Mesh, stacked: dict, *, axis: str = "data"):
         "bucket_tbl": put(stacked["bucket_tbl"], P(axis, None, None, None)),
         "bucket_rowids": put(stacked["bucket_rowids"], P(axis, None, None)),
         "n_buckets": put(stacked["n_buckets"], P(axis)),
+        "bucket_recip": (put(stacked["bucket_recip"], P(axis, None, None))
+                         if "bucket_recip" in stacked else None),
         "rows_per_shard": stacked["rows_per_shard"],
     }
 
@@ -122,13 +146,15 @@ def sharded_ivf_search(
     cosines either way)."""
     rows_per_shard = placed["rows_per_shard"]
     has_rescore = rescore_vecs is not None
+    has_recip = placed.get("bucket_recip") is not None
 
-    def local(cents_s, bcl_s, btbl_s, brid_s, nb_s, v_s, q):
+    def local(cents_s, bcl_s, btbl_s, brid_s, nb_s, brcp_s, v_s, q):
         shard_id = jax.lax.axis_index(axis)
         start = shard_id * rows_per_shard
         cents, bcl = cents_s[0], bcl_s[0]
         btbl, brid = btbl_s[0], brid_s[0]
         nb = nb_s[0]
+        brcp = brcp_s[0] if has_recip else None
 
         qn = q.shape[0]
         qf = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
@@ -140,12 +166,37 @@ def sharded_ivf_search(
         b_scores = jnp.where(pad_mask[None, :], b_scores, -jnp.inf)
         p_eff = min(probes, b_scores.shape[-1])
         _, b_idx = jax.lax.top_k(b_scores, p_eff)
-        slabs = btbl[b_idx]                     # (Q, P, R, d)
-        rids = brid[b_idx]                      # (Q, P, R) global rows
-        sc = jnp.einsum("qd,qprd->qpr", q8, slabs,
-                        preferred_element_type=jnp.int32)
-        sc = sc.reshape(qn, -1).astype(jnp.float32)
-        rids = rids.reshape(qn, -1)
+
+        # probe-chunked scoring: XLA materializes the gathered slabs as
+        # s32 for the int8 einsum (Q*P*R*d*4 bytes of HLO temp — the
+        # exact OOM the single-chip engine chunks for, index/ivf.py)
+        d_ = q.shape[1]
+        r = btbl.shape[1]
+        chunk = max(1, min(p_eff, (1 << 31) // max(1, qn * r * d_ * 4)))
+        n_chunks = -(-p_eff // chunk)
+        cpad = n_chunks * chunk - p_eff
+        if cpad:
+            b_idx = jnp.pad(b_idx, ((0, 0), (0, cpad)))
+        b_chunks = jnp.transpose(
+            b_idx.reshape(qn, n_chunks, chunk), (1, 0, 2))
+
+        def body(_, bc):
+            slab = btbl[bc]
+            rid = brid[bc]
+            s_ = jnp.einsum("qd,qprd->qpr", q8, slab,
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32)
+            if brcp is not None:
+                s_ = s_ * brcp[bc]
+            return None, (s_.reshape(qn, -1), rid.reshape(qn, -1))
+
+        _, (sc_all, rid_all) = jax.lax.scan(body, None, b_chunks)
+        sc = jnp.transpose(sc_all, (1, 0, 2)).reshape(qn, -1)
+        rids = jnp.transpose(rid_all, (1, 0, 2)).reshape(qn, -1)
+        if cpad:
+            probe_valid = jnp.repeat(
+                jnp.arange(n_chunks * chunk) < p_eff, r)
+            rids = jnp.where(probe_valid[None, :], rids, -1)
         sc = jnp.where(rids >= 0, sc, -jnp.inf)
         kk = min(rescore_limit if has_rescore else k, sc.shape[-1])
         top, pos = jax.lax.top_k(sc, kk)
@@ -158,7 +209,9 @@ def sharded_ivf_search(
             top, pos = jax.lax.top_k(exact, min(k, kk))
             ids = jnp.take_along_axis(ids, pos, axis=-1)
         else:
-            top = top / (127.0 * 127.0)
+            # per-row scaled rows already carry their factor; only the
+            # query quantization remains
+            top = top / 127.0 if has_recip else top / (127.0 * 127.0)
             top, ids = top[:, :k], ids[:, :k]
         ids = jnp.where(jnp.isfinite(top), ids, INVALID_ID)
 
@@ -172,10 +225,15 @@ def sharded_ivf_search(
         return out_v, jnp.where(jnp.isfinite(out_v), out_i, INVALID_ID)
 
     specs = [P(axis, None, None), P(axis, None),
-             P(axis, None, None, None), P(axis, None, None), P(axis)]
+             P(axis, None, None, None), P(axis, None, None), P(axis),
+             P(axis, None, None)]
+    n_shards_ = placed["bucket_tbl"].shape[0]
+    brcp_arg = placed["bucket_recip"] if has_recip else jax.device_put(
+        jnp.zeros((n_shards_, 1, 1), jnp.float32),
+        NamedSharding(mesh, P(axis, None, None)))
     args = [placed["centroids"], placed["bucket_cluster"],
             placed["bucket_tbl"], placed["bucket_rowids"],
-            placed["n_buckets"]]
+            placed["n_buckets"], brcp_arg]
     if has_rescore:
         specs.append(P(axis, None))
         args.append(rescore_vecs)

@@ -276,3 +276,40 @@ def test_app_wires_kg_extractor_into_ingest():
     assert res.failed_tasks == 0
     ents = sp.kg.get_entities()
     assert any(e.get("text") == "Ada" for e in ents)
+
+
+def test_chunked_request_closes_connection():
+    """Transfer-Encoding bodies are not framed by this server; the
+    connection must close after the response so unread body bytes are
+    discarded instead of parsing as the next request (desync/smuggling
+    shape)."""
+    import asyncio
+
+    from rag_application_tpu.api.http import HTTPServer, JSONResponse, Router
+
+    async def main():
+        router = Router()
+
+        @router.route("GET", "/ping")
+        async def ping(req):
+            return JSONResponse({"ok": True})
+
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(b"GET /ping HTTP/1.1\r\nhost: x\r\n"
+                         b"transfer-encoding: chunked\r\n\r\n"
+                         b"5\r\nhello\r\n0\r\n\r\n")
+            await writer.drain()
+            data = await asyncio.wait_for(reader.read(), timeout=10)
+            # one response, connection: close, then EOF (chunk bytes
+            # never parsed as a second request)
+            assert data.count(b"HTTP/1.1") == 1
+            assert b"connection: close" in data
+            writer.close()
+            await writer.wait_closed()
+        finally:
+            await server.stop()
+
+    asyncio.run(main())

@@ -334,3 +334,41 @@ def test_sharded_ivf_search(rng):
     v2, i2 = sharded_ivf_search(mesh, placed, jnp.asarray(q), 10,
                                 probes=32)
     assert np.isfinite(np.asarray(v2)).any()
+
+
+def test_sharded_ivf_capacity_mode_per_row_scale(rng):
+    """Capacity-mode shards (int8-only, per-row scaled): ranking must
+    apply the per-row dequant factors — raw int8 dots are incomparable
+    across rows at 127/max|x| scaling."""
+    from rag_application_tpu.config import IndexConfig
+    from rag_application_tpu.index.dense import DenseIndex
+    from rag_application_tpu.parallel.ivf import (
+        build_sharded_ivf, place_sharded_ivf, sharded_ivf_search)
+    from rag_application_tpu.parallel.mesh import make_mesh
+
+    n, d = 16_000, 64
+    centers = rng.standard_normal((32, d)).astype(np.float32)
+    x = centers[rng.integers(0, 32, n)] + \
+        0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                   initial_capacity=1024, store_bf16=False))
+    dense.insert(x)
+    assert dense.int8_recip is not None
+    mesh = make_mesh(8)
+    stacked = build_sharded_ivf(dense, 8, n_clusters=16, bucket_rows=16,
+                                iters=4, block_rows=512)
+    assert "bucket_recip" in stacked
+    placed = place_sharded_ivf(mesh, stacked)
+
+    q_idx = rng.choice(n, 32, replace=False)
+    q = x[q_idx] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+    exact = np.argsort(-(q @ x.T), axis=-1)[:, :10]
+    vals, ids = sharded_ivf_search(mesh, placed, jnp.asarray(q), 10,
+                                   probes=32)
+    ids = np.asarray(ids)
+    rec = np.mean([np.isin(exact[i], ids[i]).mean() for i in range(32)])
+    assert rec >= 0.9, rec
+    # scores land on the cosine scale (recip + query /127 applied)
+    vals = np.asarray(vals)
+    assert vals[np.isfinite(vals)].max() <= 1.1
