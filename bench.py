@@ -95,7 +95,16 @@ def run():
     # aligned to the POST-CLAMP scan block (d>768 shrinks it) —
     # fused_scan_topk pads-by-copy otherwise, doubling the table.
     int8_only = os.environ.get("BENCH_STORE", "full") == "int8"
+    # Full mode at d<=768 runs the 32768-row block with a 4-strip reduce
+    # (tune_scan_floor: 23.0 vs 23.5 ms/batch — the strips free the VMEM
+    # the bigger block needs). Capacity mode keeps 16384: its per-row
+    # recip multiply uses the general (f32-tile) kernel path whose
+    # strip tiles are twice the packed path's.
     scan_block = 16384
+    scan_strips = 1
+    if not int8_only and d <= 768:
+        scan_block = int(os.environ.get("BENCH_SCAN_BLOCK", 32768))
+        scan_strips = int(os.environ.get("BENCH_SCAN_STRIPS", 4))
     if d > 768:
         scan_block = max(4096, (16384 * 768 // d) // 128 * 128)
     cap = (-(-n // scan_block) * scan_block if int8_only
@@ -169,7 +178,8 @@ def run():
     searcher = FusedSearcher(dense, sparse, funnel, scan_impl="pallas",
                              scan_block_rows=scan_block,
                              scan_approx_sheet=True,
-                             scan_q_block=q_block)
+                             scan_q_block=q_block,
+                             scan_strips=scan_strips)
 
     # measured config: int8 full-dim scan + BM25 + RRF + exact rescore
     # (the 128-d cascade stays available but adds no recall on this
