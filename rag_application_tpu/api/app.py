@@ -273,6 +273,53 @@ def build_app(config: Optional[Config] = None, *,
         return {u: sp.pipeline.queue.queue_info()
                 for u, sp in state.users.items()}
 
+    # ------------------------------------------------------------------ ANN
+
+    @router.route("POST", "/admin/build-ann")
+    async def admin_build_ann(req: Request):
+        """Build the sublinear ANN engine over a user space (IVF by
+        default — docs/ann.md; `probes` at query time parities hnsw_ef,
+        qdrant_handler.py:369). Build runs in an executor: device
+        k-means is seconds, but the event loop keeps serving."""
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        kw = {k: int(v) for k, v in body.items()
+              if k in ("n_clusters", "bucket_rows", "iters",
+                       "train_sample", "m", "k_build", "entry_size")}
+        engine = body.get("engine", "ivf")
+        import asyncio as _asyncio
+
+        await _asyncio.get_running_loop().run_in_executor(
+            None, lambda: sp.collection.build_ann(engine=engine, **kw))
+        ann = sp.collection.ann
+        info = {"engine": engine, "rows": sp.collection.dense.size}
+        if hasattr(ann, "bucket_tbl"):
+            info.update(buckets=int(ann.bucket_tbl.shape[0]),
+                        clusters=int(ann.centroids.shape[0]))
+        return info
+
+    @router.route("POST", "/api/v1/search/ann")
+    async def search_ann(req: Request):
+        """Sublinear ANN query (the hnsw_ef-style strict-latency path;
+        build first via /admin/build-ann)."""
+        if (deny := _auth(req)) is not None:
+            return deny
+        body = req.json()
+        sp = state.space(body.get("user_id", "default"))
+        if getattr(sp.collection, "ann", None) is None:
+            return JSONResponse(
+                {"detail": "no ANN index: POST /admin/build-ann first"}, 400)
+        import asyncio as _asyncio
+
+        q = (await _asyncio.get_running_loop().run_in_executor(
+            None, state.embedder.encode, [body["query"]]))[0]
+        hits = sp.collection.ann_search(
+            q, limit=body.get("limit", 10), ef=int(body.get("ef", 128)))
+        return {"results": [
+            {"score": h.score, "payload": h.payload} for h in hits]}
+
     # ----------------------------------------------------------- durability
 
     @router.route("POST", "/admin/checkpoint")

@@ -136,3 +136,46 @@ def test_fingerprint_catches_count_neutral_mutation(tmp_path):
         assert any("omega" in h.payload.get("text", "") for h in hits)
 
     asyncio.run(main())
+
+
+def test_build_ann_and_search_endpoint():
+    """ANN is reachable through the served API: build (IVF default) then
+    query with the ef knob (parity: hnsw_ef, qdrant_handler.py:369)."""
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        router, state = build_app(small_config(), llm=llm, embedder=emb)
+        server = HTTPServer(router, port=0)
+        port = await server.start()
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}", timeout=60
+            ) as client:
+                await fn(client, state)
+        finally:
+            await server.stop()
+
+    async def fn(client, state):
+        for i in range(6):
+            r = await client.post("/ingest/raw-text", json={
+                "user_id": "u", "document_id": f"d{i}",
+                "text": f"document {i} about topic{i} retrieval engines"})
+            assert r.status_code in (200, 202)
+        # querying before building is a clean 400
+        r = await client.post("/api/v1/search/ann", json={
+            "user_id": "u", "query": "topic3"})
+        assert r.status_code == 400
+        r = await client.post("/admin/build-ann", json={
+            "user_id": "u", "n_clusters": 4, "bucket_rows": 8, "iters": 3})
+        assert r.status_code == 200
+        body = r.json()
+        assert body["engine"] == "ivf" and body["rows"] >= 6
+        r = await client.post("/api/v1/search/ann", json={
+            "user_id": "u", "query": "document 3 about topic3 retrieval "
+            "engines", "limit": 3, "ef": 4})
+        assert r.status_code == 200
+        results = r.json()["results"]
+        assert results and any(
+            "topic3" in h["payload"].get("text", "") for h in results)
+
+    asyncio.run(main())
