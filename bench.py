@@ -12,7 +12,7 @@ Prints ONE JSON line:
 Environment knobs:
   BENCH_N       corpus size (default 1_000_000)
   BENCH_DIM     vector dim (default 768)
-  BENCH_BATCH   query batch size (default 256)
+  BENCH_BATCH   query batch size (default 4096)
   BENCH_SMALL=1 quick mode (100k corpus) for smoke runs
 """
 
@@ -55,11 +55,13 @@ def run():
     small = os.environ.get("BENCH_SMALL") == "1"
     n = int(os.environ.get("BENCH_N", 100_000 if small else 1_000_000))
     d = int(os.environ.get("BENCH_DIM", 768))
-    # 2048 amortizes per-dispatch + per-block fixed costs over more
-    # queries; the q-tiled scan kernel (q_block) keeps the full 16384-row
-    # corpus block at this batch by tiling the (Q, B) score tile
-    # (sweep: 59.1k QPS at 2048/qb1024 vs 54.4k at 1024, same session).
-    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    # 4096 amortizes per-dispatch + per-block fixed costs further now
+    # that the strip-reduce kernel at block 32768 scales past 2048
+    # (r2: 85.1k QPS/recall 0.9953 at 4096 vs 81.8k/0.9937 at 2048 —
+    # r1's batch-4096 regression at block 16384 is gone). Batch latency
+    # doubles (48 vs 25 ms); latency-sensitive serving uses smaller
+    # request micro-batches anyway (search/batcher.py).
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
     n_eval = 128  # queries used for recall measurement (sampling std
     # of recall@10 over 1280 pairs ~ 0.005)
     k = 10
@@ -102,7 +104,9 @@ def run():
     # strip tiles are twice the packed path's.
     scan_block = 16384
     scan_strips = 1
-    if not int8_only and d <= 768:
+    if not int8_only and d <= 768 and n <= 2_000_000:
+        # at 4M the same kernel shape exceeds scoped VMEM by ~60 KB
+        # (measured compile OOM) — larger corpora keep the r1 block
         scan_block = int(os.environ.get("BENCH_SCAN_BLOCK", 32768))
         scan_strips = int(os.environ.get("BENCH_SCAN_STRIPS", 4))
     if d > 768:
