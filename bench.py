@@ -273,23 +273,40 @@ def run():
 
     # --- end-to-end through the relay --- (fail-soft: the core metric
     # above is already measured; a relay flap here must not lose it).
-    # Queries upload as f16 — half the bytes on this 15-45 MB/s attach;
-    # precision cost is below the bf16 storage floor (prepare docstring).
+    # Queries upload compressed — BENCH_E2E_WIRE selects the format:
+    # f16 halves the bytes vs f32 (precision below the bf16 storage
+    # floor), int8 quarters them (per-row symmetric quantization; the
+    # funnel renormalizes on device so the scale needs no wire slot —
+    # prepare() docstring). When int8 is selected, its recall is
+    # measured against the same exact oracle and reported.
+    wire = os.environ.get("BENCH_E2E_WIRE", "float16")
+    e2e_wire_recall = -1.0
     try:
         warm = searcher.search_prepared(
             searcher.prepare(batches[0][0], batches[0][1],
-                             upload_dtype="float16"),
+                             upload_dtype=wire),
             k, use_matryoshka=False)
-        float(jnp.sum(warm[0]))  # compile the f16-input variant
+        float(jnp.sum(warm[0]))  # compile the compressed-input variant
         t0 = time.time()
         outs = [searcher.search_prepared(
-            searcher.prepare(b_q, b_t, upload_dtype="float16"),
+            searcher.prepare(b_q, b_t, upload_dtype=wire),
             k, use_matryoshka=False) for b_q, b_t in batches]
         float(jnp.sum(outs[-1][0]))
         e2e_dt = (time.time() - t0) / reps
         e2e_qps = batch / e2e_dt
-        log(f"[bench] e2e via relay (f16 upload): {e2e_dt*1e3:.2f} "
+        log(f"[bench] e2e via relay ({wire} upload): {e2e_dt*1e3:.2f} "
             f"ms/batch -> {e2e_qps:,.0f} QPS")
+        if wire == "int8":
+            _, wids = searcher.search_prepared(
+                searcher.prepare(np.asarray(queries[:n_eval]),
+                                 q_texts[:n_eval], upload_dtype="int8"),
+                k, use_matryoshka=False)
+            wire_ids = np.asarray(wids)
+            e2e_wire_recall = float(np.mean(
+                [np.isin(ex_ids[i], wire_ids[i]).mean()
+                 for i in range(n_eval)]))
+            log(f"[bench] int8-wire recall@10 vs exact dense: "
+                f"{e2e_wire_recall:.4f}")
     except Exception as e:  # noqa: BLE001
         e2e_qps = -1.0
         log(f"[bench] e2e leg failed ({type(e).__name__}) — continuing")
@@ -403,6 +420,9 @@ def run():
         "batch": batch,
         "p50_batch_ms": round(dt * 1e3, 2),
         "e2e_relay_qps": round(e2e_qps, 1),
+        "e2e_wire": wire,
+        **({"e2e_wire_recall_at_10": round(e2e_wire_recall, 4)}
+           if e2e_wire_recall >= 0 else {}),
         "p50_single_query_ms": round(p50_single, 1),
         "sync_rtt_ms": round(rtt * 1e3, 1),
         "dense_build_s": round(t_dense_build, 1),

@@ -12,6 +12,14 @@ Requests are signed with AWS Signature V4 (hashlib/hmac only — boto3 is
 not a framework dependency). Credentials come from the standard env vars
 (AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY / AWS_SESSION_TOKEN /
 AWS_REGION). The HTTP send is injectable for tests.
+
+Streaming: `converse_stream` speaks the ConverseStream endpoint, whose
+wire format is the AWS binary eventstream (`application/
+vnd.amazon.eventstream`) — length-prefixed frames with CRC32-guarded
+prelude and message, string headers carrying `:event-type`, and a JSON
+payload per event. `parse_eventstream`/`encode_event` implement that
+framing in stdlib (struct + zlib.crc32), so time-to-first-token is the
+model's, not the full completion's (ChatBedrockConverse parity).
 """
 
 from __future__ import annotations
@@ -21,8 +29,11 @@ import hashlib
 import hmac
 import json
 import os
+import struct
 import urllib.parse
-from typing import Any, Awaitable, Callable, Dict, List, Optional, Sequence, Tuple
+import zlib
+from typing import (Any, AsyncIterator, Awaitable, Callable, Dict, List,
+                    Optional, Sequence, Tuple)
 
 SERVICE = "bedrock"
 
@@ -81,6 +92,74 @@ def sign_request(
         f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
         f"SignedHeaders={signed_names}, Signature={signature}")
     return headers
+
+
+def encode_event(event_type: str, payload: Dict[str, Any]) -> bytes:
+    """One AWS eventstream frame (used by tests and as format doc).
+
+    Frame layout (all integers big-endian):
+      u32 total_length | u32 headers_length | u32 crc32(prev 8 bytes)
+      headers: (u8 name_len, name, u8 value_type=7, u16 len, utf-8 value)*
+      payload bytes
+      u32 crc32(everything before this trailer)
+    """
+    headers = b""
+    for name, value in ((":message-type", "event"),
+                        (":event-type", event_type),
+                        (":content-type", "application/json")):
+        nb, vb = name.encode(), value.encode()
+        headers += struct.pack(">B", len(nb)) + nb
+        headers += struct.pack(">BH", 7, len(vb)) + vb
+    body = json.dumps(payload).encode()
+    total = 12 + len(headers) + len(body) + 4
+    prelude = struct.pack(">II", total, len(headers))
+    prelude += struct.pack(">I", zlib.crc32(prelude))
+    msg = prelude + headers + body
+    return msg + struct.pack(">I", zlib.crc32(msg))
+
+
+def parse_eventstream(buf: bytes) -> Tuple[List[Tuple[str, Dict[str, Any]]], bytes]:
+    """Parse complete frames from `buf`; return (events, unconsumed tail).
+
+    Events are (event_type, payload-dict). CRC mismatches raise —
+    a corrupted stream must not be silently reassembled.
+    """
+    events: List[Tuple[str, Dict[str, Any]]] = []
+    while len(buf) >= 16:
+        total, hlen = struct.unpack(">II", buf[:8])
+        if len(buf) < total:
+            break
+        (pcrc,) = struct.unpack(">I", buf[8:12])
+        if zlib.crc32(buf[:8]) != pcrc:
+            raise ValueError("eventstream prelude CRC mismatch")
+        (mcrc,) = struct.unpack(">I", buf[total - 4: total])
+        if zlib.crc32(buf[: total - 4]) != mcrc:
+            raise ValueError("eventstream message CRC mismatch")
+        # headers: only string (type 7) values appear on this API
+        hdrs: Dict[str, str] = {}
+        pos, end = 12, 12 + hlen
+        while pos < end:
+            nlen = buf[pos]; pos += 1
+            name = buf[pos: pos + nlen].decode(); pos += nlen
+            vtype = buf[pos]; pos += 1
+            if vtype == 7:
+                (vlen,) = struct.unpack(">H", buf[pos: pos + 2]); pos += 2
+                hdrs[name] = buf[pos: pos + vlen].decode(); pos += vlen
+            elif vtype in (0, 1):  # bool true/false — no value bytes
+                hdrs[name] = str(vtype == 0)
+            else:  # fixed-width numerics we never expect; skip conservatively
+                width = {2: 1, 3: 2, 4: 4, 5: 8, 8: 8}.get(vtype)
+                if width is None:
+                    raise ValueError(f"unsupported header type {vtype}")
+                pos += width
+        payload = buf[end: total - 4]
+        data = json.loads(payload) if payload else {}
+        kind = hdrs.get(":event-type") or hdrs.get(":exception-type", "")
+        if hdrs.get(":message-type") == "exception":
+            raise RuntimeError(f"bedrock stream exception {kind}: {data}")
+        events.append((kind, data))
+        buf = buf[total:]
+    return events, buf
 
 
 def to_converse(
@@ -191,7 +270,8 @@ class BedrockClient:
                  secret_key: Optional[str] = None,
                  session_token: Optional[str] = None,
                  timeout: float = 120.0,
-                 transport: Optional[Callable[..., Awaitable[Dict[str, Any]]]] = None):
+                 transport: Optional[Callable[..., Awaitable[Dict[str, Any]]]] = None,
+                 stream_transport: Optional[Callable[..., AsyncIterator[bytes]]] = None):
         self.model = model
         self.region = region or os.environ.get("AWS_REGION", "us-east-1")
         self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
@@ -201,6 +281,7 @@ class BedrockClient:
             "AWS_SESSION_TOKEN")
         self.timeout = timeout
         self._transport = transport
+        self._stream_transport = stream_transport
 
     @property
     def endpoint(self) -> str:
@@ -225,3 +306,41 @@ class BedrockClient:
             r = await client.post(self.endpoint, content=body, headers=headers)
             r.raise_for_status()
             return r.json()
+
+    @property
+    def stream_endpoint(self) -> str:
+        model_q = urllib.parse.quote(self.model, safe="")
+        return (f"https://bedrock-runtime.{self.region}.amazonaws.com"
+                f"/model/{model_q}/converse-stream")
+
+    async def converse_stream(
+        self, messages: Sequence[Any], *,
+        tools: Optional[Sequence[Dict[str, Any]]] = None,
+        **params: Any,
+    ) -> AsyncIterator[Tuple[str, Dict[str, Any]]]:
+        """Yield (event_type, payload) ConverseStream events as they
+        arrive: messageStart, contentBlockDelta (payload["delta"]["text"]
+        or ["toolUse"]), contentBlockStop, messageStop, metadata."""
+        body = json.dumps(to_converse(messages, tools, params)).encode()
+        headers = sign_request(
+            method="POST", url=self.stream_endpoint, body=body,
+            access_key=self.access_key, secret_key=self.secret_key,
+            region=self.region, session_token=self.session_token)
+        buf = b""
+        if self._stream_transport is not None:
+            async for chunk in self._stream_transport(
+                    url=self.stream_endpoint, body=body, headers=headers):
+                events, buf = parse_eventstream(buf + chunk)
+                for ev in events:
+                    yield ev
+            return
+        import httpx
+
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            async with client.stream("POST", self.stream_endpoint,
+                                     content=body, headers=headers) as r:
+                r.raise_for_status()
+                async for chunk in r.aiter_bytes():
+                    events, buf = parse_eventstream(buf + chunk)
+                    for ev in events:
+                        yield ev

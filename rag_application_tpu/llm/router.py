@@ -322,11 +322,14 @@ class LLMRouter:
                 yield chunk
             return
         if self.provider == Provider.BEDROCK:
-            # converse-stream uses AWS binary event framing; emulate by
-            # chunking the non-streaming response (same consumer surface)
-            resp = await self.chat(messages, **params)
-            for i in range(0, len(resp.content), 24):
-                yield resp.content[i : i + 24]
+            # real ConverseStream: AWS binary eventstream frames parsed
+            # in llm/bedrock.py — TTFT is the model's first delta
+            async for kind, payload in self._bedrock.converse_stream(
+                    messages, **self._filter_params(params)):
+                if kind == "contentBlockDelta":
+                    delta = (payload.get("delta") or {}).get("text")
+                    if delta:
+                        yield delta
             return
         import httpx
 

@@ -181,7 +181,10 @@ def fused_scan_topk(
     capacity-padded corpus and mask tombstones via `mask` for sizes that
     change often.
     """
-    bins = LANES
+    if bins != LANES:
+        raise ValueError(
+            f"bins is fixed at {LANES} (lane binning); tune candidate "
+            f"density via block_rows instead")
     n, d = corpus.shape
     q_count = queries.shape[0]
     int8_mode = corpus.dtype == jnp.int8

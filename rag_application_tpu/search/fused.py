@@ -328,9 +328,23 @@ class FusedSearcher:
         `upload_dtype="float16"` halves the host->device bytes on thin
         attaches (the funnel normalizes and casts in f32 on device; the
         scan quantizes queries to int8 anyway, so the precision cost is
-        below the bf16 storage floor)."""
+        below the bf16 storage floor).
+
+        `upload_dtype="int8"` quarters the bytes vs f32: queries are
+        symmetrically quantized per row at 127/max|x| on the host. The
+        per-query scale needs no wire slot — fused_core renormalizes
+        every query on device, which cancels any per-row scalar. The
+        quantized query feeds ALL funnel stages including the exact
+        rescore, so final scores carry the query-quantization noise
+        (~0.006 cosine stddev at 768-d); measure recall before making it
+        a serving default (docs/serving.md)."""
         q = np.asarray(query_embeddings)
-        if upload_dtype is not None:
+        if upload_dtype == "int8":
+            q32 = q.astype(np.float32)
+            s = np.max(np.abs(q32), axis=-1, keepdims=True)
+            q = np.clip(np.round(q32 * (127.0 / np.maximum(s, 1e-12))),
+                        -127, 127).astype(np.int8)
+        elif upload_dtype is not None:
             q = q.astype(upload_dtype)
         elif q.dtype not in (np.float16, np.float32):
             q = q.astype(np.float32)

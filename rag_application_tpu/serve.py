@@ -45,8 +45,15 @@ def restore_spaces(state, ckpt_dir: str) -> list:
             col = load_collection(os.path.join(path, "collection"),
                                   state.config)
             kg = load_kg(os.path.join(path, "kg"), state.config.kg)
-            user_id = (col.name[len("user_"):]
-                       if col.name.startswith("user_") else entry)
+            if not col.name.startswith("user_"):
+                # The directory name is a digest, not the user id —
+                # registering under it would make the data unreachable
+                # by any request. Surface the problem instead.
+                logging.warning(
+                    "skipping checkpoint %r: manifest collection name %r "
+                    "does not encode a user id", entry, col.name)
+                continue
+            user_id = col.name[len("user_"):]
             pipe = state.make_pipeline(user_id, col, kg)
             state.users[user_id] = UserSpace(col, kg, pipe)
             restored.append(user_id)

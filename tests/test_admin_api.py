@@ -1,4 +1,5 @@
 import asyncio
+import os
 
 import httpx
 import pytest
@@ -102,6 +103,31 @@ def test_auto_checkpoint_and_boot_restore(tmp_path):
         assert len(hits) > 0
 
     asyncio.run(main())
+
+
+def test_restore_skips_unrecoverable_user_id(tmp_path):
+    """A checkpoint whose manifest collection name lacks the 'user_'
+    prefix cannot yield a usable user id; restore must warn-and-skip
+    rather than register the space under the digest directory name
+    (where no request would ever find it)."""
+    from rag_application_tpu.index.checkpoint import save_collection
+    from rag_application_tpu.kg.checkpoint import save_kg
+    from rag_application_tpu.kg.store import KGStore
+    from rag_application_tpu.serve import restore_spaces
+    from rag_application_tpu.store.collection import Collection
+
+    cfg = small_config()
+    col = Collection("orphan", cfg)  # no user_ prefix in the manifest
+    path = str(tmp_path / "digestdir")
+    os.makedirs(path)
+    save_collection(col, os.path.join(path, "collection"))
+    save_kg(KGStore(cfg.kg), os.path.join(path, "kg"))
+
+    llm = LLMRouter(Provider.STUB)
+    emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+    _, state = build_app(cfg, llm=llm, embedder=emb)
+    assert restore_spaces(state, str(tmp_path)) == []
+    assert state.users == {}
 
 
 def test_fingerprint_catches_count_neutral_mutation(tmp_path):

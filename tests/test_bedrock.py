@@ -9,9 +9,13 @@ import asyncio
 import datetime
 import json
 
+import pytest
+
 from rag_application_tpu.llm.bedrock import (
     BedrockClient,
+    encode_event,
     from_converse,
+    parse_eventstream,
     sign_request,
     to_converse,
 )
@@ -152,9 +156,99 @@ def test_router_bedrock_end_to_end_fake_transport():
         assert out == {}
         # the schema instruction was appended to the request
         assert "schema" in json.dumps(captured["body"])
-        # streaming falls back to chunked non-streaming
+        # streaming speaks real ConverseStream event framing
+        frames = b"".join([
+            encode_event("messageStart", {"role": "assistant"}),
+            encode_event("contentBlockDelta",
+                         {"delta": {"text": "hel"}, "contentBlockIndex": 0}),
+            encode_event("contentBlockDelta",
+                         {"delta": {"text": "lo!"}, "contentBlockIndex": 0}),
+            encode_event("contentBlockStop", {"contentBlockIndex": 0}),
+            encode_event("messageStop", {"stopReason": "end_turn"}),
+        ])
+
+        async def stream_transport(url, body, headers):
+            assert url.endswith("/converse-stream")
+            assert headers["authorization"].startswith("AWS4-HMAC")
+            # deliver in awkward 7-byte chunks: frames span reads, so the
+            # parser's incremental buffering is exercised
+            for i in range(0, len(frames), 7):
+                yield frames[i: i + 7]
+
+        r._bedrock._stream_transport = stream_transport
         chunks = [c async for c in r.stream([ChatMessage("user", "ping")])]
-        assert "".join(chunks)
+        assert chunks == ["hel", "lo!"]
+
+    asyncio.run(main())
+
+
+def test_eventstream_roundtrip_and_crc():
+    ev = encode_event("contentBlockDelta", {"delta": {"text": "abc"}})
+    events, rest = parse_eventstream(ev + ev[:10])  # one whole + partial
+    assert events == [("contentBlockDelta", {"delta": {"text": "abc"}})]
+    assert rest == ev[:10]
+    # completing the partial frame yields the second event
+    events2, rest2 = parse_eventstream(rest + ev[10:])
+    assert events2 == events and rest2 == b""
+    # corrupt a payload byte: message CRC must catch it
+    bad = bytearray(ev)
+    bad[-6] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_eventstream(bytes(bad))
+
+
+def test_eventstream_exception_frame_raises():
+    # hand-build a frame with :message-type=exception (encode_event only
+    # emits event frames)
+    import json as _json
+    import struct as _struct
+    import zlib as _zlib
+
+    headers = b""
+    for name, value in ((":message-type", "exception"),
+                        (":exception-type", "throttlingException")):
+        nb, vb = name.encode(), value.encode()
+        headers += _struct.pack(">B", len(nb)) + nb
+        headers += _struct.pack(">BH", 7, len(vb)) + vb
+    body = _json.dumps({"message": "slow down"}).encode()
+    total = 12 + len(headers) + len(body) + 4
+    prelude = _struct.pack(">II", total, len(headers))
+    prelude += _struct.pack(">I", _zlib.crc32(prelude))
+    msg = prelude + headers + body
+    frame = msg + _struct.pack(">I", _zlib.crc32(msg))
+    with pytest.raises(RuntimeError, match="throttlingException"):
+        parse_eventstream(frame)
+
+
+def test_converse_stream_tool_use_deltas_pass_through():
+    """Tool-use input deltas surface as events (the router's text stream
+    skips them; agent callers can consume them from converse_stream)."""
+    frames = b"".join([
+        encode_event("contentBlockStart",
+                     {"start": {"toolUse": {"toolUseId": "t1",
+                                            "name": "lookup"}}}),
+        encode_event("contentBlockDelta",
+                     {"delta": {"toolUse": {"input": '{"q":'}}}),
+        encode_event("contentBlockDelta",
+                     {"delta": {"toolUse": {"input": '"x"}'}}}),
+        encode_event("messageStop", {"stopReason": "tool_use"}),
+    ])
+
+    async def stream_transport(url, body, headers):
+        yield frames
+
+    async def main():
+        c = BedrockClient(model="m", access_key="AK", secret_key="SK",
+                          region="us-east-1",
+                          stream_transport=stream_transport)
+        evs = [e async for e in c.converse_stream(
+            [ChatMessage("user", "q")])]
+        kinds = [k for k, _ in evs]
+        assert kinds == ["contentBlockStart", "contentBlockDelta",
+                        "contentBlockDelta", "messageStop"]
+        joined = "".join((p.get("delta") or {}).get("toolUse", {})
+                         .get("input", "") for _, p in evs)
+        assert json.loads(joined) == {"q": "x"}
 
     asyncio.run(main())
 

@@ -93,3 +93,28 @@ def test_fused_dense_only(setup, rng):
     fused = FusedSearcher(dense, None, FUNNEL)
     scores, ids = fused.search(embs[:4], None, 3)
     assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
+
+
+@pytest.mark.parametrize("wire", ["float16", "int8"])
+def test_fused_wire_formats(setup, rng, wire):
+    """Compressed query uploads (f16 / per-row-int8) keep the ranking.
+
+    The funnel renormalizes every query in f32 on device (fused.py
+    fused_core), so the per-row int8 scale cancels and only quantization
+    noise remains — top-k ids must match the f32 wire on this small,
+    well-separated corpus.
+    """
+    dense, sparse, embs = setup
+    fused = FusedSearcher(dense, sparse, FUNNEL)
+    noisy = embs + 0.01 * rng.standard_normal(embs.shape).astype(np.float32)
+
+    ref_scores, ref_ids = fused.search_prepared(
+        fused.prepare(noisy, TEXTS), 3)
+    scores, ids = fused.search_prepared(
+        fused.prepare(noisy, TEXTS, upload_dtype=wire), 3)
+
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    ok = np.isfinite(np.asarray(ref_scores))
+    np.testing.assert_allclose(np.asarray(scores)[ok],
+                               np.asarray(ref_scores)[ok],
+                               atol=2e-2 if wire == "int8" else 2e-3)

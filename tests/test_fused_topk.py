@@ -18,7 +18,7 @@ def test_fused_scan_recall(rng):
     corpus = normed(rng, n, d)
     queries = corpus[:q] + 0.02 * rng.standard_normal((q, d)).astype(np.float32)
     vals, idx = fused_scan_topk(jnp.asarray(corpus), jnp.asarray(queries), k,
-                                bins=64, block_rows=256)
+                                block_rows=256)
     exact = np.argsort(-(queries @ corpus.T), axis=-1)[:, :k]
     idx = np.asarray(idx)
     recall = np.mean([np.isin(exact[i], idx[i]).mean() for i in range(q)])
@@ -33,7 +33,7 @@ def test_fused_scan_mask_and_padding(rng):
     mask = np.zeros(n, dtype=bool)
     mask[::3] = True
     vals, idx = fused_scan_topk(jnp.asarray(corpus), jnp.asarray(queries), 5,
-                                bins=64, block_rows=256,
+                                block_rows=256,
                                 mask=jnp.asarray(mask))
     assert (np.asarray(idx) % 3 == 0).all()
 
@@ -44,7 +44,7 @@ def test_fused_scan_int8(rng):
     c8 = np.clip(np.round(corpus * 127), -127, 127).astype(np.int8)
     q8 = np.clip(np.round(queries * 127), -127, 127).astype(np.int8)
     vals, idx = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 5,
-                                bins=64, block_rows=256)
+                                block_rows=256)
     assert (np.asarray(idx)[:, 0] == np.arange(4)).all()
 
 
@@ -53,7 +53,7 @@ def test_fused_scan_prefix(rng):
     queries = corpus[:4]
     inv = (1.0 / np.linalg.norm(corpus[:, :64], axis=-1)).astype(np.float32)
     vals, idx = fused_scan_topk(jnp.asarray(corpus), jnp.asarray(queries), 5,
-                                bins=64, block_rows=256, prefix_dim=64,
+                                block_rows=256, prefix_dim=64,
                                 inv_norms=jnp.asarray(inv))
     ref = np.argsort(-(queries[:, :64] @ (corpus[:, :64] * inv[:, None]).T),
                      axis=-1)[:, :5]
