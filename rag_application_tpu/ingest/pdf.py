@@ -1045,6 +1045,198 @@ def extract_pages(data: bytes) -> List[str]:
     return [extract_page_text(doc, p) for p in doc.pages()]
 
 
+# ------------------------------------------------------- embedded images
+#
+# Scanned PDFs carry their raster as a page /XObject image, not drawn
+# text. The reference rasterizes whole pages with pdf2image
+# (IndexerAPI/src/core/processors/utils.py:16-22); here the embedded
+# image itself is recovered instead, with no renderer: DCTDecode
+# streams ARE complete JPEG files (pass through untouched), and
+# Flate/LZW raster data is wrapped into a PNG container (zlib + CRC,
+# stdlib) for the VLM. CCITT-fax / JBIG2 images would need real codec
+# implementations and return None (the pipeline then demands the
+# pdf_rasterizer hook).
+
+_IMG_PASSTHROUGH = {"DCTDecode": "image/jpeg", "DCT": "image/jpeg",
+                    "JPXDecode": "image/jp2"}
+_IMG_UNSUPPORTED = {"CCITTFaxDecode", "CCF", "JBIG2Decode"}
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    body = tag + payload
+    return (len(payload).to_bytes(4, "big") + body
+            + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _make_png(samples: bytes, width: int, height: int, bpc: int,
+              color: str, palette: Optional[bytes] = None) -> bytes:
+    """Wrap raw raster samples into a PNG (color: gray/rgb/palette)."""
+    import numpy as np
+
+    ctype = {"gray": 0, "rgb": 2, "palette": 3}[color]
+    ncomp = 3 if color == "rgb" else 1
+    row_bytes = (width * ncomp * bpc + 7) // 8
+    need = row_bytes * height
+    if len(samples) < need:
+        samples = samples + b"\x00" * (need - len(samples))
+    raw = np.frombuffer(samples[:need], dtype=np.uint8)
+    raw = raw.reshape(height, row_bytes)
+    filtered = np.zeros((height, row_bytes + 1), dtype=np.uint8)
+    filtered[:, 1:] = raw  # filter type 0 (None) per row
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([bpc, ctype, 0, 0, 0]))
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if color == "palette":
+        out += _png_chunk(b"PLTE", palette or b"\x00\x00\x00")
+    return (out + _png_chunk(b"IDAT", zlib.compress(filtered.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _cmyk_to_rgb(samples: bytes, npx: int) -> bytes:
+    import numpy as np
+
+    arr = np.frombuffer(samples[:npx * 4], dtype=np.uint8)
+    arr = arr.reshape(-1, 4).astype(np.uint16)
+    inv_k = 255 - arr[:, 3]
+    rgb = ((255 - arr[:, :3]) * inv_k[:, None]) // 255
+    return rgb.astype(np.uint8).tobytes()
+
+
+def _image_colorspace(doc: PDFDocument, cs: Any,
+                      depth: int = 0) -> Tuple[str, Optional[bytes]]:
+    """-> (mode, palette): mode in gray/rgb/cmyk/palette."""
+    cs = doc.resolve(cs)
+    if depth > 4:
+        raise PDFError("colorspace nesting too deep")
+    if isinstance(cs, str):  # Name subclasses str
+        s = str(cs)
+        if s in ("DeviceGray", "CalGray", "G"):
+            return "gray", None
+        if s in ("DeviceRGB", "CalRGB", "RGB"):
+            return "rgb", None
+        if s == "DeviceCMYK":
+            return "cmyk", None
+    if isinstance(cs, list) and cs:
+        head = str(doc.resolve(cs[0]))
+        if head == "ICCBased" and len(cs) > 1:
+            st = doc.resolve(cs[1])
+            n = (int(doc.resolve(st.dict.get("N", 1)) or 1)
+                 if isinstance(st, Stream) else 1)
+            return {1: "gray", 3: "rgb", 4: "cmyk"}.get(n, "gray"), None
+        if head in ("CalRGB", "Lab"):
+            return "rgb", None
+        if head == "CalGray":
+            return "gray", None
+        if head in ("Indexed", "I") and len(cs) >= 4:
+            base_mode, _ = _image_colorspace(doc, cs[1], depth + 1)
+            lookup = doc.resolve(cs[3])
+            pal = (lookup.data() if isinstance(lookup, Stream)
+                   else lookup if isinstance(lookup, bytes) else b"")
+            if base_mode == "gray":
+                pal = bytes(c for g in pal for c in (g, g, g))
+            elif base_mode == "cmyk":
+                pal = _cmyk_to_rgb(pal, len(pal) // 4)
+            hival = int(doc.resolve(cs[2]) or 0)
+            return "palette", pal[:3 * (hival + 1)]
+    raise PDFError("unsupported image colorspace")
+
+
+def _image_to_bytes(doc: PDFDocument,
+                    s: Stream) -> Optional[Tuple[str, bytes]]:
+    """One image XObject -> (mime, file bytes), or None if unconvertible."""
+    d = s.dict
+    w = int(doc.resolve(d.get("Width", 0)) or 0)
+    h = int(doc.resolve(d.get("Height", 0)) or 0)
+    if w <= 0 or h <= 0:
+        return None
+    filters = doc.resolve(d.get("Filter"))
+    if filters is None:
+        filters = []
+    elif not isinstance(filters, list):
+        filters = [filters]
+    names = [str(doc.resolve(f) or "") for f in filters]
+    last = names[-1] if names else ""
+    if last in _IMG_PASSTHROUGH:
+        # data() applies any preceding transport filters (A85/AHx) and
+        # stops at the image codec: these bytes are the image file
+        return _IMG_PASSTHROUGH[last], s.data()
+    if last in _IMG_UNSUPPORTED:
+        return None
+    try:
+        samples = s.data()
+        if d.get("ImageMask"):
+            mode, pal, bpc = "gray", None, 1
+        else:
+            mode, pal = _image_colorspace(doc, d.get("ColorSpace"))
+            bpc = int(doc.resolve(d.get("BitsPerComponent", 8)) or 8)
+        if mode == "cmyk":
+            if bpc != 8:
+                return None
+            samples, mode = _cmyk_to_rgb(samples, w * h), "rgb"
+        if bpc not in (1, 2, 4, 8):
+            return None
+        dec = doc.resolve(d.get("Decode"))
+        if (bpc == 1 and isinstance(dec, list) and len(dec) >= 2
+                and float(doc.resolve(dec[0]) or 0) == 1.0):
+            samples = bytes(b ^ 0xFF for b in samples)  # [1 0] inverts
+        return "image/png", _make_png(samples, w, h, bpc, mode, pal)
+    except (PDFError, ValueError):
+        return None
+
+
+def _page_image_streams(doc: PDFDocument, res: Any, seen: set,
+                        depth: int = 0) -> List[Stream]:
+    """Image XObjects reachable from a /Resources dict (Form XObjects
+    recursed, cycle-guarded)."""
+    out: List[Stream] = []
+    res = doc.resolve(res)
+    if not isinstance(res, dict) or depth > 4:
+        return out
+    xo = doc.resolve(res.get("XObject"))
+    if not isinstance(xo, dict):
+        return out
+    for v in xo.values():
+        key = v.num if isinstance(v, Ref) else id(v)
+        if key in seen:
+            continue
+        seen.add(key)
+        s = doc.resolve(v)
+        if not isinstance(s, Stream):
+            continue
+        sub = str(doc.resolve(s.dict.get("Subtype", "")))
+        if sub == "Image":
+            out.append(s)
+        elif sub == "Form":
+            out.extend(_page_image_streams(
+                doc, s.dict.get("Resources"), seen, depth + 1))
+    return out
+
+
+def extract_page_image(doc: PDFDocument,
+                       page: Dict[str, Any]) -> Optional[Tuple[str, bytes]]:
+    """Largest convertible embedded image on the page, as (mime, bytes)
+    ready for a VLM — the native substitute for page rasterization on
+    scanned documents (their raster IS this image)."""
+    streams = _page_image_streams(doc, page.get("Resources"), set())
+
+    def area(s: Stream) -> int:
+        return (int(doc.resolve(s.dict.get("Width", 0)) or 0)
+                * int(doc.resolve(s.dict.get("Height", 0)) or 0))
+
+    for s in sorted(streams, key=area, reverse=True):
+        got = _image_to_bytes(doc, s)
+        if got is not None:
+            return got
+    return None
+
+
+def extract_page_images(data: bytes) -> List[Optional[Tuple[str, bytes]]]:
+    """Per-page (mime, bytes) of the dominant embedded image (None where
+    the page has no convertible image)."""
+    doc = PDFDocument(data)
+    return [extract_page_image(doc, p) for p in doc.pages()]
+
+
 def page_count(data: bytes) -> int:
     return len(PDFDocument(data).pages())
 

@@ -389,10 +389,6 @@ class IngestPipeline:
                 texts = pdf.extract_pages(data)
             except pdf.PDFError as e:
                 raise NonRetryableError(f"PDF parse failed: {e}") from e
-            if not any(texts) and self.pdf_rasterizer is None:
-                raise NonRetryableError(
-                    "PDF has no extractable text (scanned or image-only) "
-                    "and no pdf_rasterizer hook is configured")
             pages = [{"text": t} for t in texts]
             if self.pdf_rasterizer is not None and self.page_describer is not None:
                 for i, page in enumerate(pages):
@@ -400,6 +396,30 @@ class IngestPipeline:
                         page["image"] = self.pdf_rasterizer(data, i + 1)
                     except Exception:  # rasterize is best-effort
                         pass
+            # Scanned pages carry their raster as an embedded XObject
+            # image — recover it natively (DCTDecode IS a JPEG file;
+            # Flate rasters wrap into PNG) so the VLM flow needs no
+            # external renderer (parity: pdf2image, utils.py:16-22)
+            if not all(texts) and (self.page_describer is not None
+                                   or not any(texts)):
+                try:
+                    images = pdf.extract_page_images(data)
+                except Exception:
+                    images = []
+                for page, img in zip(pages, images):
+                    if (not page["text"] and img is not None
+                            and page.get("image") is None):
+                        page["image"] = img[1]
+            if not any(p["text"] or p.get("image") is not None
+                       for p in pages):
+                raise NonRetryableError(
+                    "PDF has no extractable text and no convertible page "
+                    "images (CCITT/JBIG2 scan?); configure a "
+                    "pdf_rasterizer hook")
+            if (not any(texts) and self.page_describer is None):
+                raise NonRetryableError(
+                    "PDF is image-only; a page_describer (VLM hook) is "
+                    "required to ingest it")
             return pages
 
         kind = office.ooxml_kind(data)

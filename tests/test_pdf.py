@@ -393,3 +393,161 @@ def test_parser_never_crashes_on_mutations():
             assert isinstance(pages, list)
         except PDFError:
             pass
+
+
+# ----------------------------------------------------- embedded images
+
+def build_image_pdf(img_dict: bytes, img_stream: bytes,
+                    extra_objs=()) -> bytes:
+    """One-page PDF whose only content draws an Image XObject /Im1
+    (the shape of a scanned document: no text operators at all)."""
+    content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] "
+            b"/Resources << /XObject << /Im1 5 0 R >> >> >>"),
+        4: (b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"),
+        5: (img_dict + b"\nstream\n" + img_stream + b"\nendstream"),
+    }
+    for num, body in extra_objs:
+        objs[num] = body
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    n = max(objs) + 1
+    out += b"xref\n0 %d\n" % n + b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\n"
+            b"startxref\n%d\n%%%%EOF" % (n, xref_off))
+    return bytes(out)
+
+
+def decode_png(png: bytes):
+    """-> (width, height, bit_depth, color_type, raw rows w/o filter
+    bytes). Only filter type 0 appears in our encoder's output."""
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, {}
+    while pos < len(png):
+        ln = int.from_bytes(png[pos:pos + 4], "big")
+        tag = png[pos + 4:pos + 8]
+        body = png[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(png[pos + 8 + ln:pos + 12 + ln], "big")
+        assert zlib.crc32(tag + body) & 0xFFFFFFFF == crc, tag
+        chunks.setdefault(tag, b"")
+        chunks[tag] += body
+        pos += 12 + ln
+    w = int.from_bytes(chunks[b"IHDR"][0:4], "big")
+    h = int.from_bytes(chunks[b"IHDR"][4:8], "big")
+    depth, ctype = chunks[b"IHDR"][8], chunks[b"IHDR"][9]
+    raw = zlib.decompress(chunks[b"IDAT"])
+    ncomp = 3 if ctype == 2 else 1
+    row = (w * ncomp * depth + 7) // 8
+    rows = []
+    for r in range(h):
+        assert raw[r * (row + 1)] == 0  # filter None
+        rows.append(raw[r * (row + 1) + 1:(r + 1) * (row + 1)])
+    return w, h, depth, ctype, b"".join(rows), chunks.get(b"PLTE")
+
+
+def test_scanned_pdf_embedded_gray_image_to_png():
+    from rag_application_tpu.ingest.pdf import extract_page_images
+
+    samples = bytes((x * 7 + y * 3) & 0xFF
+                    for y in range(8) for x in range(6))
+    comp = zlib.compress(samples)
+    pdf = build_image_pdf(
+        b"<< /Subtype /Image /Width 6 /Height 8 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray /Filter /FlateDecode /Length %d >>"
+        % len(comp), comp)
+    (got,) = extract_page_images(pdf)
+    assert got is not None and got[0] == "image/png"
+    w, h, depth, ctype, raw, _ = decode_png(got[1])
+    assert (w, h, depth, ctype) == (6, 8, 8, 0)
+    assert raw == samples
+    # and the page itself extracts no text (it IS a scan)
+    assert extract_pages(pdf) == [""]
+
+
+def test_scanned_pdf_dct_passthrough_is_jpeg():
+    from rag_application_tpu.ingest.pdf import extract_page_images
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"JFIFDATA" * 20 + b"\xff\xd9"
+    pdf = build_image_pdf(
+        b"<< /Subtype /Image /Width 100 /Height 100 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceRGB /Filter /DCTDecode /Length %d >>"
+        % len(fake_jpeg), fake_jpeg)
+    (got,) = extract_page_images(pdf)
+    assert got == ("image/jpeg", fake_jpeg)
+
+
+def test_scanned_pdf_indexed_palette_png():
+    from rag_application_tpu.ingest.pdf import extract_page_images
+
+    # 4x2, 8-bit indexed into a 3-entry RGB palette
+    samples = bytes([0, 1, 2, 1, 2, 0, 1, 0])
+    comp = zlib.compress(samples)
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pdf = build_image_pdf(
+        b"<< /Subtype /Image /Width 4 /Height 2 /BitsPerComponent 8 "
+        b"/ColorSpace [/Indexed /DeviceRGB 2 <%s>] "
+        b"/Filter /FlateDecode /Length %d >>"
+        % (palette.hex().encode(), len(comp)), comp)
+    (got,) = extract_page_images(pdf)
+    assert got is not None and got[0] == "image/png"
+    w, h, depth, ctype, raw, plte = decode_png(got[1])
+    assert (w, h, depth, ctype) == (4, 2, 8, 3)
+    assert raw == samples and plte == palette
+
+
+def test_scanned_pdf_ccitt_image_unconvertible():
+    from rag_application_tpu.ingest.pdf import extract_page_images
+
+    pdf = build_image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 8 /BitsPerComponent 1 "
+        b"/ColorSpace /DeviceGray /Filter /CCITTFaxDecode /Length 4 >>",
+        b"\x00\x01\x02\x03")
+    assert extract_page_images(pdf) == [None]
+
+
+def test_scanned_pdf_embedded_image_feeds_vlm(embedder):
+    """End-to-end: image-only PDF + page_describer, NO rasterizer hook —
+    the native embedded-image extraction must carry the VLM flow
+    (parity: pdf2image rasterize + VLM, utils.py:16-22)."""
+    samples = bytes(range(64))
+    comp = zlib.compress(samples)
+    pdf = build_image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 8 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray /Filter /FlateDecode /Length %d >>"
+        % len(comp), comp)
+    seen = {}
+
+    def describer(img):
+        seen["img"] = img
+        return "a scanned invoice from ACME Corp"
+
+    col = Collection("user_t", small_config())
+    pipe = IngestPipeline(col, embedder, page_describer=describer)
+    res = run(pipe.ingest_file("scan.pdf", pdf))
+    assert res.failed_tasks == 0 and res.chunks == 1
+    assert seen["img"][:8] == b"\x89PNG\r\n\x1a\n"
+    row = col.payloads.rows_where(document_id="scan.pdf")[0]
+    assert "ACME" in col.payloads.get(row)["text"]
+
+
+def test_scanned_pdf_image_without_describer_fails(embedder):
+    samples = zlib.compress(bytes(range(64)))
+    pdf = build_image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 8 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray /Filter /FlateDecode /Length %d >>"
+        % len(samples), samples)
+    col = Collection("user_t", small_config())
+    pipe = IngestPipeline(col, embedder)
+    res = run(pipe.ingest_file("scan.pdf", pdf))
+    assert res.chunks == 0 and res.failed_tasks == 1
