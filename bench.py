@@ -12,7 +12,7 @@ Prints ONE JSON line:
 Environment knobs:
   BENCH_N       corpus size (default 1_000_000)
   BENCH_DIM     vector dim (default 768)
-  BENCH_BATCH   query batch size (default 4096)
+  BENCH_BATCH   query batch size (default 8192)
   BENCH_SMALL=1 quick mode (100k corpus) for smoke runs
 """
 
@@ -55,13 +55,14 @@ def run():
     small = os.environ.get("BENCH_SMALL") == "1"
     n = int(os.environ.get("BENCH_N", 100_000 if small else 1_000_000))
     d = int(os.environ.get("BENCH_DIM", 768))
-    # 4096 amortizes per-dispatch + per-block fixed costs further now
-    # that the strip-reduce kernel at block 32768 scales past 2048
-    # (r2: 85.1k QPS/recall 0.9953 at 4096 vs 81.8k/0.9937 at 2048 —
-    # r1's batch-4096 regression at block 16384 is gone). Batch latency
-    # doubles (48 vs 25 ms); latency-sensitive serving uses smaller
-    # request micro-batches anyway (search/batcher.py).
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    # Engine QPS saturates at ~85k from batch 4096 up (the int8 scan
+    # scales perfectly linearly: 48.1 ms at 4096, 96.5 ms at 8192 —
+    # same QPS), but the RELAY e2e leg keeps gaining because its fixed
+    # per-dispatch cost amortizes over more queries: 19.5k QPS at 4096
+    # -> 26.7k at 8192 (f16 wire, same session class). 8192 is the
+    # default; latency-sensitive serving uses smaller request
+    # micro-batches anyway (search/batcher.py).
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
     n_eval = 128  # queries used for recall measurement (sampling std
     # of recall@10 over 1280 pairs ~ 0.005)
     k = 10
