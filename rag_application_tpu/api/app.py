@@ -316,7 +316,8 @@ def build_app(config: Optional[Config] = None, *,
         q = (await _asyncio.get_running_loop().run_in_executor(
             None, state.embedder.encode, [body["query"]]))[0]
         hits = sp.collection.ann_search(
-            q, limit=body.get("limit", 10), ef=int(body.get("ef", 128)))
+            q, limit=body.get("limit", 10), ef=int(body.get("ef", 128)),
+            **(body.get("filters") or {}))
         return {"results": [
             {"score": h.score, "payload": h.payload} for h in hits]}
 
@@ -558,6 +559,29 @@ def build_app(config: Optional[Config] = None, *,
                 docs[did] = docs.get(did, 0) + 1
         return docs
 
+    @router.route("GET", "/api/v1/collections")
+    async def list_collections(req: Request):
+        """Parity: MCP GET /collections (qdrant_search_mcp_endpoint.py:102
+        get_all_collections) — every registered user space."""
+        return {"collections": [
+            {"user_id": uid, "chunks": sp.collection.chunk_count()}
+            for uid, sp in sorted(state.users.items())]}
+
+    @router.route("GET", "/api/v1/collections/{user_id}/count")
+    async def collection_count(req: Request):
+        """Parity: MCP GET /collections/{user_id}/count
+        (qdrant_search_mcp_endpoint.py:120-151). Query-string params are
+        equality payload filters (e.g. ?kind=chat&document_id=x) — the
+        filtered count the reference stubs out (its `filters` plumbing is
+        commented out; the Qdrant handler supports it,
+        qdrant_handler.py:443-480)."""
+        uid = req.params["user_id"]
+        if uid not in state.users:
+            return {"user_id": uid, "chunks": 0}
+        filters = dict(req.query)
+        return {"user_id": uid,
+                "chunks": state.users[uid].collection.chunk_count(**filters)}
+
     @router.route("GET", "/api/v1/documents")
     async def list_documents(req: Request):
         docs = _doc_counts(req.query.get("user_id", "default"))
@@ -662,10 +686,26 @@ def build_app(config: Optional[Config] = None, *,
             return deny
         body = req.json()
         sp = state.space(body.get("user_id", "default"))
-        # concurrent requests micro-batch onto ONE encoder forward + ONE
-        # engine dispatch (embedding=None -> the batcher encodes)
-        hits = await sp.get_batcher(state.embedder).search(
-            None, body["query"], body.get("limit", 10))
+        filters = body.get("filters") or {}
+        if filters:
+            # filtered searches skip the micro-batcher: the engine mask is
+            # per-request, and grouping requests with different masks onto
+            # one dispatch would cross-contaminate results (the reference
+            # routes filters straight to Qdrant too,
+            # qdrant_handler.py:297). Equality-on-payload-field semantics.
+            import asyncio as _asyncio
+
+            loop = _asyncio.get_running_loop()
+            q = (await loop.run_in_executor(
+                None, state.embedder.encode, [body["query"]]))[0]
+            hits = await loop.run_in_executor(
+                None, lambda: sp.collection.hybrid_search(
+                    q, body["query"], body.get("limit", 10), **filters))
+        else:
+            # concurrent requests micro-batch onto ONE encoder forward +
+            # ONE engine dispatch (embedding=None -> the batcher encodes)
+            hits = await sp.get_batcher(state.embedder).search(
+                None, body["query"], body.get("limit", 10))
         return {"results": [
             {"score": h.score, "payload": h.payload} for h in hits]}
 

@@ -168,8 +168,11 @@ class Collection:
 
     # -------------------------------------------------------------- reads
 
-    def chunk_count(self) -> int:
-        """Parity: get_collection_chunk_count (qdrant_handler.py:441)."""
+    def chunk_count(self, **filters) -> int:
+        """Parity: get_collection_chunk_count (qdrant_handler.py:441-480 —
+        optional equality filters count only matching chunks)."""
+        if filters:
+            return len(self.payloads.rows_where(**filters))
         return int(np.asarray(jnp.sum(self.dense.live)))
 
     def hybrid_search(

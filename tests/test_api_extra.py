@@ -313,3 +313,57 @@ def test_chunked_request_closes_connection():
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_filtered_search_and_collection_counts():
+    """Payload filters over HTTP + the MCP collections surface.
+
+    Parity: hybrid_search(filters=...) (qdrant_handler.py:297),
+    get_collection_chunk_count filters (qdrant_handler.py:443-480), and
+    GET /collections + /collections/{user_id}/count
+    (qdrant_search_mcp_endpoint.py:102-151 — the reference stubs the
+    filter plumbing out; here it works)."""
+    async def fn(client, state):
+        for did, text in [
+            ("doc-cats", "Cats are small carnivorous mammals kept as pets. " * 4),
+            ("doc-dogs", "Dogs are loyal domesticated canines kept as pets. " * 4),
+        ]:
+            r = await client.post("/ingest/raw-text", json={
+                "text": text, "document_id": did, "user_id": "filt"})
+            assert r.status_code == 202
+
+        # unfiltered search sees both documents
+        r = await client.post("/api/v1/search/hybrid", json={
+            "query": "pets kept at home", "user_id": "filt", "limit": 8})
+        docs = {h["payload"]["document_id"] for h in r.json()["results"]}
+        assert docs == {"doc-cats", "doc-dogs"}
+
+        # a document_id filter restricts results to that document —
+        # even for a query that matches the other one better
+        r = await client.post("/api/v1/search/hybrid", json={
+            "query": "loyal dogs", "user_id": "filt", "limit": 8,
+            "filters": {"document_id": "doc-cats"}})
+        hits = r.json()["results"]
+        assert hits
+        assert {h["payload"]["document_id"] for h in hits} == {"doc-cats"}
+
+        # a filter matching nothing returns empty, not an error
+        r = await client.post("/api/v1/search/hybrid", json={
+            "query": "pets", "user_id": "filt",
+            "filters": {"document_id": "no-such-doc"}})
+        assert r.json()["results"] == []
+
+        # collections listing + filtered counts
+        r = await client.get("/api/v1/collections")
+        cols = {c["user_id"]: c["chunks"] for c in r.json()["collections"]}
+        assert cols.get("filt", 0) >= 2
+        r = await client.get("/api/v1/collections/filt/count")
+        total = r.json()["chunks"]
+        assert total == cols["filt"]
+        r = await client.get(
+            "/api/v1/collections/filt/count?document_id=doc-cats")
+        cats = r.json()["chunks"]
+        assert 0 < cats < total
+        r = await client.get("/api/v1/collections/nobody/count")
+        assert r.json()["chunks"] == 0
+    with_server(fn)
