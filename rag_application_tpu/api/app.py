@@ -630,9 +630,15 @@ def build_app(config: Optional[Config] = None, *,
                 for m in body.get("messages", [])]
         completion_id = f"chatcmpl-{uuid.uuid4().hex[:16]}"
         model = body.get("model", state.llm.model)
+        # forward the standard sampling params (parity: ModelRouterAPI
+        # chat.py:24-100 passes the request's generation knobs through);
+        # the router's per-provider allowlist filters them
+        gen = {k: body[k] for k in (
+            "temperature", "max_tokens", "top_p", "stop", "seed",
+            "presence_penalty", "frequency_penalty") if k in body}
         if body.get("stream"):
             async def events():
-                async for delta in state.llm.stream(msgs):
+                async for delta in state.llm.stream(msgs, **gen):
                     yield {"id": completion_id,
                            "object": "chat.completion.chunk",
                            "created": int(time.time()), "model": model,
@@ -645,7 +651,7 @@ def build_app(config: Optional[Config] = None, *,
                        "choices": [{"index": 0, "delta": {},
                                     "finish_reason": "stop"}]}
             return SSEResponse(events())
-        resp = await state.llm.chat(msgs)
+        resp = await state.llm.chat(msgs, **gen)
         return {"id": completion_id, "object": "chat.completion",
                 "created": int(time.time()), "model": model,
                 "choices": [{"index": 0, "message": {

@@ -1,0 +1,234 @@
+"""On-device (TPU) text generation provider.
+
+Parity: the reference's HF local client generates text with torch
+LLaMA/Mistral checkpoints and streams via TextIteratorStreamer
+(app/core/models/huggingface/huggingface.py:17-22,195-260). Here the
+model is the XLA-native decoder in models/decoder.py, and `LocalLLM`
+adapts it to the router's chat interface so every agent / endpoint that
+speaks `LLMRouter` can run inference on the local chip with zero
+network dependencies (`Provider.LOCAL`).
+
+Two generation paths, matching the relay economics (CLAUDE.md):
+  * `chat`: the fused `generate` while_loop — the whole completion is
+    ONE device dispatch (per-token dispatch through the relay costs
+    ~30 ms RTT each; the fused loop pays it once).
+  * `stream`: a jitted single-token step per yield — true streaming
+    with time-to-first-token = prefill + one step, for interactive use.
+
+Both run the blocking device work in an executor so the serving event
+loop stays free.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, AsyncIterator, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..models.decoder import (
+    DecoderConfig,
+    convert_hf_llama_state_dict,
+    generate,
+    init_kv_cache,
+    make_decode_step,
+    prefill,
+    sample_logits,
+)
+
+
+class LocalLLM:
+    """Chat adapter over a decoder checkpoint + tokenizer.
+
+    `tokenizer` needs `encode(text) -> List[int]` and
+    `decode(ids) -> str` (models/wordpiece.py provides both; any HF
+    tokenizer object works too via the same duck type)."""
+
+    def __init__(self, params: Dict[str, Any], cfg: DecoderConfig,
+                 tokenizer, *, eos_id: Optional[int] = None,
+                 model_name: str = "local-decoder"):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        # WordPiece ends every encoded turn with [SEP]; that IS the
+        # natural end-of-turn marker, so it doubles as eos
+        if eos_id is None:
+            eos_id = getattr(tokenizer, "sep_id", None)
+            if eos_id is None:
+                eos_id = getattr(tokenizer, "eos_token_id", 0) or 0
+        self.eos_id = int(eos_id)
+        self.pad_id = int(getattr(tokenizer, "pad_id", 0) or 0)
+        self.model_name = model_name
+        self._step = None  # lazy jitted streaming step
+
+    @classmethod
+    def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
+                    dtype: str = "bfloat16", **kw) -> "LocalLLM":
+        """Load a local LLaMA-family HF checkpoint directory (never
+        downloads — parity with the bert.py loader convention)."""
+        from transformers import AutoConfig, AutoTokenizer, LlamaForCausalLM
+
+        hf_cfg = AutoConfig.from_pretrained(model_dir, local_files_only=True)
+        cfg = DecoderConfig(
+            vocab_size=hf_cfg.vocab_size, hidden=hf_cfg.hidden_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            heads=hf_cfg.num_attention_heads,
+            kv_heads=getattr(hf_cfg, "num_key_value_heads",
+                             hf_cfg.num_attention_heads),
+            mlp_dim=hf_cfg.intermediate_size,
+            max_len=min(max_len, hf_cfg.max_position_embeddings),
+            rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+            eps=getattr(hf_cfg, "rms_norm_eps", 1e-6), dtype=dtype)
+        model = LlamaForCausalLM.from_pretrained(
+            model_dir, local_files_only=True)
+        params = convert_hf_llama_state_dict(model.state_dict(), cfg)
+        tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+        return cls(params, cfg, tok,
+                   eos_id=tok.eos_token_id, **kw)
+
+    # ------------------------------------------------------------- prompt
+
+    def render(self, messages: Sequence[Any]) -> List[int]:
+        """Chat template -> prompt ids. Plain role-tagged lines (the
+        in-framework models are trained on this format; HF checkpoints
+        with their own template can pre-render and call generate_ids)."""
+        lines = []
+        for m in messages:
+            if hasattr(m, "role"):
+                role, content = m.role, m.content
+            else:
+                role, content = m["role"], m.get("content", "")
+            lines.append(f"{role}: {content}")
+        lines.append("assistant:")
+        text = "\n".join(lines)
+        ids = self.tokenizer.encode(text)
+        # generation continues the sequence: drop a trailing [SEP]/eos so
+        # the model doesn't see an already-ended turn
+        if ids and ids[-1] == self.eos_id:
+            ids = ids[:-1]
+        return ids[-(self.cfg.max_len - 1):]
+
+    def _decode(self, ids: Sequence[int]) -> str:
+        ids = [int(i) for i in ids if int(i) not in (self.pad_id, self.eos_id)]
+        return self.tokenizer.decode(ids)
+
+    @staticmethod
+    def _apply_stop(text: str, stop) -> str:
+        if not stop:
+            return text
+        for s in ([stop] if isinstance(stop, str) else stop):
+            cut = text.find(s)
+            if cut != -1:
+                text = text[:cut]
+        return text
+
+    # ---------------------------------------------------------- inference
+
+    def generate_ids(self, prompt_ids: Sequence[int], *,
+                     max_new: int = 128, temperature: float = 0.0,
+                     top_k: int = 64, top_p: float = 1.0,
+                     seed: int = 0) -> List[int]:
+        """Blocking fused generation for one prompt. Pads the prompt to
+        a power-of-two bucket so repeated lengths reuse the compiled
+        while_loop (search/params.py convention)."""
+        n = len(prompt_ids)
+        max_new = max(1, min(max_new, self.cfg.max_len - n))
+        bucket = 1
+        while bucket < n:
+            bucket <<= 1
+        bucket = min(bucket, self.cfg.max_len - 1)
+        ids = np.full((1, bucket), self.pad_id, np.int32)
+        ids[0, :n] = prompt_ids
+        out, count = generate(
+            self.params, self.cfg, ids, np.asarray([n], np.int32),
+            max_new, self.eos_id, self.pad_id, jax.random.PRNGKey(seed),
+            float(temperature), int(top_k), float(top_p))
+        out = np.asarray(out)[0]
+        return [int(t) for t in out if int(t) != self.pad_id
+                and int(t) != self.eos_id]
+
+    async def chat(self, messages: Sequence[Any], *,
+                   tools=None, response_schema=None,
+                   **params: Any):
+        from .router import ChatMessage, LLMResponse
+
+        msgs = list(messages)
+        if response_schema is not None:
+            import json as _json
+
+            msgs.append(ChatMessage(
+                "user", "Respond with ONLY valid JSON matching this "
+                        f"schema: {_json.dumps(response_schema)}"))
+        prompt = self.render(msgs)
+        loop = asyncio.get_running_loop()
+        out_ids = await loop.run_in_executor(None, lambda: self.generate_ids(
+            prompt,
+            max_new=int(params.get("max_tokens") or 128),
+            temperature=float(params.get("temperature") or 0.0),
+            top_p=float(params.get("top_p") or 1.0),
+            seed=int(params.get("seed") or 0)))
+        text = self._apply_stop(self._decode(out_ids), params.get("stop"))
+        return LLMResponse(content=text,
+                           usage={"prompt_tokens": len(prompt),
+                                  "completion_tokens": len(out_ids),
+                                  "total_tokens": len(prompt) + len(out_ids)})
+
+    async def stream(self, messages: Sequence[Any],
+                     **params: Any) -> AsyncIterator[str]:
+        """Token-at-a-time decode: each yield is the newly produced text
+        (incremental re-detokenization keeps multi-piece words right)."""
+        prompt = self.render(messages)
+        max_new = max(1, min(int(params.get("max_tokens") or 128),
+                             self.cfg.max_len - len(prompt)))
+        temperature = float(params.get("temperature") or 0.0)
+        top_p = float(params.get("top_p") or 1.0)
+        seed = int(params.get("seed") or 0)
+        stop = params.get("stop")
+        loop = asyncio.get_running_loop()
+
+        if self._step is None:
+            self._step = make_decode_step(self.params, self.cfg)
+
+        def _prefill():
+            ck, cv = init_kv_cache(self.cfg, 1)
+            ids = np.asarray([prompt], np.int32)
+            logits, ck, cv = prefill(self.params, self.cfg, ids,
+                                     np.asarray([len(prompt)], np.int32),
+                                     ck, cv)
+            tok = sample_logits(logits, jax.random.fold_in(
+                jax.random.PRNGKey(seed), max_new),
+                temperature=temperature, top_k=64, top_p=top_p)
+            return int(np.asarray(tok)[0]), ck, cv
+
+        tok, ck, cv = await loop.run_in_executor(None, _prefill)
+        produced: List[int] = []
+        emitted = ""
+        pos = len(prompt)
+        rng = jax.random.PRNGKey(seed)
+        for step in range(max_new):
+            if tok == self.eos_id:
+                break
+            produced.append(tok)
+            text = self._decode(produced)
+            if stop:
+                clipped = self._apply_stop(text, stop)
+                if clipped != text:
+                    delta = clipped[len(emitted):]
+                    if delta:
+                        yield delta
+                    return
+            if text[: len(emitted)] == emitted:
+                delta = text[len(emitted):]
+                if delta:
+                    yield delta
+                    emitted = text
+            if step == max_new - 1:
+                break
+            step_rng = jax.random.fold_in(rng, step)
+            tok_a, ck, cv = await loop.run_in_executor(
+                None, lambda t=tok, p=pos, r=step_rng: self._step(
+                    np.asarray([t], np.int32), np.asarray([p], np.int32),
+                    ck, cv, r, temperature, 64, top_p))
+            tok = int(np.asarray(tok_a)[0])
+            pos += 1

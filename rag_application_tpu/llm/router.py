@@ -39,6 +39,10 @@ class Provider(str, enum.Enum):
     OLLAMA = "ollama"
     GOOGLE = "google"
     BEDROCK = "bedrock"
+    # on-device generation: the XLA decoder in models/decoder.py served
+    # through llm/local.py (parity: the reference's HF local text
+    # generation, app/core/models/huggingface/huggingface.py:17-22)
+    LOCAL = "local"
     STUB = "stub"
 
 
@@ -171,6 +175,7 @@ class LLMRouter:
         Provider.OLLAMA: {"temperature", "max_tokens", "top_p", "stop", "seed"},
         Provider.GOOGLE: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.BEDROCK: {"temperature", "max_tokens", "top_p", "stop"},
+        Provider.LOCAL: {"temperature", "max_tokens", "top_p", "stop", "seed"},
         Provider.STUB: set(),
     }
 
@@ -182,6 +187,7 @@ class LLMRouter:
         base_url: Optional[str] = None,
         api_key: Optional[str] = None,
         stub: Optional[StubLLM] = None,
+        local: Optional[Any] = None,  # llm.local.LocalLLM
         max_retries: int = 3,
         timeout: float = 120.0,
     ):
@@ -195,10 +201,17 @@ class LLMRouter:
             Provider.GOOGLE:
                 "https://generativelanguage.googleapis.com/v1beta/openai",
             Provider.BEDROCK: None,  # endpoint built per request (region)
+            Provider.LOCAL: None,   # on-chip, no endpoint
             Provider.STUB: None,
         }[self.provider]
         self.api_key = api_key
         self.stub = stub or StubLLM()
+        self.local = local
+        if self.provider == Provider.LOCAL and self.local is None:
+            raise ValueError(
+                "Provider.LOCAL needs a LocalLLM instance: "
+                "LLMRouter(Provider.LOCAL, local=LocalLLM(...)) — build one "
+                "with LocalLLM.from_hf_dir(checkpoint_dir) (llm/local.py)")
         self.max_retries = max_retries
         self.timeout = timeout
         self._bedrock = None
@@ -241,6 +254,13 @@ class LLMRouter:
             return await self.stub.chat(messages, tools=tools,
                                         response_schema=response_schema,
                                         **params)
+        if self.provider == Provider.LOCAL:
+            # tool use is prompt-mediated for local models (no grammar
+            # constraint); agents relying on tool_calls should route to a
+            # provider with native tool support
+            return await self.local.chat(messages,
+                                         response_schema=response_schema,
+                                         **self._filter_params(params))
         if self.provider == Provider.BEDROCK:
             from .bedrock import from_converse
 
@@ -319,6 +339,11 @@ class LLMRouter:
                      **params: Any) -> AsyncIterator[str]:
         if self.provider == Provider.STUB:
             async for chunk in self.stub.stream(messages, **params):
+                yield chunk
+            return
+        if self.provider == Provider.LOCAL:
+            async for chunk in self.local.stream(
+                    messages, **self._filter_params(params)):
                 yield chunk
             return
         if self.provider == Provider.BEDROCK:

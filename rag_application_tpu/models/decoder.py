@@ -1,0 +1,360 @@
+"""TPU-native causal LM: LLaMA-family decoder with static KV cache.
+
+Parity: the reference's HF local client runs decoder-only generation
+("Text generation (LLaMA, Mistral, etc.)", app/core/models/huggingface/
+huggingface.py:17-22,195-260) on torch with a TextIteratorStreamer. This
+is the same model family re-designed for XLA:
+
+  * layers are STACKED on a leading axis and run under one `lax.scan` —
+    one compiled block regardless of depth (no per-layer HLO bloat,
+    identical fusion for every layer);
+  * the KV cache is a static `(L, B, max_len, kv_heads, head_dim)`
+    buffer; prefill writes it with one `dynamic_update_slice`, decode
+    scatters one row per step via a one-hot blend — no dynamic shapes
+    anywhere, so the decode step compiles once and is reused for every
+    token and every request;
+  * generation is a `lax.while_loop` with an eos-latch carry — the whole
+    multi-token decode is ONE device dispatch (critical through the
+    relay: per-token dispatch costs ~30 ms RTT; the fused loop costs it
+    once). A jitted single-step path (`make_decode_step`) serves true
+    token streaming when TTFT matters more than dispatch count;
+  * batches decode with PER-ROW prompt lengths: pad-position garbage in
+    the cache is provably never attended (a slot `s` is only visible to
+    queries at positions `>= s`, and slot `s` is overwritten by the real
+    token at position `s` before any such query runs).
+
+Weight import (`convert_hf_llama_state_dict`) maps a torch
+`LlamaForCausalLM` state dict (incl. grouped-query attention) onto the
+stacked tree; logits parity vs transformers is asserted in
+tests/test_decoder.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    hidden: int
+    num_layers: int
+    heads: int
+    kv_heads: int
+    mlp_dim: int
+    max_len: int = 1024
+    rope_theta: float = 10000.0
+    eps: float = 1e-6
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def q_groups(self) -> int:
+        return self.heads // self.kv_heads
+
+
+# ------------------------------------------------------------------ params
+
+
+def init_decoder_params(rng: jax.Array, cfg: DecoderConfig) -> Dict[str, Any]:
+    """Random init (scaled normal) in the stacked-layer layout."""
+    L, H, M = cfg.num_layers, cfg.hidden, cfg.mlp_dim
+    hd, nq, nkv = cfg.head_dim, cfg.heads, cfg.kv_heads
+    keys = iter(jax.random.split(rng, 16))
+    dt = jnp.dtype(cfg.dtype)
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                / np.sqrt(fan_in)).astype(dt)
+
+    return {
+        "tok_emb": dense(next(keys), (cfg.vocab_size, H), H),
+        "attn_norm": jnp.ones((L, H), dt),
+        "ffn_norm": jnp.ones((L, H), dt),
+        "wq": dense(next(keys), (L, H, nq * hd), H),
+        "wk": dense(next(keys), (L, H, nkv * hd), H),
+        "wv": dense(next(keys), (L, H, nkv * hd), H),
+        "wo": dense(next(keys), (L, nq * hd, H), nq * hd),
+        "w_gate": dense(next(keys), (L, H, M), H),
+        "w_up": dense(next(keys), (L, H, M), H),
+        "w_down": dense(next(keys), (L, M, H), M),
+        "final_norm": jnp.ones((H,), dt),
+        "lm_head": dense(next(keys), (H, cfg.vocab_size), H),
+    }
+
+
+def convert_hf_llama_state_dict(state_dict: Dict[str, Any],
+                                cfg: DecoderConfig) -> Dict[str, Any]:
+    """torch `LlamaForCausalLM.state_dict()` -> stacked param tree.
+
+    torch Linear weights are (out, in); ours are (in, out)."""
+    def get(key: str) -> np.ndarray:
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().float().numpy()
+                          if hasattr(v, "detach") else v)
+
+    def stacked(fmt: str, transpose: bool = True) -> jnp.ndarray:
+        mats = [get(fmt.format(i)) for i in range(cfg.num_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return jnp.asarray(np.stack(mats), dtype=cfg.dtype)
+
+    emb = get("model.embed_tokens.weight")
+    head_key = ("lm_head.weight" if "lm_head.weight" in state_dict
+                else "model.embed_tokens.weight")  # tied embeddings
+    return {
+        "tok_emb": jnp.asarray(emb, dtype=cfg.dtype),
+        "attn_norm": stacked(
+            "model.layers.{}.input_layernorm.weight", transpose=False),
+        "ffn_norm": stacked(
+            "model.layers.{}.post_attention_layernorm.weight",
+            transpose=False),
+        "wq": stacked("model.layers.{}.self_attn.q_proj.weight"),
+        "wk": stacked("model.layers.{}.self_attn.k_proj.weight"),
+        "wv": stacked("model.layers.{}.self_attn.v_proj.weight"),
+        "wo": stacked("model.layers.{}.self_attn.o_proj.weight"),
+        "w_gate": stacked("model.layers.{}.mlp.gate_proj.weight"),
+        "w_up": stacked("model.layers.{}.mlp.up_proj.weight"),
+        "w_down": stacked("model.layers.{}.mlp.down_proj.weight"),
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype=cfg.dtype),
+        "lm_head": jnp.asarray(get(head_key).T, dtype=cfg.dtype),
+    }
+
+
+def init_kv_cache(cfg: DecoderConfig, batch: int) -> Tuple[jax.Array, jax.Array]:
+    shape = (cfg.num_layers, batch, cfg.max_len, cfg.kv_heads, cfg.head_dim)
+    z = jnp.zeros(shape, jnp.dtype(cfg.dtype))
+    return z, z
+
+
+# ----------------------------------------------------------------- forward
+
+
+def _rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (n * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(positions: jax.Array, cfg: DecoderConfig) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin (B, T, head_dim) in the HF rotate-half convention
+    (freqs repeated across both halves)."""
+    hd = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta
+                 ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = positions.astype(jnp.float32)[..., None] * inv  # (B,T,hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    # x: (B, T, n_heads, head_dim); cos/sin: (B, T, head_dim)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    return x * c + rot * s
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: DecoderConfig,
+    ids: jax.Array,                    # (B, T) int32
+    positions: jax.Array,              # (B, T) int32 absolute positions
+    cache_k: jax.Array,                # (L, B, S, KVH, hd)
+    cache_v: jax.Array,
+    *,
+    write_at: Optional[jax.Array] = None,  # decode: (B,) slot per row
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One forward pass over T tokens against the cache.
+
+    Prefill (write_at=None): T tokens are written at cache slots
+    [0, T) — positions must be arange(T).
+    Decode (write_at given): T must be 1; each row's token is scattered
+    into its own slot.
+
+    Returns (hidden (B,T,H), cache_k', cache_v')."""
+    B, T = ids.shape
+    S = cache_k.shape[2]
+    cfg_dt = jnp.dtype(cfg.dtype)
+    x = jnp.take(params["tok_emb"], ids, axis=0).astype(cfg_dt)
+    cos, sin = _rope(positions, cfg)
+    # causal visibility over cache slots: query at absolute position p
+    # sees slot s iff s <= p (slot s always holds the token written at
+    # position s by the time any such query runs — see module docstring)
+    mask = (jnp.arange(S)[None, None, :] <= positions[:, :, None])
+    neg = jnp.asarray(-1e30, jnp.float32)
+    if write_at is not None:
+        oh = (jnp.arange(S)[None, :] == write_at[:, None])  # (B, S)
+        oh_k = oh[:, :, None, None].astype(cfg_dt)
+
+    def layer_step(x, scanned):
+        lp, ck, cv = scanned
+        h = _rmsnorm(x, lp["attn_norm"], cfg.eps)
+        q = (h @ lp["wq"]).reshape(B, T, cfg.heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        if write_at is None:
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, 0, 0))
+        else:
+            ck = ck * (1 - oh_k) + k[:, 0][:, None] * oh_k
+            cv = cv * (1 - oh_k) + v[:, 0][:, None] * oh_k
+        # grouped-query attention without materializing repeated K/V
+        qg = q.reshape(B, T, cfg.kv_heads, cfg.q_groups, cfg.head_dim)
+        scores = jnp.einsum("btkgh,bskh->bkgts", qg, ck,
+                            preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(cfg.head_dim)
+        scores = jnp.where(mask[:, None, None, :, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg_dt)
+        out = jnp.einsum("bkgts,bskh->btkgh", probs, cv)
+        out = out.reshape(B, T, cfg.heads * cfg.head_dim)
+        x = x + out @ lp["wo"]
+        h = _rmsnorm(x, lp["ffn_norm"], cfg.eps)
+        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        return x, (ck, cv)
+
+    layer_params = {k: params[k] for k in
+                    ("attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
+                     "w_gate", "w_up", "w_down")}
+    x, (cache_k, cache_v) = jax.lax.scan(
+        layer_step, x, (layer_params, cache_k, cache_v))
+    return x, cache_k, cache_v
+
+
+def _project(params: Dict[str, Any], cfg: DecoderConfig,
+             hidden: jax.Array) -> jax.Array:
+    """final RMSNorm + LM head -> f32 logits."""
+    h = _rmsnorm(hidden, params["final_norm"], cfg.eps)
+    return (h @ params["lm_head"]).astype(jnp.float32)
+
+
+def prefill(params: Dict[str, Any], cfg: DecoderConfig, ids: jax.Array,
+            prompt_len: jax.Array, cache_k: jax.Array, cache_v: jax.Array
+            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run the prompt; return (last-token logits (B,V), cache', cache').
+
+    `ids` is right-padded; `prompt_len` (B,) selects each row's final
+    real token so only B rows hit the LM head (never (B,T,V))."""
+    B, T = ids.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    x, cache_k, cache_v = forward(params, cfg, ids, positions,
+                                  cache_k, cache_v)
+    last = jnp.take_along_axis(
+        x, (prompt_len - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    return _project(params, cfg, last), cache_k, cache_v
+
+
+def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
+                token: jax.Array, pos: jax.Array,
+                cache_k: jax.Array, cache_v: jax.Array
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One token per row at per-row position `pos` (B,). Returns
+    (logits (B,V), cache', cache')."""
+    x, cache_k, cache_v = forward(
+        params, cfg, token[:, None], pos[:, None],
+        cache_k, cache_v, write_at=pos)
+    return _project(params, cfg, x[:, 0]), cache_k, cache_v
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def sample_logits(logits: jax.Array, rng: jax.Array, *,
+                  temperature: float, top_k: int, top_p: float) -> jax.Array:
+    """Temperature -> top-k -> nucleus within the top-k -> categorical.
+
+    top-k first keeps the nucleus sort to a static-k slice instead of a
+    full-vocab sort (vocab-sized sorts are hostile to the TPU; `k` is
+    static so this is one small `lax.top_k`). temperature==0 is argmax.
+    """
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    k = min(top_k, logits.shape[-1])
+    vals, idx = jax.lax.top_k(logits / temperature, k)  # sorted desc
+    if top_p < 1.0:
+        probs = jax.nn.softmax(vals, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        keep = (csum - probs) < top_p  # first token always kept
+        vals = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(rng, vals, axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(
+        jnp.int32)
+
+
+# -------------------------------------------------------------- generation
+
+
+@partial(jax.jit, static_argnums=(1, 4, 8, 9, 10))
+def generate(params: Dict[str, Any], cfg: DecoderConfig,
+             ids: jax.Array, prompt_len: jax.Array, max_new: int,
+             eos_id: int, pad_id: int, rng: jax.Array,
+             temperature: float = 0.0, top_k: int = 64,
+             top_p: float = 1.0) -> Tuple[jax.Array, jax.Array]:
+    """Fused batch generation: prefill + `lax.while_loop` decode in ONE
+    dispatch. Returns (tokens (B, max_new) int32 — pad_id after each
+    row's eos — and n_generated (B,)).
+
+    eos_id / pad_id ride the carry as traced values; shapes depend only
+    on (cfg, B, T, max_new, sampling knobs), so one compilation serves
+    every prompt."""
+    B, T = ids.shape
+    eos = jnp.asarray(eos_id, jnp.int32)
+    pad = jnp.asarray(pad_id, jnp.int32)
+    cache_k, cache_v = init_kv_cache(cfg, B)
+    logits, cache_k, cache_v = prefill(
+        params, cfg, ids, prompt_len, cache_k, cache_v)
+
+    def emit(logits, step, done, rng):
+        tok = sample_logits(logits, jax.random.fold_in(rng, step),
+                            temperature=temperature, top_k=top_k,
+                            top_p=top_p)
+        return jnp.where(done, pad, tok)
+
+    def cond(st):
+        step, done = st[0], st[1]
+        return jnp.logical_and(step < max_new, ~jnp.all(done))
+
+    def body(st):
+        step, done, tok, pos, out, ck, cv, rng = st
+        out = jax.lax.dynamic_update_slice(out, tok[None, :], (step, 0))
+        newly_done = jnp.logical_or(done, tok == eos)
+        logits, ck, cv = decode_step(params, cfg, tok, pos, ck, cv)
+        nxt = emit(logits, step, newly_done, rng)
+        # rows that just emitted eos stop: their buffered token stays pad
+        return (step + 1, newly_done, nxt,
+                jnp.where(newly_done, pos, pos + 1), out, ck, cv, rng)
+
+    first = emit(logits, max_new, jnp.zeros((B,), bool), rng)
+    out0 = jnp.full((max_new, B), pad, jnp.int32)
+    st = (jnp.asarray(0, jnp.int32), jnp.zeros((B,), bool), first,
+          prompt_len.astype(jnp.int32), out0, cache_k, cache_v, rng)
+    step, done, tok, pos, out, *_ = jax.lax.while_loop(cond, body, st)
+    out = out.T  # (B, max_new)
+    return out, jnp.sum(out != pad, axis=1)
+
+
+def make_decode_step(params: Dict[str, Any], cfg: DecoderConfig):
+    """Jitted single-token step for streaming (`LocalLLM.stream`): one
+    device dispatch per emitted token, compiled once."""
+    @partial(jax.jit, static_argnums=(5, 6, 7))
+    def _step(token, pos, cache_k, cache_v, rng,
+              temperature: float, top_k: int, top_p: float):
+        logits, cache_k, cache_v = decode_step(
+            params, cfg, token, pos, cache_k, cache_v)
+        nxt = sample_logits(logits, rng, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+        return nxt, cache_k, cache_v
+
+    return _step

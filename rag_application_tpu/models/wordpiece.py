@@ -174,6 +174,26 @@ class WordPieceTokenizer:
         tail = [self.sep_id] if self.sep_id is not None else []
         return head + ids + tail
 
+    def decode(self, ids: Sequence[int], *, skip_special: bool = True) -> str:
+        """ids -> text: join ``##`` continuation pieces, space otherwise.
+        Used by the local generation path (llm/local.py); lossy like any
+        WordPiece round-trip (lowercasing, accent stripping)."""
+        if not hasattr(self, "_inv_vocab"):
+            self._inv_vocab = {i: t for t, i in self.vocab.items()}
+        special = {self.pad_id, self.cls_id, self.sep_id}
+        out: List[str] = []
+        for i in ids:
+            if skip_special and i in special:
+                continue
+            tok = self._inv_vocab.get(int(i), _UNK)
+            if tok.startswith("##"):
+                out.append(tok[2:])
+            else:
+                if out:
+                    out.append(" ")
+                out.append(tok)
+        return "".join(out)
+
     def encode_batch(
         self, texts: Sequence[str], max_len: int | None = None
     ) -> Tuple[np.ndarray, np.ndarray]:

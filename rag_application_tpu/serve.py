@@ -109,11 +109,25 @@ def main() -> None:
 
     cfg = Config.from_env()
     provider = Provider(os.environ.get("RAGTPU_LLM_PROVIDER", "stub"))
+    local = None
+    if provider == Provider.LOCAL:
+        # on-chip generation: RAGTPU_LOCAL_MODEL_DIR points at a local
+        # LLaMA-family HF checkpoint directory (llm/local.py; parity:
+        # the reference's HF local client, huggingface.py:17-22)
+        from .llm.local import LocalLLM
+
+        model_dir = os.environ.get("RAGTPU_LOCAL_MODEL_DIR")
+        if not model_dir:
+            raise SystemExit(
+                "RAGTPU_LLM_PROVIDER=local needs RAGTPU_LOCAL_MODEL_DIR "
+                "(a local LLaMA-family HF checkpoint directory)")
+        local = LocalLLM.from_hf_dir(model_dir)
     llm = LLMRouter(
         provider,
         model=os.environ.get("RAGTPU_LLM_MODEL", "stub-model"),
         base_url=os.environ.get("RAGTPU_LLM_BASE_URL"),
         api_key=os.environ.get("RAGTPU_LLM_API_KEY"),
+        local=local,
     )
 
     # LLM-in-the-loop ingest stages (parity: per-page KG extraction +
