@@ -1,0 +1,120 @@
+"""On-chip decoder generation throughput (models/decoder.py).
+
+Measures, on the real TPU:
+  * prefill tokens/s (batch x seq prompt ingestion), and
+  * fused-decode tokens/s (the `lax.while_loop` generate — the WHOLE
+    multi-token completion is one device dispatch, so per-dispatch
+    timing through the relay is already relay-immune: time 2-3
+    dispatches, take min, divide by tokens generated).
+
+eos_id is set to vocab_size so no row ever stops early and every run
+generates exactly max_new tokens (sampled ids are always < vocab).
+
+Run on the TPU:  timeout 3000 python examples/tune_decoder.py
+Env: TUNE_HIDDEN (512), TUNE_LAYERS (8), TUNE_HEADS (8), TUNE_KV (4),
+     TUNE_MLP (1536), TUNE_VOCAB (32000), TUNE_MAXLEN (1024),
+     TUNE_BATCH (8), TUNE_PROMPT (128), TUNE_NEW (128), TUNE_DTYPE
+     (bfloat16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# runnable as `python examples/tune_decoder.py` from anywhere; do NOT
+# use PYTHONPATH=/root/repo — it breaks the axon plugin registration
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(f"[{time.strftime('%X')}]", *a, file=sys.stderr)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rag_application_tpu.models.decoder import (
+        DecoderConfig,
+        generate,
+        init_decoder_params,
+        init_kv_cache,
+        prefill,
+    )
+
+    cfg = DecoderConfig(
+        vocab_size=int(os.environ.get("TUNE_VOCAB", 32000)),
+        hidden=int(os.environ.get("TUNE_HIDDEN", 512)),
+        num_layers=int(os.environ.get("TUNE_LAYERS", 8)),
+        heads=int(os.environ.get("TUNE_HEADS", 8)),
+        kv_heads=int(os.environ.get("TUNE_KV", 4)),
+        mlp_dim=int(os.environ.get("TUNE_MLP", 1536)),
+        max_len=int(os.environ.get("TUNE_MAXLEN", 1024)),
+        dtype=os.environ.get("TUNE_DTYPE", "bfloat16"),
+    )
+    B = int(os.environ.get("TUNE_BATCH", 8))
+    T = int(os.environ.get("TUNE_PROMPT", 128))
+    NEW = int(os.environ.get("TUNE_NEW", 128))
+    log(f"cfg={cfg} B={B} prompt={T} new={NEW}")
+
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+    log(f"params: {n_params/1e6:.1f}M ({n_params*2/2**30:.2f} GiB bf16)")
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    plen = jnp.full((B,), T, jnp.int32)
+    eos = cfg.vocab_size  # unreachable: no early stop
+    key = jax.random.PRNGKey(1)
+
+    # ---- prefill timing (single dispatch per call; host-read close)
+    pf = jax.jit(lambda p, i, L: prefill(p, cfg, i, L,
+                                         *init_kv_cache(cfg, B))[0])
+    t0 = time.time()
+    float(jnp.sum(pf(params, ids, plen)))
+    log(f"prefill compile+run {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.sum(pf(params, ids, plen)))
+        times.append(time.time() - t0)
+    prefill_s = min(times)
+    prefill_tps = B * T / prefill_s
+    log(f"prefill: {prefill_s*1e3:.1f} ms -> {prefill_tps:,.0f} tok/s")
+
+    # ---- fused generate timing (one dispatch generates B*NEW tokens)
+    t0 = time.time()
+    out, n = generate(params, cfg, ids, plen, NEW, eos, 0, key,
+                      1.0, 64, 0.9)
+    float(jnp.sum(out))
+    log(f"generate compile+run {time.time()-t0:.1f}s "
+        f"(n per row: {int(np.asarray(n)[0])})")
+    assert int(np.asarray(n).min()) >= NEW - 1  # pad-id collisions aside
+    times = []
+    for r in range(3):
+        t0 = time.time()
+        out, _ = generate(params, cfg, ids, plen, NEW, eos, 0,
+                          jax.random.fold_in(key, r), 1.0, 64, 0.9)
+        float(jnp.sum(out))
+        times.append(time.time() - t0)
+    gen_s = min(times)
+    # generate includes the prefill; decode-only rate subtracts it
+    decode_s = max(gen_s - prefill_s, 1e-9)
+    print(json.dumps({
+        "params_m": round(n_params / 1e6, 1),
+        "batch": B, "prompt": T, "new": NEW,
+        "prefill_ms": round(prefill_s * 1e3, 2),
+        "prefill_tok_s": round(prefill_tps),
+        "generate_ms": round(gen_s * 1e3, 2),
+        "decode_tok_s": round(B * NEW / decode_s),
+        "decode_ms_per_token": round(decode_s / NEW * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

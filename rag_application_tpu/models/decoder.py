@@ -174,6 +174,7 @@ def forward(
     cache_v: jax.Array,
     *,
     write_at: Optional[jax.Array] = None,  # decode: (B,) slot per row
+    remat: bool = False,  # rematerialize each layer (training memory)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward pass over T tokens against the cache.
 
@@ -228,8 +229,9 @@ def forward(
     layer_params = {k: params[k] for k in
                     ("attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
                      "w_gate", "w_up", "w_down")}
+    step = jax.checkpoint(layer_step) if remat else layer_step
     x, (cache_k, cache_v) = jax.lax.scan(
-        layer_step, x, (layer_params, cache_k, cache_v))
+        step, x, (layer_params, cache_k, cache_v))
     return x, cache_k, cache_v
 
 

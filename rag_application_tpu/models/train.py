@@ -116,6 +116,68 @@ def make_train_step(
     return train_step
 
 
+def make_lm_train_step(cfg, optimizer, *, remat: bool = True) -> Callable:
+    """Causal-LM training step for the decoder (models/decoder.py):
+    next-token cross-entropy with a padding mask, AdamW, per-layer
+    rematerialization (trade FLOPs for HBM so depth scales).
+
+    batch = dict(ids (B,T) int32 right-padded, mask (B,T) bool). The
+    training forward reuses the inference `forward` with a T-sized cache
+    (positions [0,T) written in one slice); logits over all positions,
+    shifted targets. The reference has no training tier at all — its
+    generation quality is the checkpoint it downloads; this closes the
+    same loop the encoder trainer closes for retrieval."""
+    import jax.numpy as jnp
+
+    from .decoder import _project, forward
+
+    def loss_fn(params, batch):
+        ids, mask = batch["ids"], batch["mask"]
+        B, T = ids.shape
+        z = jnp.zeros((cfg.num_layers, B, T, cfg.kv_heads, cfg.head_dim),
+                      jnp.dtype(cfg.dtype))
+        positions = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+        x, _, _ = forward(params, cfg, ids, positions, z, z, remat=remat)
+        logits = _project(params, cfg, x)[:, :-1]  # predict t+1
+        targets = ids[:, 1:]
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, targets[..., None], axis=-1)[..., 0]
+        m = mask[:, 1:].astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        loss = jnp.sum(nll * m) / denom
+        acc = jnp.sum((jnp.argmax(logits, -1) == targets) * m) / denom
+        return loss, acc
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1),
+            {"loss": loss, "accuracy": acc},
+        )
+
+    return train_step
+
+
+def shard_lm_train_setup(mesh: Mesh, params, cfg, optimizer, *,
+                         remat: bool = True):
+    """Decoder-LM twin of `shard_train_setup`: params DP-replicated /
+    TP-sharded by the same megatron-style rule, batch over `data`.
+    Returns (state, jitted_step, batch_sharding)."""
+    p_shard = param_shardings(mesh, params)
+    params = jax.device_put(params, p_shard)
+    opt_state = optimizer.init(params)
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), dtype=jnp.int32))
+    jitted = jax.jit(make_lm_train_step(cfg, optimizer, remat=remat))
+    return state, jitted, batch_sharding(mesh)
+
+
 def save_train_state(state: TrainState, path: str) -> None:
     """Orbax checkpoint of params + optimizer state (the reference has no
     training, hence no model checkpointing to mirror; this is standard
