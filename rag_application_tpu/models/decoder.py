@@ -8,20 +8,23 @@ is the same model family re-designed for XLA:
   * layers are STACKED on a leading axis and run under one `lax.scan` —
     one compiled block regardless of depth (no per-layer HLO bloat,
     identical fusion for every layer);
-  * the KV cache is a static `(L, B, max_len, kv_heads, head_dim)`
-    buffer; prefill writes it with one `dynamic_update_slice`, decode
-    scatters one row per step via a one-hot blend — no dynamic shapes
-    anywhere, so the decode step compiles once and is reused for every
-    token and every request;
+  * the KV cache is a static `(L, B, S, kv_heads, head_dim)` buffer;
+    prefill writes it with one `dynamic_update_slice`, and decode writes
+    ALL rows at one SHARED slot per step (slot = padded-prompt-length +
+    step) — a single scalar-indexed `dynamic_update_slice`, never a
+    per-row scatter or one-hot blend (both move the whole cache through
+    HBM per layer per token; measured 13-24x slower at batch 64). Slot
+    index and token position decouple: RoPE uses each row's true
+    position, and visibility is `slot_positions[b,s] <= query_pos`;
   * generation is a `lax.while_loop` with an eos-latch carry — the whole
     multi-token decode is ONE device dispatch (critical through the
     relay: per-token dispatch costs ~30 ms RTT; the fused loop costs it
     once). A jitted single-step path (`make_decode_step`) serves true
     token streaming when TTFT matters more than dispatch count;
   * batches decode with PER-ROW prompt lengths: pad-position garbage in
-    the cache is provably never attended (a slot `s` is only visible to
-    queries at positions `>= s`, and slot `s` is overwritten by the real
-    token at position `s` before any such query runs).
+    the cache is provably never attended — prompt pad slots get
+    slot_position = 2**30 (masked for every query), and a done row's
+    stalled position masks the pad tokens later written on its lane.
 
 Weight import (`convert_hf_llama_state_dict`) maps a torch
 `LlamaForCausalLM` state dict (incl. grouped-query attention) onto the
@@ -130,8 +133,13 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, Any],
     }
 
 
-def init_kv_cache(cfg: DecoderConfig, batch: int) -> Tuple[jax.Array, jax.Array]:
-    shape = (cfg.num_layers, batch, cfg.max_len, cfg.kv_heads, cfg.head_dim)
+def init_kv_cache(cfg: DecoderConfig, batch: int,
+                  length: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
+    """`length` sizes the slot axis (default cfg.max_len). `generate`
+    right-sizes it to prompt_T + max_new — attention reads scale with
+    the request, not the model's maximum context."""
+    shape = (cfg.num_layers, batch, length or cfg.max_len,
+             cfg.kv_heads, cfg.head_dim)
     z = jnp.zeros(shape, jnp.dtype(cfg.dtype))
     return z, z
 
@@ -173,15 +181,22 @@ def forward(
     cache_k: jax.Array,                # (L, B, S, KVH, hd)
     cache_v: jax.Array,
     *,
-    write_at: Optional[jax.Array] = None,  # decode: (B,) slot per row
+    write_slot: Optional[jax.Array] = None,  # decode: SCALAR slot, all rows
+    slot_positions: Optional[jax.Array] = None,  # (B,S) abs pos per slot
     remat: bool = False,  # rematerialize each layer (training memory)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward pass over T tokens against the cache.
 
-    Prefill (write_at=None): T tokens are written at cache slots
+    Prefill (write_slot=None): T tokens are written at cache slots
     [0, T) — positions must be arange(T).
-    Decode (write_at given): T must be 1; each row's token is scattered
-    into its own slot.
+    Decode (write_slot given): T must be 1; every row's token lands at
+    the same scalar slot (one dynamic_update_slice — the only cache
+    write pattern that doesn't rewrite the whole cache per step).
+
+    Visibility: query at absolute position p sees slot s iff
+    slot_positions[b, s] <= p. The default (slot_positions=None) is
+    slot s holds position s — true for prefill and for unpadded
+    single-row decode; `generate` passes the ragged-batch layout.
 
     Returns (hidden (B,T,H), cache_k', cache_v')."""
     B, T = ids.shape
@@ -189,14 +204,12 @@ def forward(
     cfg_dt = jnp.dtype(cfg.dtype)
     x = jnp.take(params["tok_emb"], ids, axis=0).astype(cfg_dt)
     cos, sin = _rope(positions, cfg)
-    # causal visibility over cache slots: query at absolute position p
-    # sees slot s iff s <= p (slot s always holds the token written at
-    # position s by the time any such query runs — see module docstring)
-    mask = (jnp.arange(S)[None, None, :] <= positions[:, :, None])
+    if slot_positions is None:
+        slots = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    else:
+        slots = slot_positions[:, None, :]
+    mask = slots <= positions[:, :, None]
     neg = jnp.asarray(-1e30, jnp.float32)
-    if write_at is not None:
-        oh = (jnp.arange(S)[None, :] == write_at[:, None])  # (B, S)
-        oh_k = oh[:, :, None, None].astype(cfg_dt)
 
     def layer_step(x, scanned):
         lp, ck, cv = scanned
@@ -206,12 +219,12 @@ def forward(
         v = (h @ lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
-        if write_at is None:
+        if write_slot is None:
             ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, 0, 0))
         else:
-            ck = ck * (1 - oh_k) + k[:, 0][:, None] * oh_k
-            cv = cv * (1 - oh_k) + v[:, 0][:, None] * oh_k
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, write_slot, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, write_slot, 0, 0))
         # grouped-query attention without materializing repeated K/V
         qg = q.reshape(B, T, cfg.kv_heads, cfg.q_groups, cfg.head_dim)
         scores = jnp.einsum("btkgh,bskh->bkgts", qg, ck,
@@ -259,14 +272,15 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig, ids: jax.Array,
 
 
 def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
-                token: jax.Array, pos: jax.Array,
-                cache_k: jax.Array, cache_v: jax.Array
+                token: jax.Array, pos: jax.Array, slot: jax.Array,
+                cache_k: jax.Array, cache_v: jax.Array,
+                slot_positions: Optional[jax.Array] = None,
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One token per row at per-row position `pos` (B,). Returns
-    (logits (B,V), cache', cache')."""
+    """One token per row at per-row position `pos` (B,), written at the
+    shared scalar cache `slot`. Returns (logits (B,V), cache', cache')."""
     x, cache_k, cache_v = forward(
         params, cfg, token[:, None], pos[:, None],
-        cache_k, cache_v, write_at=pos)
+        cache_k, cache_v, write_slot=slot, slot_positions=slot_positions)
     return _project(params, cfg, x[:, 0]), cache_k, cache_v
 
 
@@ -314,7 +328,19 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
     B, T = ids.shape
     eos = jnp.asarray(eos_id, jnp.int32)
     pad = jnp.asarray(pad_id, jnp.int32)
-    cache_k, cache_v = init_kv_cache(cfg, B)
+    # cache sized to this request: prompt slots [0,T) + one slot per
+    # decode step. Generated tokens live at slot T+step for EVERY row
+    # (one scalar dynamic_update_slice per step); slot_pos carries each
+    # slot's true per-row position for the visibility mask — prompt pad
+    # slots get 2**30 so no query ever attends them.
+    S = T + max_new
+    cache_k, cache_v = init_kv_cache(cfg, B, S)
+    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+    pl = prompt_len.astype(jnp.int32)[:, None]
+    slot_pos = jnp.where(
+        s_idx < T,
+        jnp.where(s_idx < pl, s_idx, jnp.asarray(2 ** 30, jnp.int32)),
+        pl + (s_idx - T))
     logits, cache_k, cache_v = prefill(
         params, cfg, ids, prompt_len, cache_k, cache_v)
 
@@ -332,7 +358,8 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
         step, done, tok, pos, out, ck, cv, rng = st
         out = jax.lax.dynamic_update_slice(out, tok[None, :], (step, 0))
         newly_done = jnp.logical_or(done, tok == eos)
-        logits, ck, cv = decode_step(params, cfg, tok, pos, ck, cv)
+        logits, ck, cv = decode_step(params, cfg, tok, pos, T + step,
+                                     ck, cv, slot_positions=slot_pos)
         nxt = emit(logits, step, newly_done, rng)
         # rows that just emitted eos stop: their buffered token stays pad
         return (step + 1, newly_done, nxt,
@@ -349,12 +376,14 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
 
 def make_decode_step(params: Dict[str, Any], cfg: DecoderConfig):
     """Jitted single-token step for streaming (`LocalLLM.stream`): one
-    device dispatch per emitted token, compiled once."""
+    device dispatch per emitted token, compiled once. Unpadded rows only
+    (slot == position — true for the B=1 streaming path), so the default
+    slot layout applies."""
     @partial(jax.jit, static_argnums=(5, 6, 7))
     def _step(token, pos, cache_k, cache_v, rng,
               temperature: float, top_k: int, top_p: float):
         logits, cache_k, cache_v = decode_step(
-            params, cfg, token, pos, cache_k, cache_v)
+            params, cfg, token, pos, pos[0], cache_k, cache_v)
         nxt = sample_logits(logits, rng, temperature=temperature,
                             top_k=top_k, top_p=top_p)
         return nxt, cache_k, cache_v

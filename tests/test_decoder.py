@@ -68,8 +68,8 @@ def test_prefill_and_decode_match_hf_logits(hf_pair):
                                atol=2e-4, rtol=1e-4)
     pos = jnp.asarray([T, T])
     for j in range(extra.shape[1]):
-        logits, ck, cv = decode_step(params, CFG,
-                                     jnp.asarray(extra[:, j]), pos, ck, cv)
+        logits, ck, cv = decode_step(params, CFG, jnp.asarray(extra[:, j]),
+                                     pos, pos[0], ck, cv)
         np.testing.assert_allclose(np.asarray(logits), ref[:, T + j],
                                    atol=2e-4, rtol=1e-4)
         pos = pos + 1
