@@ -211,20 +211,11 @@ def forward(
     mask = slots <= positions[:, :, None]
     neg = jnp.asarray(-1e30, jnp.float32)
 
-    def layer_step(x, scanned):
-        lp, ck, cv = scanned
-        h = _rmsnorm(x, lp["attn_norm"], cfg.eps)
-        q = (h @ lp["wq"]).reshape(B, T, cfg.heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+    def attend(x, lp, ck, cv):
+        """attention out + FFN for one layer given its (updated) cache."""
+        q = (_rmsnorm(x, lp["attn_norm"], cfg.eps) @ lp["wq"]).reshape(
+            B, T, cfg.heads, cfg.head_dim)
         q = _apply_rope(q, cos, sin)
-        k = _apply_rope(k, cos, sin)
-        if write_slot is None:
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, 0, 0))
-        else:
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, write_slot, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, write_slot, 0, 0))
         # grouped-query attention without materializing repeated K/V
         qg = q.reshape(B, T, cfg.kv_heads, cfg.q_groups, cfg.head_dim)
         scores = jnp.einsum("btkgh,bskh->bkgts", qg, ck,
@@ -233,18 +224,57 @@ def forward(
         scores = jnp.where(mask[:, None, None, :, :], scores, neg)
         probs = jax.nn.softmax(scores, axis=-1).astype(cfg_dt)
         out = jnp.einsum("bkgts,bskh->btkgh", probs, cv)
-        out = out.reshape(B, T, cfg.heads * cfg.head_dim)
-        x = x + out @ lp["wo"]
+        x = x + out.reshape(B, T, cfg.heads * cfg.head_dim) @ lp["wo"]
         h = _rmsnorm(x, lp["ffn_norm"], cfg.eps)
         x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
-        return x, (ck, cv)
+        return x
+
+    def new_kv(x, lp):
+        h = _rmsnorm(x, lp["attn_norm"], cfg.eps)
+        k = (h @ lp["wk"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        return _apply_rope(k, cos, sin), v
 
     layer_params = {k: params[k] for k in
                     ("attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
                      "w_gate", "w_up", "w_down")}
-    step = jax.checkpoint(layer_step) if remat else layer_step
-    x, (cache_k, cache_v) = jax.lax.scan(
-        step, x, (layer_params, cache_k, cache_v))
+
+    if write_slot is None:
+        # prefill/training: caches flow xs -> ys (the bulk [0,T) write IS
+        # the scan output; nothing smaller to write).
+        def layer_step(x, scanned):
+            lp, ck, cv = scanned
+            k, v = new_kv(x, lp)
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, 0, 0))
+            return attend(x, lp, ck, cv), (ck, cv)
+
+        step = jax.checkpoint(layer_step) if remat else layer_step
+        x, (cache_k, cache_v) = jax.lax.scan(
+            step, x, (layer_params, cache_k, cache_v))
+        return x, cache_k, cache_v
+
+    # decode: the full (L,...) caches ride the scan CARRY and each layer
+    # writes ONLY its new (B,1,KVH,hd) row in place — an xs->ys layout
+    # would rewrite every layer's whole (B,S) slice per token, turning
+    # each step into a full-cache HBM pass.
+    def dec_step(carry, scanned):
+        x, full_k, full_v = carry
+        lp, i = scanned
+        k, v = new_kv(x, lp)
+        full_k = jax.lax.dynamic_update_slice(
+            full_k, k[None], (i, 0, write_slot, 0, 0))
+        full_v = jax.lax.dynamic_update_slice(
+            full_v, v[None], (i, 0, write_slot, 0, 0))
+        ck = jax.lax.dynamic_slice(
+            full_k, (i, 0, 0, 0, 0), (1,) + full_k.shape[1:])[0]
+        cv = jax.lax.dynamic_slice(
+            full_v, (i, 0, 0, 0, 0), (1,) + full_v.shape[1:])[0]
+        return (attend(x, lp, ck, cv), full_k, full_v), None
+
+    (x, cache_k, cache_v), _ = jax.lax.scan(
+        dec_step, (x, cache_k, cache_v),
+        (layer_params, jnp.arange(cfg.num_layers, dtype=jnp.int32)))
     return x, cache_k, cache_v
 
 
