@@ -14,7 +14,7 @@ Run on the TPU:  timeout 3000 python examples/tune_decoder.py
 Env: TUNE_HIDDEN (512), TUNE_LAYERS (8), TUNE_HEADS (8), TUNE_KV (4),
      TUNE_MLP (1536), TUNE_VOCAB (32000), TUNE_MAXLEN (1024),
      TUNE_BATCH (8), TUNE_PROMPT (128), TUNE_NEW (128), TUNE_DTYPE
-     (bfloat16).
+     (bfloat16), TUNE_QUANT (0; 1 = weight-only int8).
 """
 
 from __future__ import annotations
@@ -45,6 +45,7 @@ def main() -> None:
         init_decoder_params,
         init_kv_cache,
         prefill,
+        quantize_decoder_params,
     )
 
     cfg = DecoderConfig(
@@ -65,6 +66,11 @@ def main() -> None:
     params = init_decoder_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
     log(f"params: {n_params/1e6:.1f}M ({n_params*2/2**30:.2f} GiB bf16)")
+    quant = os.environ.get("TUNE_QUANT", "0") == "1"
+    if quant:
+        params = quantize_decoder_params(params)
+        nbytes = sum(v.nbytes for v in jax.tree.leaves(params))
+        log(f"weight-only int8: {nbytes/2**30:.2f} GiB on device")
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
@@ -107,6 +113,7 @@ def main() -> None:
     decode_s = max(gen_s - prefill_s, 1e-9)
     print(json.dumps({
         "params_m": round(n_params / 1e6, 1),
+        "quant": quant,
         "batch": B, "prompt": T, "new": NEW,
         "prefill_ms": round(prefill_s * 1e3, 2),
         "prefill_tok_s": round(prefill_tps),

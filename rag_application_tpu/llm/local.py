@@ -34,6 +34,7 @@ from ..models.decoder import (
     init_kv_cache,
     make_decode_step,
     prefill,
+    quantize_decoder_params,
     sample_logits,
 )
 
@@ -64,9 +65,12 @@ class LocalLLM:
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
-                    dtype: str = "bfloat16", **kw) -> "LocalLLM":
+                    dtype: str = "bfloat16", quantize: bool = False,
+                    **kw) -> "LocalLLM":
         """Load a local LLaMA-family HF checkpoint directory (never
-        downloads — parity with the bert.py loader convention)."""
+        downloads — parity with the bert.py loader convention).
+        `quantize=True` serves weight-only int8 (half the HBM, faster
+        small-batch decode; see models/decoder.py)."""
         from transformers import AutoConfig, AutoTokenizer, LlamaForCausalLM
 
         hf_cfg = AutoConfig.from_pretrained(model_dir, local_files_only=True)
@@ -83,6 +87,8 @@ class LocalLLM:
         model = LlamaForCausalLM.from_pretrained(
             model_dir, local_files_only=True)
         params = convert_hf_llama_state_dict(model.state_dict(), cfg)
+        if quantize:
+            params = quantize_decoder_params(params)
         tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
         return cls(params, cfg, tok,
                    eos_id=tok.eos_token_id, **kw)

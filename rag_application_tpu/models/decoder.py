@@ -30,6 +30,13 @@ Weight import (`convert_hf_llama_state_dict`) maps a torch
 `LlamaForCausalLM` state dict (incl. grouped-query attention) onto the
 stacked tree; logits parity vs transformers is asserted in
 tests/test_decoder.py.
+
+Weight-only int8 (`quantize_decoder_params`): small-batch decode is
+bound by weight HBM bytes, so int8 weights with per-output-channel
+scales halve the step's traffic and the checkpoint's footprint (a
+7B-class model fits one chip). The scale is applied to the matmul
+OUTPUT — ``(x @ q) * s`` — so no dequantized matrix ever exists; int8
+magnitudes are exact in bf16, keeping the MXU on its native path.
 """
 
 from __future__ import annotations
@@ -133,6 +140,47 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, Any],
     }
 
 
+def quantize_decoder_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only int8: every matmul weight becomes ``{"q": int8, "s":
+    f32}`` with one scale per OUTPUT channel (`tok_emb` per row, since
+    it is gathered, not contracted). Norm vectors stay as-is.
+
+    Inference reads half the weight bytes — the thing decode is bound
+    by at small batch — and a 7B-class checkpoint drops under a single
+    chip's HBM. The matmul runs as ``(x @ q.astype(bf16)) * s``: int8
+    magnitudes are exact in bf16 and the scale commutes past the
+    contraction, so the dequantized matrix is never materialized.
+    Training must use the original bf16 tree (no straight-through
+    estimator here)."""
+    out = {}
+    for name, w in params.items():
+        if name in ("attn_norm", "ffn_norm", "final_norm"):
+            out[name] = w
+            continue
+        wf = w.astype(jnp.float32)
+        axis = -1 if name == "tok_emb" else -2  # contraction axis
+        scale = jnp.max(jnp.abs(wf), axis=axis, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        out[name] = {"q": q, "s": jnp.squeeze(scale, axis=axis)}
+    return out
+
+
+def _mm(x: jax.Array, w: Any) -> jax.Array:
+    """x @ w for either a plain matrix or a quantized {"q","s"} pair."""
+    if isinstance(w, dict):
+        y = x @ w["q"].astype(x.dtype)
+        return y * w["s"].astype(x.dtype)
+    return x @ w
+
+
+def _take_emb(emb: Any, ids: jax.Array, dt: jnp.dtype) -> jax.Array:
+    if isinstance(emb, dict):
+        rows = jnp.take(emb["q"], ids, axis=0).astype(dt)
+        return rows * jnp.take(emb["s"], ids, axis=0)[..., None].astype(dt)
+    return jnp.take(emb, ids, axis=0).astype(dt)
+
+
 def init_kv_cache(cfg: DecoderConfig, batch: int,
                   length: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
     """`length` sizes the slot axis (default cfg.max_len). `generate`
@@ -202,7 +250,7 @@ def forward(
     B, T = ids.shape
     S = cache_k.shape[2]
     cfg_dt = jnp.dtype(cfg.dtype)
-    x = jnp.take(params["tok_emb"], ids, axis=0).astype(cfg_dt)
+    x = _take_emb(params["tok_emb"], ids, cfg_dt)
     cos, sin = _rope(positions, cfg)
     if slot_positions is None:
         slots = jnp.arange(S, dtype=jnp.int32)[None, None, :]
@@ -213,7 +261,7 @@ def forward(
 
     def attend(x, lp, ck, cv):
         """attention out + FFN for one layer given its (updated) cache."""
-        q = (_rmsnorm(x, lp["attn_norm"], cfg.eps) @ lp["wq"]).reshape(
+        q = _mm(_rmsnorm(x, lp["attn_norm"], cfg.eps), lp["wq"]).reshape(
             B, T, cfg.heads, cfg.head_dim)
         q = _apply_rope(q, cos, sin)
         # grouped-query attention without materializing repeated K/V
@@ -224,15 +272,16 @@ def forward(
         scores = jnp.where(mask[:, None, None, :, :], scores, neg)
         probs = jax.nn.softmax(scores, axis=-1).astype(cfg_dt)
         out = jnp.einsum("bkgts,bskh->btkgh", probs, cv)
-        x = x + out.reshape(B, T, cfg.heads * cfg.head_dim) @ lp["wo"]
+        x = x + _mm(out.reshape(B, T, cfg.heads * cfg.head_dim), lp["wo"])
         h = _rmsnorm(x, lp["ffn_norm"], cfg.eps)
-        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = x + _mm(jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
+                    lp["w_down"])
         return x
 
     def new_kv(x, lp):
         h = _rmsnorm(x, lp["attn_norm"], cfg.eps)
-        k = (h @ lp["wk"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        k = _mm(h, lp["wk"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        v = _mm(h, lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
         return _apply_rope(k, cos, sin), v
 
     layer_params = {k: params[k] for k in
@@ -282,7 +331,7 @@ def _project(params: Dict[str, Any], cfg: DecoderConfig,
              hidden: jax.Array) -> jax.Array:
     """final RMSNorm + LM head -> f32 logits."""
     h = _rmsnorm(hidden, params["final_norm"], cfg.eps)
-    return (h @ params["lm_head"]).astype(jnp.float32)
+    return _mm(h, params["lm_head"]).astype(jnp.float32)
 
 
 def prefill(params: Dict[str, Any], cfg: DecoderConfig, ids: jax.Array,

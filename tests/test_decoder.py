@@ -147,6 +147,76 @@ def test_random_init_generates():
     assert np.asarray(out).shape == (1, 4)
 
 
+def test_quantized_weights_int8_and_logits_close(hf_pair):
+    """Weight-only int8: every matmul weight is stored int8 with a
+    per-output-channel scale; quantized logits track bf16-exact logits
+    and greedy generation agrees on a short horizon."""
+    from rag_application_tpu.models.decoder import quantize_decoder_params
+
+    _, params = hf_pair
+    qp = quantize_decoder_params(params)
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                 "tok_emb", "lm_head"):
+        assert qp[name]["q"].dtype == jnp.int8
+        # scales are per output channel (one per column/row), not global
+        assert qp[name]["s"].shape[-1] == (
+            params[name].shape[-1] if name != "tok_emb"
+            else params[name].shape[0])
+    for name in ("attn_norm", "ffn_norm", "final_norm"):
+        assert not isinstance(qp[name], dict)
+
+    ids = _prompt(np.random.default_rng(7), 2, 10)
+    plen = jnp.asarray([10, 10])
+
+    def last_logits(p):
+        ck, cv = init_kv_cache(CFG, 2)
+        return prefill(p, CFG, jnp.asarray(ids), plen, ck, cv)[0]
+
+    base = np.asarray(last_logits(params))
+    quant = np.asarray(last_logits(qp))
+    # int8 error bound: correlation stays near 1 on the logit vector
+    corr = np.corrcoef(base.ravel(), quant.ravel())[0, 1]
+    assert corr > 0.999, corr
+
+    out_b, _ = generate(params, CFG, jnp.asarray(ids), plen, 4, 255, 0,
+                        jax.random.PRNGKey(0), 0.0)
+    out_q, _ = generate(qp, CFG, jnp.asarray(ids), plen, 4, 255, 0,
+                        jax.random.PRNGKey(0), 0.0)
+    agree = (np.asarray(out_b) == np.asarray(out_q)).mean()
+    assert agree >= 0.75, agree
+
+
+def test_quantized_grid_weights_are_exact():
+    """Weights already on an int8 grid round-trip exactly: quantized
+    forward == full-precision forward bit-for-bit (scale commutes past
+    the contraction)."""
+    from rag_application_tpu.models.decoder import quantize_decoder_params
+
+    params = init_decoder_params(jax.random.PRNGKey(1), CFG)
+    # snap every quantizable weight onto its own int8 grid
+    snapped = {}
+    for name, w in params.items():
+        if name in ("attn_norm", "ffn_norm", "final_norm"):
+            snapped[name] = w
+            continue
+        axis = -1 if name == "tok_emb" else -2
+        s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis,
+                    keepdims=True) / 127.0
+        snapped[name] = (jnp.round(w.astype(jnp.float32) / s) * s).astype(
+            jnp.float32)
+    qp = quantize_decoder_params(snapped)
+    ids = _prompt(np.random.default_rng(8), 1, 6)
+
+    def last_logits(p):
+        ck, cv = init_kv_cache(CFG, 1)
+        return prefill(p, CFG, jnp.asarray(ids), jnp.asarray([6]),
+                       ck, cv)[0]
+
+    np.testing.assert_allclose(np.asarray(last_logits(qp)),
+                               np.asarray(last_logits(snapped)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tensor_parallel_prefill_equality(hf_pair):
     """Decoder params shard with the generic megatron-style rule
     (parallel/mesh.py param_shardings) over the model axis; sharded
