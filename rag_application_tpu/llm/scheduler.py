@@ -1,0 +1,313 @@
+"""Continuous batching for on-device decode (iteration-level scheduling).
+
+Parity+: the reference serves concurrent chat through Ollama, which
+continuously batches decode server-side (app/core/models/ollama/*;
+AgentAPI chat endpoints fan requests at it). `LocalLLM.chat` runs one
+fused `generate` per request — concurrent requests serialize on the
+chip. This scheduler gives the local provider the same property as the
+reference's serving stack: N in-flight requests share ONE decode batch,
+each joining and leaving without stopping the others.
+
+Design for this backend (see models/decoder.py and CLAUDE.md):
+
+  * the KV cache keeps the SHARED-SLOT layout: on every global step all
+    rows write the same physical slot via one scalar-indexed
+    `dynamic_update_slice` (per-row scatter rewrites the whole cache
+    per layer per token — measured 13-24x slower). A request's logical
+    positions therefore do not equal its physical slots; `slot_pos`
+    (B, S) carries each slot's true per-row position and dead slots get
+    2**30 so no later occupant of the row ever attends them.
+  * requests JOIN at chunk boundaries: decode runs `chunk` tokens per
+    dispatch (a `lax.scan`), amortizing the relay/dispatch RTT, and the
+    host admits/retires requests between chunks. Joining costs one
+    single-row prefill (a (L,1,T,KVH,hd) row write — cheap).
+  * when the write head reaches the cache end, `compact` re-packs every
+    row's live slots to the front (one argsort + take_along_axis over
+    the slot axis), so cache size bounds CONCURRENT tokens, not total
+    tokens ever decoded.
+
+Greedy decode of a request through the batcher is token-identical to a
+solo `generate` run (asserted in tests/test_scheduler.py) — batching is
+a scheduling change, not a model change.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import (
+    DecoderConfig,
+    decode_step,
+    init_kv_cache,
+    prefill,
+    sample_logits,
+)
+
+DEAD = 2 ** 30  # slot_pos sentinel: slot holds nothing attendable
+
+
+@dataclass
+class _Slot:
+    """Host-side bookkeeping for one batch row."""
+    request_id: int = -1
+    remaining: int = 0
+    queue: Optional[asyncio.Queue] = None
+    eos_id: int = -1
+
+
+@partial(jax.jit, static_argnums=(1, 11, 12, 13))
+def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
+                 ck, cv, slot_pos, pos, tok, active,
+                 temperature: float, top_k: int, top_p: float, rng):
+    """Admit one request into batch row `row`: run its prompt (B=1),
+    write the prompt K/V into the row's leading slots, reset the row's
+    slot_pos/pos/token/active state. Returns updated device state."""
+    T = ids.shape[1]
+    rck, rcv = init_kv_cache(cfg, 1, T)
+    logits, rck, rcv = prefill(params, cfg, ids, plen, rck, rcv)
+    ck = jax.lax.dynamic_update_slice(ck, rck, (0, row, 0, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, rcv, (0, row, 0, 0, 0))
+    S = slot_pos.shape[1]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    new_row = jnp.where(s_idx < plen[0], s_idx,
+                        jnp.asarray(DEAD, jnp.int32))
+    slot_pos = jax.lax.dynamic_update_slice(slot_pos, new_row[None],
+                                            (row, 0))
+    pos = pos.at[row].set(plen[0])
+    first = sample_logits(logits, rng, temperature=temperature,
+                          top_k=top_k, top_p=top_p)
+    tok = tok.at[row].set(first[0])
+    active = active.at[row].set(True)
+    return ck, cv, slot_pos, pos, tok, active
+
+
+@partial(jax.jit, static_argnums=(1, 2, 9, 10, 11))
+def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
+                  tok, pos, active, slot_pos, base_slot, step0,
+                  temperature: float, top_k: int, top_p: float,
+                  eos, rng, ck, cv):
+    """Run `chunk` decode steps for all rows in ONE dispatch.
+
+    Step j writes every row's K/V at physical slot base_slot + j and
+    stamps that slot's per-row position (DEAD for inactive rows).
+    Rows latch inactive on eos. Returns tokens (chunk, B) — the token
+    CONSUMED at each step is the one reported; the freshly sampled
+    token rides the carry for the next step/chunk. `step0` is the
+    GLOBAL step counter (monotone across compactions, unlike
+    base_slot) so sampling randomness never repeats."""
+    def body(carry, j):
+        tok, pos, active, slot_pos, ck, cv = carry
+        col = jnp.where(active, pos, jnp.asarray(DEAD, jnp.int32))
+        slot_pos = jax.lax.dynamic_update_slice(
+            slot_pos, col[:, None], (0, base_slot + j))
+        logits, ck, cv = decode_step(params, cfg, tok, pos,
+                                     base_slot + j, ck, cv,
+                                     slot_positions=slot_pos)
+        nxt = sample_logits(logits, jax.random.fold_in(rng, step0 + j),
+                            temperature=temperature, top_k=top_k,
+                            top_p=top_p)
+        emitted = jnp.where(active, tok, jnp.asarray(-1, jnp.int32))
+        still = jnp.logical_and(active, nxt != eos)
+        return (jnp.where(active, nxt, tok),
+                jnp.where(active, pos + 1, pos),
+                still, slot_pos, ck, cv), emitted
+
+    (tok, pos, active, slot_pos, ck, cv), out = jax.lax.scan(
+        body, (tok, pos, active, slot_pos, ck, cv),
+        jnp.arange(chunk, dtype=jnp.int32))
+    return tok, pos, active, slot_pos, ck, cv, out
+
+
+@jax.jit
+def _compact(ck, cv, slot_pos):
+    """Re-pack every row's live slots to the front of the slot axis.
+
+    Order = stable sort by slot position (DEAD slots sink to the end);
+    returns the re-packed caches, slot_pos, and the new shared write
+    head (max live count over rows — rows with fewer live slots keep a
+    DEAD gap, which the mask ignores)."""
+    order = jnp.argsort(slot_pos, axis=1, stable=True)  # (B, S)
+    slot_pos = jnp.take_along_axis(slot_pos, order, axis=1)
+    g = order[None, :, :, None, None]
+    ck = jnp.take_along_axis(ck, g, axis=2)
+    cv = jnp.take_along_axis(cv, g, axis=2)
+    head = jnp.max(jnp.sum(slot_pos < DEAD, axis=1)).astype(jnp.int32)
+    return ck, cv, slot_pos, head
+
+
+class ContinuousBatcher:
+    """Async continuous-batching frontend over one decoder + cache.
+
+    `submit` enqueues a prompt and resolves to the generated ids; the
+    internal loop admits pending requests into free rows between decode
+    chunks. One instance per (params, cfg); all sampling knobs are
+    fixed per instance so every chunk reuses one compiled program."""
+
+    def __init__(self, params: Dict[str, Any], cfg: DecoderConfig, *,
+                 slots: int = 8, prompt_pad: int = 128,
+                 horizon: int = 512, chunk: int = 8,
+                 temperature: float = 0.0, top_k: int = 64,
+                 top_p: float = 1.0, seed: int = 0):
+        if chunk < 1 or horizon < chunk:
+            raise ValueError("need chunk >= 1 and horizon >= chunk")
+        self.params, self.cfg = params, cfg
+        self.B, self.T = slots, prompt_pad
+        self.S = prompt_pad + horizon
+        self.chunk = chunk
+        self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
+        self.rng = jax.random.PRNGKey(seed)
+        self.ck, self.cv = init_kv_cache(cfg, slots, self.S)
+        self.slot_pos = jnp.full((slots, self.S), DEAD, jnp.int32)
+        self.pos = jnp.zeros((slots,), jnp.int32)
+        self.tok = jnp.zeros((slots,), jnp.int32)
+        self.active = jnp.zeros((slots,), bool)
+        self.head = self.T  # next physical write slot (shared)
+        self._slots = [_Slot() for _ in range(slots)]
+        self._pending: "asyncio.Queue[Tuple[int, List[int], int, int, asyncio.Queue]]" = (
+            asyncio.Queue())
+        self._next_id = 0
+        self._task: Optional[asyncio.Task] = None
+        self.steps = 0
+        self.compactions = 0
+
+    # ------------------------------------------------------------ public
+
+    async def submit(self, prompt_ids: Sequence[int], *, max_new: int = 128,
+                     eos_id: int = -1) -> List[int]:
+        """Generate up to `max_new` tokens for one prompt; returns the
+        emitted ids (eos excluded). Concurrency-safe: callers share the
+        batch."""
+        ids = list(prompt_ids)[-self.T:]
+        if not ids:
+            raise ValueError("empty prompt")
+        q: asyncio.Queue = asyncio.Queue()
+        rid = self._next_id
+        self._next_id += 1
+        await self._pending.put((rid, ids, int(max_new), int(eos_id), q))
+        self._ensure_loop()
+        out: List[int] = []
+        while True:
+            t = await q.get()
+            if t is None:
+                return out
+            if isinstance(t, BaseException):
+                raise t
+            out.append(t)
+
+    # ---------------------------------------------------------- internals
+
+    def _ensure_loop(self) -> None:
+        if self._task is None or self._task.done():
+            self._task = asyncio.get_running_loop().create_task(self._run())
+
+    def _free_rows(self) -> List[int]:
+        return [i for i, s in enumerate(self._slots) if s.queue is None]
+
+    def _admit(self, row: int, rid: int, ids: List[int], max_new: int,
+               eos_id: int, q: asyncio.Queue) -> None:
+        padded = np.zeros((1, self.T), np.int32)
+        padded[0, :len(ids)] = ids
+        (self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+         self.active) = _prefill_row(
+            self.params, self.cfg, jnp.asarray(padded),
+            jnp.asarray([len(ids)], np.int32), np.int32(row),
+            self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+            self.active, self.temperature, self.top_k, self.top_p,
+            jax.random.fold_in(self.rng, 2 ** 20 + rid))
+        self._slots[row] = _Slot(rid, max_new, q, eos_id)
+        # the shared write head must never re-enter a live prompt range
+        # (possible after compaction shrank it): decode writes hit EVERY
+        # row at the shared slot and would clobber this prompt's K/V.
+        self.head = max(self.head, len(ids))
+
+    def _retire(self, row: int) -> None:
+        s = self._slots[row]
+        if s.queue is not None:
+            s.queue.put_nowait(None)
+        self._slots[row] = _Slot()
+        self.active = self.active.at[row].set(False)
+        # clear the row's slot map so compaction never counts (and the
+        # write head never sits past) a dead request's leftovers
+        self.slot_pos = self.slot_pos.at[row].set(DEAD)
+
+    async def _run(self) -> None:
+        try:
+            await self._serve()
+        except BaseException as exc:  # deliver, never hang submitters
+            for s in self._slots:
+                if s.queue is not None:
+                    s.queue.put_nowait(exc)
+            self._slots = [_Slot() for _ in range(self.B)]
+            while True:
+                try:
+                    _, _, _, _, q = self._pending.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                q.put_nowait(exc)
+            raise
+
+    async def _serve(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            # admit as many pending requests as there are free rows
+            admitted = False
+            for row in self._free_rows():
+                try:
+                    rid, ids, max_new, eos_id, q = self._pending.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                await loop.run_in_executor(
+                    None, self._admit, row, rid, ids, max_new, eos_id, q)
+                admitted = True
+            busy = [i for i, s in enumerate(self._slots) if s.queue is not None]
+            if not busy:
+                if admitted:
+                    continue
+                return  # nothing in flight; next submit restarts the loop
+            if self.head + self.chunk > self.S:
+                (self.ck, self.cv, self.slot_pos,
+                 head) = await loop.run_in_executor(
+                    None, lambda: _compact(self.ck, self.cv,
+                                           self.slot_pos))
+                self.head = int(head)
+                self.compactions += 1
+                if self.head + self.chunk > self.S:
+                    raise RuntimeError(
+                        "cache full after compaction: concurrent live "
+                        "tokens exceed prompt_pad+horizon; raise horizon "
+                        "or lower max_new")
+            eos_vec = np.full((self.B,), -2, np.int32)
+            for i in busy:
+                eos_vec[i] = self._slots[i].eos_id
+
+            def _step():
+                return _decode_chunk(
+                    self.params, self.cfg, self.chunk, self.tok, self.pos,
+                    self.active, self.slot_pos, np.int32(self.head),
+                    np.int32(self.steps),
+                    self.temperature, self.top_k, self.top_p,
+                    jnp.asarray(eos_vec), self.rng, self.ck, self.cv)
+
+            (self.tok, self.pos, self.active, self.slot_pos,
+             self.ck, self.cv, out) = await loop.run_in_executor(None, _step)
+            self.head += self.chunk
+            self.steps += self.chunk
+            emitted = np.asarray(out)  # (chunk, B)
+            alive = np.asarray(self.active)
+            for i in busy:
+                s = self._slots[i]
+                for j in range(self.chunk):
+                    t = int(emitted[j, i])
+                    if t < 0 or s.remaining == 0:
+                        break
+                    s.queue.put_nowait(t)
+                    s.remaining -= 1
+                if s.remaining == 0 or not alive[i]:
+                    self._retire(i)

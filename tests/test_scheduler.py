@@ -1,0 +1,172 @@
+"""Continuous batching (llm/scheduler.py): iteration-level scheduling
+over the shared-slot KV cache.
+
+Parity: the reference serves concurrent chat through Ollama, which
+continuously batches decode server-side (app/core/models/ollama/*);
+here N in-flight requests share ONE decode batch on the chip. The core
+claim tested: batching is a SCHEDULING change, not a model change —
+greedy decode through the batcher is token-identical to a solo fused
+`generate` run, including across join/leave churn and cache compaction.
+"""
+
+import asyncio
+
+import jax
+import numpy as np
+import pytest
+
+from rag_application_tpu.llm.scheduler import DEAD, ContinuousBatcher
+from rag_application_tpu.models.decoder import (
+    DecoderConfig,
+    generate,
+    init_decoder_params,
+)
+
+CFG = DecoderConfig(vocab_size=256, hidden=64, num_layers=3, heads=4,
+                    kv_heads=2, mlp_dim=128, max_len=128, dtype="float32")
+PARAMS = init_decoder_params(jax.random.PRNGKey(0), CFG)
+
+
+def _solo(prompt, max_new, prompt_pad, eos_id=-1):
+    """Reference: one fused greedy `generate` run, eos/pad stripped."""
+    ids = np.zeros((1, prompt_pad), np.int32)
+    ids[0, :len(prompt)] = prompt
+    out, _ = generate(PARAMS, CFG, ids, np.asarray([len(prompt)], np.int32),
+                      max_new, eos_id, -7, jax.random.PRNGKey(0), 0.0)
+    return [int(t) for t in np.asarray(out)[0] if int(t) not in (-7, eos_id)]
+
+
+def _prompts(n, rng):
+    return [list(rng.integers(1, CFG.vocab_size, rng.integers(3, 12)))
+            for _ in range(n)]
+
+
+def test_concurrent_greedy_matches_solo():
+    """Four requests decoded in one shared batch produce exactly the
+    tokens each would produce alone."""
+    rng = np.random.default_rng(0)
+    prompts = _prompts(4, rng)
+    news = [10, 7, 13, 4]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=4, prompt_pad=16,
+                              horizon=32, chunk=4)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=n) for p, n in zip(prompts, news)])
+
+    got = asyncio.run(run())
+    for p, n, toks in zip(prompts, news, got):
+        assert toks == _solo(p, n, 16), (p, n)
+
+
+def test_staggered_joins_keep_rows_independent():
+    """Requests joining mid-flight (more requests than rows, so rows are
+    reused after retirement) still match their solo runs."""
+    rng = np.random.default_rng(1)
+    prompts = _prompts(6, rng)
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=48, chunk=2)
+
+        async def late(i, delay):
+            await asyncio.sleep(delay)
+            return await b.submit(prompts[i], max_new=6)
+
+        out = await asyncio.gather(*[late(i, 0.02 * i) for i in range(6)])
+        assert b.steps > 0
+        return out
+
+    got = asyncio.run(run())
+    for p, toks in zip(prompts, got):
+        assert toks == _solo(p, 6, 16), p
+
+
+def test_eos_stops_early():
+    """eos latches the row inactive; the eos token itself is excluded
+    (generate_ids convention)."""
+    rng = np.random.default_rng(2)
+    prompt = _prompts(1, rng)[0]
+    ref = _solo(prompt, 12, 16)
+    eos = ref[5]  # force a stop mid-stream
+    want = ref[:ref.index(eos)]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=32, chunk=4)
+        return await b.submit(prompt, max_new=12, eos_id=eos)
+
+    assert asyncio.run(run()) == want
+
+
+def test_compaction_preserves_decode():
+    """A horizon smaller than total decoded tokens forces cache
+    compaction mid-request; tokens still match solo, and retired rows'
+    slots are reclaimed (head returns below the cache end)."""
+    rng = np.random.default_rng(3)
+    prompts = _prompts(3, rng)
+
+    async def run():
+        # S = 8 + 16 = 24; three sequential 20-token requests must
+        # compact (24 shared write slots < 3*20 + prompts)
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=8,
+                              horizon=16, chunk=4)
+        outs = await asyncio.gather(*[
+            b.submit(p[:6], max_new=14) for p in prompts])
+        return outs, b.compactions
+
+    got, compactions = asyncio.run(run())
+    assert compactions > 0
+    for p, toks in zip(prompts, got):
+        assert toks == _solo(p[:6], 14, 8), p
+
+
+def test_cache_overflow_raises_to_submitter():
+    """Live tokens that cannot fit even after compaction surface as an
+    exception on the awaiting submit, not a hung future."""
+    rng = np.random.default_rng(4)
+    prompt = _prompts(1, rng)[0][:4]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=1, prompt_pad=8,
+                              horizon=8, chunk=4)
+        # one row needs 4 + 40 live slots; S = 16 — impossible
+        await b.submit(prompt, max_new=40)
+
+    with pytest.raises(RuntimeError, match="cache full"):
+        asyncio.run(run())
+
+
+def test_retire_clears_slot_map():
+    """After a request finishes, its row's slot_pos is all DEAD, so
+    compaction never counts a dead request's leftovers."""
+    rng = np.random.default_rng(5)
+    prompt = _prompts(1, rng)[0]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=32, chunk=4)
+        await b.submit(prompt, max_new=8)
+        return np.asarray(b.slot_pos)
+
+    slot_pos = asyncio.run(run())
+    assert (slot_pos == DEAD).all()
+
+
+def test_sampled_mode_runs():
+    """temperature > 0 exercises the sampling path end-to-end (no
+    equality claim — randomness differs from solo by design)."""
+    rng = np.random.default_rng(6)
+    prompts = _prompts(2, rng)
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=32, chunk=4, temperature=0.8,
+                              top_k=16, top_p=0.9, seed=7)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=6) for p in prompts])
+
+    got = asyncio.run(run())
+    for toks in got:
+        assert len(toks) == 6
+        assert all(0 <= t < CFG.vocab_size for t in toks)
