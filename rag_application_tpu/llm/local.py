@@ -62,6 +62,7 @@ class LocalLLM:
         self.pad_id = int(getattr(tokenizer, "pad_id", 0) or 0)
         self.model_name = model_name
         self._step = None  # lazy jitted streaming step
+        self._batcher = None  # optional continuous batcher (enable_batching)
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
@@ -92,6 +93,23 @@ class LocalLLM:
         tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
         return cls(params, cfg, tok,
                    eos_id=tok.eos_token_id, **kw)
+
+    def enable_batching(self, *, slots: int = 8, prompt_pad: int = 256,
+                        horizon: int = 512, chunk: int = 8,
+                        temperature: float = 0.0, top_k: int = 64,
+                        top_p: float = 1.0, seed: int = 0):
+        """Route `chat` through a continuous batcher: N concurrent
+        requests share ONE decode batch on the chip (llm/scheduler.py),
+        matching the reference's Ollama serving behavior. Sampling knobs
+        are fixed per batcher (one compiled program); a chat call whose
+        knobs differ falls back to the solo fused path."""
+        from .scheduler import ContinuousBatcher
+
+        self._batcher = ContinuousBatcher(
+            self.params, self.cfg, slots=slots, prompt_pad=prompt_pad,
+            horizon=horizon, chunk=chunk, temperature=temperature,
+            top_k=top_k, top_p=top_p, seed=seed)
+        return self._batcher
 
     # ------------------------------------------------------------- prompt
 
@@ -167,13 +185,22 @@ class LocalLLM:
                 "user", "Respond with ONLY valid JSON matching this "
                         f"schema: {_json.dumps(response_schema)}"))
         prompt = self.render(msgs)
-        loop = asyncio.get_running_loop()
-        out_ids = await loop.run_in_executor(None, lambda: self.generate_ids(
-            prompt,
-            max_new=int(params.get("max_tokens") or 128),
-            temperature=float(params.get("temperature") or 0.0),
-            top_p=float(params.get("top_p") or 1.0),
-            seed=int(params.get("seed") or 0)))
+        max_new = max(1, min(int(params.get("max_tokens") or 128),
+                             self.cfg.max_len - len(prompt)))
+        temperature = float(params.get("temperature") or 0.0)
+        top_p = float(params.get("top_p") or 1.0)
+        b = self._batcher
+        if (b is not None and temperature == b.temperature
+                and top_p == b.top_p
+                and min(len(prompt), b.T) + max_new <= b.S):
+            out_ids = await b.submit(prompt, max_new=max_new,
+                                     eos_id=self.eos_id)
+        else:
+            loop = asyncio.get_running_loop()
+            out_ids = await loop.run_in_executor(
+                None, lambda: self.generate_ids(
+                    prompt, max_new=max_new, temperature=temperature,
+                    top_p=top_p, seed=int(params.get("seed") or 0)))
         text = self._apply_stop(self._decode(out_ids), params.get("stop"))
         return LLMResponse(content=text,
                            usage={"prompt_tokens": len(prompt),

@@ -62,7 +62,8 @@ class _Slot:
     eos_id: int = -1
 
 
-@partial(jax.jit, static_argnums=(1, 11, 12, 13))
+@partial(jax.jit, static_argnums=(1, 11, 12, 13),
+         donate_argnums=(5, 6, 7, 8, 9, 10))
 def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
                  ck, cv, slot_pos, pos, tok, active,
                  temperature: float, top_k: int, top_p: float, rng):
@@ -88,7 +89,8 @@ def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
     return ck, cv, slot_pos, pos, tok, active
 
 
-@partial(jax.jit, static_argnums=(1, 2, 9, 10, 11))
+@partial(jax.jit, static_argnums=(1, 2, 9, 10, 11),
+         donate_argnums=(3, 4, 5, 6, 14, 15))
 def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
                   tok, pos, active, slot_pos, base_slot, step0,
                   temperature: float, top_k: int, top_p: float,
@@ -125,7 +127,7 @@ def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
     return tok, pos, active, slot_pos, ck, cv, out
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1))
 def _compact(ck, cv, slot_pos):
     """Re-pack every row's live slots to the front of the slot axis.
 

@@ -188,8 +188,10 @@ def init_kv_cache(cfg: DecoderConfig, batch: int,
     the request, not the model's maximum context."""
     shape = (cfg.num_layers, batch, length or cfg.max_len,
              cfg.kv_heads, cfg.head_dim)
-    z = jnp.zeros(shape, jnp.dtype(cfg.dtype))
-    return z, z
+    # two distinct buffers: callers that donate the caches into a jitted
+    # step (llm/scheduler.py) must not hand the same buffer in twice
+    return (jnp.zeros(shape, jnp.dtype(cfg.dtype)),
+            jnp.zeros(shape, jnp.dtype(cfg.dtype)))
 
 
 # ----------------------------------------------------------------- forward

@@ -121,7 +121,21 @@ def main() -> None:
             raise SystemExit(
                 "RAGTPU_LLM_PROVIDER=local needs RAGTPU_LOCAL_MODEL_DIR "
                 "(a local LLaMA-family HF checkpoint directory)")
-        local = LocalLLM.from_hf_dir(model_dir)
+        local = LocalLLM.from_hf_dir(
+            model_dir,
+            quantize=os.environ.get("RAGTPU_LOCAL_QUANT", "0") == "1")
+        # RAGTPU_LOCAL_BATCH_SLOTS>0 serves concurrent chats from ONE
+        # continuous decode batch (llm/scheduler.py) instead of
+        # serializing fused generate calls on the chip
+        slots = int(os.environ.get("RAGTPU_LOCAL_BATCH_SLOTS", "0"))
+        if slots > 0:
+            local.enable_batching(
+                slots=slots,
+                prompt_pad=int(os.environ.get(
+                    "RAGTPU_LOCAL_BATCH_PROMPT", "256")),
+                horizon=int(os.environ.get(
+                    "RAGTPU_LOCAL_BATCH_HORIZON", "512")),
+                chunk=int(os.environ.get("RAGTPU_LOCAL_BATCH_CHUNK", "8")))
     llm = LLMRouter(
         provider,
         model=os.environ.get("RAGTPU_LLM_MODEL", "stub-model"),

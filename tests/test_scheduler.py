@@ -153,6 +153,41 @@ def test_retire_clears_slot_map():
     assert (slot_pos == DEAD).all()
 
 
+def test_local_llm_batched_chat_matches_solo_chat():
+    """LocalLLM.chat through enable_batching returns the same text as
+    the solo fused path for greedy requests, and concurrent chats
+    share the batch."""
+    from rag_application_tpu.llm.local import LocalLLM
+    from rag_application_tpu.llm.router import ChatMessage
+    from rag_application_tpu.models.wordpiece import WordPieceTokenizer
+
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "system", "user",
+             "assistant", ":", "hello", "world", "weather", "sunny",
+             "how", "is", "the", "today", "a", "fine"]
+    tok = WordPieceTokenizer.from_vocab_list(words, native=False)
+    cfg = DecoderConfig(vocab_size=len(words), hidden=32, num_layers=2,
+                        heads=4, kv_heads=2, mlp_dim=64, max_len=64,
+                        dtype="float32")
+    params = init_decoder_params(jax.random.PRNGKey(7), cfg)
+    convs = [[ChatMessage("user", "hello how is the weather")],
+             [ChatMessage("user", "the weather today")],
+             [ChatMessage("user", "sunny world hello")]]
+
+    async def main():
+        solo = LocalLLM(params, cfg, tok, model_name="tiny")
+        want = [(await solo.chat(m, max_tokens=8)).content for m in convs]
+        batched = LocalLLM(params, cfg, tok, model_name="tiny")
+        batched.enable_batching(slots=2, prompt_pad=32, horizon=32,
+                                chunk=4)
+        got = await asyncio.gather(*[
+            batched.chat(m, max_tokens=8) for m in convs])
+        assert batched._batcher.steps > 0  # actually went through it
+        return want, [r.content for r in got]
+
+    want, got = asyncio.run(main())
+    assert got == want
+
+
 def test_sampled_mode_runs():
     """temperature > 0 exercises the sampling path end-to-end (no
     equality claim — randomness differs from solo by design)."""
