@@ -210,7 +210,9 @@ class LocalLLM:
     async def stream(self, messages: Sequence[Any],
                      **params: Any) -> AsyncIterator[str]:
         """Token-at-a-time decode: each yield is the newly produced text
-        (incremental re-detokenization keeps multi-piece words right)."""
+        (incremental re-detokenization keeps multi-piece words right).
+        With batching enabled, concurrent streams share one decode
+        batch (time-to-next-token bounded by the chunk size)."""
         prompt = self.render(messages)
         max_new = max(1, min(int(params.get("max_tokens") or 128),
                              self.cfg.max_len - len(prompt)))
@@ -219,6 +221,30 @@ class LocalLLM:
         seed = int(params.get("seed") or 0)
         stop = params.get("stop")
         loop = asyncio.get_running_loop()
+
+        b = self._batcher
+        if (b is not None and temperature == b.temperature
+                and top_p == b.top_p
+                and min(len(prompt), b.T) + max_new <= b.S):
+            produced: List[int] = []
+            emitted = ""
+            async for tok in b.submit_stream(prompt, max_new=max_new,
+                                             eos_id=self.eos_id):
+                produced.append(tok)
+                text = self._decode(produced)
+                if stop:
+                    clipped = self._apply_stop(text, stop)
+                    if clipped != text:
+                        delta = clipped[len(emitted):]
+                        if delta:
+                            yield delta
+                        return
+                if text[: len(emitted)] == emitted:
+                    delta = text[len(emitted):]
+                    if delta:
+                        yield delta
+                        emitted = text
+            return
 
         if self._step is None:
             self._step = make_decode_step(self.params, self.cfg)

@@ -186,6 +186,18 @@ class ContinuousBatcher:
         """Generate up to `max_new` tokens for one prompt; returns the
         emitted ids (eos excluded). Concurrency-safe: callers share the
         batch."""
+        out: List[int] = []
+        async for t in self.submit_stream(prompt_ids, max_new=max_new,
+                                          eos_id=eos_id):
+            out.append(t)
+        return out
+
+    async def submit_stream(self, prompt_ids: Sequence[int], *,
+                            max_new: int = 128, eos_id: int = -1):
+        """Like `submit` but yields each token id as soon as its decode
+        chunk lands — N concurrent streams share one decode batch
+        (time-to-next-token is bounded by chunk size, not by the other
+        streams' completions)."""
         ids = list(prompt_ids)[-self.T:]
         if not ids:
             raise ValueError("empty prompt")
@@ -194,14 +206,13 @@ class ContinuousBatcher:
         self._next_id += 1
         await self._pending.put((rid, ids, int(max_new), int(eos_id), q))
         self._ensure_loop()
-        out: List[int] = []
         while True:
             t = await q.get()
             if t is None:
-                return out
+                return
             if isinstance(t, BaseException):
                 raise t
-            out.append(t)
+            yield t
 
     # ---------------------------------------------------------- internals
 

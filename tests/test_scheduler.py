@@ -188,6 +188,40 @@ def test_local_llm_batched_chat_matches_solo_chat():
     assert got == want
 
 
+def test_local_llm_batched_stream_matches_solo_stream():
+    """Concurrent LocalLLM.stream calls through the batcher yield the
+    same concatenated text as the solo per-token path."""
+    from rag_application_tpu.llm.local import LocalLLM
+    from rag_application_tpu.llm.router import ChatMessage
+    from rag_application_tpu.models.wordpiece import WordPieceTokenizer
+
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "user", "assistant",
+             ":", "hello", "world", "sunny", "fine", "a", "the"]
+    tok = WordPieceTokenizer.from_vocab_list(words, native=False)
+    cfg = DecoderConfig(vocab_size=len(words), hidden=32, num_layers=2,
+                        heads=4, kv_heads=2, mlp_dim=64, max_len=64,
+                        dtype="float32")
+    params = init_decoder_params(jax.random.PRNGKey(9), cfg)
+    convs = [[ChatMessage("user", "hello world")],
+             [ChatMessage("user", "the sunny a fine")]]
+
+    async def collect(llm, msgs):
+        return "".join([d async for d in llm.stream(msgs, max_tokens=6)])
+
+    async def main():
+        solo = LocalLLM(params, cfg, tok)
+        want = [await collect(solo, m) for m in convs]
+        batched = LocalLLM(params, cfg, tok)
+        batched.enable_batching(slots=2, prompt_pad=16, horizon=16,
+                                chunk=2)
+        got = await asyncio.gather(*[collect(batched, m) for m in convs])
+        assert batched._batcher.steps > 0
+        return want, got
+
+    want, got = asyncio.run(main())
+    assert got == want
+
+
 def test_sampled_mode_runs():
     """temperature > 0 exercises the sampling path end-to-end (no
     equality claim — randomness differs from solo by design)."""
