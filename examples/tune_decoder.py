@@ -14,7 +14,8 @@ Run on the TPU:  timeout 3000 python examples/tune_decoder.py
 Env: TUNE_HIDDEN (512), TUNE_LAYERS (8), TUNE_HEADS (8), TUNE_KV (4),
      TUNE_MLP (1536), TUNE_VOCAB (32000), TUNE_MAXLEN (1024),
      TUNE_BATCH (8), TUNE_PROMPT (128), TUNE_NEW (128), TUNE_DTYPE
-     (bfloat16), TUNE_QUANT (0; 1 = weight-only int8).
+     (bfloat16), TUNE_QUANT (0; 1 = weight-only int8), TUNE_KV_QUANT
+     (0; 1 = int8 KV cache — halves the per-step cache traffic term).
 """
 
 from __future__ import annotations
@@ -57,6 +58,7 @@ def main() -> None:
         mlp_dim=int(os.environ.get("TUNE_MLP", 1536)),
         max_len=int(os.environ.get("TUNE_MAXLEN", 1024)),
         dtype=os.environ.get("TUNE_DTYPE", "bfloat16"),
+        kv_quant=os.environ.get("TUNE_KV_QUANT", "0") == "1",
     )
     B = int(os.environ.get("TUNE_BATCH", 8))
     T = int(os.environ.get("TUNE_PROMPT", 128))
@@ -113,7 +115,7 @@ def main() -> None:
     decode_s = max(gen_s - prefill_s, 1e-9)
     print(json.dumps({
         "params_m": round(n_params / 1e6, 1),
-        "quant": quant,
+        "quant": quant, "kv_quant": cfg.kv_quant,
         "batch": B, "prompt": T, "new": NEW,
         "prefill_ms": round(prefill_s * 1e3, 2),
         "prefill_tok_s": round(prefill_tps),

@@ -73,8 +73,11 @@ def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
     T = ids.shape[1]
     rck, rcv = init_kv_cache(cfg, 1, T)
     logits, rck, rcv = prefill(params, cfg, ids, plen, rck, rcv)
-    ck = jax.lax.dynamic_update_slice(ck, rck, (0, row, 0, 0, 0))
-    cv = jax.lax.dynamic_update_slice(cv, rcv, (0, row, 0, 0, 0))
+    # tree-mapped so int8 caches ({"q","s"}, per-leaf ndim differs) work
+    write = lambda c, n: jax.tree.map(
+        lambda d, s: jax.lax.dynamic_update_slice(
+            d, s, (0, row, 0) + (0,) * (d.ndim - 3)), c, n)
+    ck, cv = write(ck, rck), write(cv, rcv)
     S = slot_pos.shape[1]
     s_idx = jnp.arange(S, dtype=jnp.int32)
     new_row = jnp.where(s_idx < plen[0], s_idx,
@@ -137,9 +140,11 @@ def _compact(ck, cv, slot_pos):
     DEAD gap, which the mask ignores)."""
     order = jnp.argsort(slot_pos, axis=1, stable=True)  # (B, S)
     slot_pos = jnp.take_along_axis(slot_pos, order, axis=1)
-    g = order[None, :, :, None, None]
-    ck = jnp.take_along_axis(ck, g, axis=2)
-    cv = jnp.take_along_axis(cv, g, axis=2)
+    gather = lambda c: jax.tree.map(
+        lambda d: jnp.take_along_axis(
+            d, order.reshape((1,) + order.shape + (1,) * (d.ndim - 3)),
+            axis=2), c)
+    ck, cv = gather(ck), gather(cv)
     head = jnp.max(jnp.sum(slot_pos < DEAD, axis=1)).astype(jnp.int32)
     return ck, cv, slot_pos, head
 
@@ -165,12 +170,7 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.rng = jax.random.PRNGKey(seed)
-        self.ck, self.cv = init_kv_cache(cfg, slots, self.S)
-        self.slot_pos = jnp.full((slots, self.S), DEAD, jnp.int32)
-        self.pos = jnp.zeros((slots,), jnp.int32)
-        self.tok = jnp.zeros((slots,), jnp.int32)
-        self.active = jnp.zeros((slots,), bool)
-        self.head = self.T  # next physical write slot (shared)
+        self._reset_device_state()
         self._slots = [_Slot() for _ in range(slots)]
         self._pending: "asyncio.Queue[Tuple[int, List[int], int, int, asyncio.Queue]]" = (
             asyncio.Queue())
@@ -215,6 +215,17 @@ class ContinuousBatcher:
             yield t
 
     # ---------------------------------------------------------- internals
+
+    def _reset_device_state(self) -> None:
+        """Fresh cache + row state. Also the failure-recovery path: a
+        loop that died mid-chunk may have invalidated the donated cache
+        buffers, so recovery re-initializes rather than reuses them."""
+        self.ck, self.cv = init_kv_cache(self.cfg, self.B, self.S)
+        self.slot_pos = jnp.full((self.B, self.S), DEAD, jnp.int32)
+        self.pos = jnp.zeros((self.B,), jnp.int32)
+        self.tok = jnp.zeros((self.B,), jnp.int32)
+        self.active = jnp.zeros((self.B,), bool)
+        self.head = self.T  # next physical write slot (shared)
 
     def _ensure_loop(self) -> None:
         if self._task is None or self._task.done():
@@ -264,7 +275,15 @@ class ContinuousBatcher:
                 except asyncio.QueueEmpty:
                     break
                 q.put_nowait(exc)
-            raise
+            # the exception now lives with every submitter; re-raising
+            # would only leave an unretrieved task exception (asyncio
+            # dumps those at shutdown). Log, restore a clean device
+            # state (donated buffers may be invalid mid-chunk), and let
+            # the loop die; the next submit restarts it.
+            import logging
+
+            logging.getLogger(__name__).exception("batcher loop failed")
+            self._reset_device_state()
 
     async def _serve(self) -> None:
         loop = asyncio.get_running_loop()

@@ -62,6 +62,12 @@ class DecoderConfig:
     rope_theta: float = 10000.0
     eps: float = 1e-6
     dtype: str = "bfloat16"
+    # int8 KV cache (inference only — the round() has no gradient):
+    # K/V rows store int8 with one f32 scale per (slot, kv-head), read
+    # back as (int8 @ .) * scale inside attention. Halves the cache's
+    # HBM traffic — the term decode time grows with — and doubles the
+    # concurrent-token capacity of a serving cache (llm/scheduler.py).
+    kv_quant: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -182,16 +188,38 @@ def _take_emb(emb: Any, ids: jax.Array, dt: jnp.dtype) -> jax.Array:
 
 
 def init_kv_cache(cfg: DecoderConfig, batch: int,
-                  length: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
+                  length: Optional[int] = None) -> Tuple[Any, Any]:
     """`length` sizes the slot axis (default cfg.max_len). `generate`
     right-sizes it to prompt_T + max_new — attention reads scale with
-    the request, not the model's maximum context."""
+    the request, not the model's maximum context.
+
+    With cfg.kv_quant each cache is ``{"q": int8, "s": f32 per
+    (slot, kv-head)}`` instead of one cfg.dtype array."""
     shape = (cfg.num_layers, batch, length or cfg.max_len,
              cfg.kv_heads, cfg.head_dim)
-    # two distinct buffers: callers that donate the caches into a jitted
-    # step (llm/scheduler.py) must not hand the same buffer in twice
-    return (jnp.zeros(shape, jnp.dtype(cfg.dtype)),
-            jnp.zeros(shape, jnp.dtype(cfg.dtype)))
+
+    # distinct buffers per plane: callers that donate the caches into a
+    # jitted step (llm/scheduler.py) must not hand one buffer in twice
+    def one():
+        if cfg.kv_quant:
+            return {"q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.zeros(shape[:-1], jnp.float32)}
+        return jnp.zeros(shape, jnp.dtype(cfg.dtype))
+
+    return one(), one()
+
+
+def _kv_quantize(x: jax.Array) -> Dict[str, jax.Array]:
+    """(..., hd) -> int8 rows + one f32 scale per row (max-abs / 127)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def cache_len(cache: Any) -> int:
+    """Slot-axis length of a cache in either representation."""
+    return (cache["q"] if isinstance(cache, dict) else cache).shape[2]
 
 
 # ----------------------------------------------------------------- forward
@@ -239,9 +267,12 @@ def forward(
 
     Prefill (write_slot=None): T tokens are written at cache slots
     [0, T) — positions must be arange(T).
-    Decode (write_slot given): T must be 1; every row's token lands at
-    the same scalar slot (one dynamic_update_slice — the only cache
-    write pattern that doesn't rewrite the whole cache per step).
+    Decode (write_slot given): every row's T tokens land at slots
+    [write_slot, write_slot+T) (one dynamic_update_slice — the only
+    cache write pattern that doesn't rewrite the whole cache per step).
+    T=1 is the plain decode step; T=K+1 is a speculative verify block
+    (models/speculative.py) — within-block causality comes from the
+    slot_positions mask, so no extra plumbing is needed.
 
     Visibility: query at absolute position p sees slot s iff
     slot_positions[b, s] <= p. The default (slot_positions=None) is
@@ -250,7 +281,7 @@ def forward(
 
     Returns (hidden (B,T,H), cache_k', cache_v')."""
     B, T = ids.shape
-    S = cache_k.shape[2]
+    S = cache_len(cache_k)
     cfg_dt = jnp.dtype(cfg.dtype)
     x = _take_emb(params["tok_emb"], ids, cfg_dt)
     cos, sin = _rope(positions, cfg)
@@ -262,18 +293,29 @@ def forward(
     neg = jnp.asarray(-1e30, jnp.float32)
 
     def attend(x, lp, ck, cv):
-        """attention out + FFN for one layer given its (updated) cache."""
+        """attention out + FFN for one layer given its (updated) cache.
+
+        int8 caches: the per-slot scale commutes past both contractions
+        — K scales multiply the scores, V scales pre-multiply the probs
+        — so the dequantized K/V matrices are never materialized and the
+        MXU reads int8-sized operands."""
         q = _mm(_rmsnorm(x, lp["attn_norm"], cfg.eps), lp["wq"]).reshape(
             B, T, cfg.heads, cfg.head_dim)
         q = _apply_rope(q, cos, sin)
         # grouped-query attention without materializing repeated K/V
         qg = q.reshape(B, T, cfg.kv_heads, cfg.q_groups, cfg.head_dim)
-        scores = jnp.einsum("btkgh,bskh->bkgts", qg, ck,
+        kv = (lambda c: c["q"].astype(cfg_dt)) if cfg.kv_quant else (
+            lambda c: c)
+        scores = jnp.einsum("btkgh,bskh->bkgts", qg, kv(ck),
                             preferred_element_type=jnp.float32)
+        if cfg.kv_quant:
+            scores = scores * ck["s"].transpose(0, 2, 1)[:, :, None, None, :]
         scores = scores / np.sqrt(cfg.head_dim)
         scores = jnp.where(mask[:, None, None, :, :], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1).astype(cfg_dt)
-        out = jnp.einsum("bkgts,bskh->btkgh", probs, cv)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if cfg.kv_quant:
+            probs = probs * cv["s"].transpose(0, 2, 1)[:, :, None, None, :]
+        out = jnp.einsum("bkgts,bskh->btkgh", probs.astype(cfg_dt), kv(cv))
         x = x + _mm(out.reshape(B, T, cfg.heads * cfg.head_dim), lp["wo"])
         h = _rmsnorm(x, lp["ffn_norm"], cfg.eps)
         x = x + _mm(jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
@@ -284,7 +326,10 @@ def forward(
         h = _rmsnorm(x, lp["attn_norm"], cfg.eps)
         k = _mm(h, lp["wk"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
         v = _mm(h, lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
-        return _apply_rope(k, cos, sin), v
+        k, v = _apply_rope(k, cos, sin), v
+        if cfg.kv_quant:
+            return _kv_quantize(k), _kv_quantize(v)
+        return k, v
 
     layer_params = {k: params[k] for k in
                     ("attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
@@ -296,8 +341,10 @@ def forward(
         def layer_step(x, scanned):
             lp, ck, cv = scanned
             k, v = new_kv(x, lp)
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, 0, 0))
+            write = lambda c, n: jax.tree.map(
+                lambda d, s: jax.lax.dynamic_update_slice(
+                    d, s, (0,) * d.ndim), c, n)
+            ck, cv = write(ck, k), write(cv, v)
             return attend(x, lp, ck, cv), (ck, cv)
 
         step = jax.checkpoint(layer_step) if remat else layer_step
@@ -313,15 +360,16 @@ def forward(
         x, full_k, full_v = carry
         lp, i = scanned
         k, v = new_kv(x, lp)
-        full_k = jax.lax.dynamic_update_slice(
-            full_k, k[None], (i, 0, write_slot, 0, 0))
-        full_v = jax.lax.dynamic_update_slice(
-            full_v, v[None], (i, 0, write_slot, 0, 0))
-        ck = jax.lax.dynamic_slice(
-            full_k, (i, 0, 0, 0, 0), (1,) + full_k.shape[1:])[0]
-        cv = jax.lax.dynamic_slice(
-            full_v, (i, 0, 0, 0, 0), (1,) + full_v.shape[1:])[0]
-        return (attend(x, lp, ck, cv), full_k, full_v), None
+        write = lambda c, n: jax.tree.map(
+            lambda d, s: jax.lax.dynamic_update_slice(
+                d, s[None], (i, 0, write_slot) + (0,) * (d.ndim - 3)),
+            c, n)
+        layer = lambda c: jax.tree.map(
+            lambda d: jax.lax.dynamic_slice(
+                d, (i,) + (0,) * (d.ndim - 1), (1,) + d.shape[1:])[0], c)
+        full_k, full_v = write(full_k, k), write(full_v, v)
+        return (attend(x, lp, layer(full_k), layer(full_v)),
+                full_k, full_v), None
 
     (x, cache_k, cache_v), _ = jax.lax.scan(
         dec_step, (x, cache_k, cache_v),

@@ -217,6 +217,62 @@ def test_quantized_grid_weights_are_exact():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_kv_quant_cache_logits_close(hf_pair):
+    """int8 KV cache: prefill + incremental decode logits stay within
+    quantization noise of the f32-cache run (the per-slot scales commute
+    past both attention contractions, so dequantized K/V never exist)."""
+    from dataclasses import replace
+
+    _, params = hf_pair
+    qcfg = replace(CFG, kv_quant=True)
+    rng = np.random.default_rng(7)
+    B, T = 2, 10
+    ids = _prompt(rng, B, T)
+    plen = jnp.asarray([T, T])
+
+    ck, cv = init_kv_cache(CFG, B)
+    ref, ck, cv = prefill(params, CFG, jnp.asarray(ids), plen, ck, cv)
+    qck, qcv = init_kv_cache(qcfg, B)
+    assert qck["q"].dtype == jnp.int8 and qck["s"].dtype == jnp.float32
+    got, qck, qcv = prefill(params, qcfg, jnp.asarray(ids), plen, qck, qcv)
+    tol = 0.03 * float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=tol)
+
+    extra = _prompt(rng, B, 3)
+    pos = jnp.asarray([T, T])
+    for j in range(extra.shape[1]):
+        step = jnp.asarray(extra[:, j])
+        ref, ck, cv = decode_step(params, CFG, step, pos, pos[0], ck, cv)
+        got, qck, qcv = decode_step(params, qcfg, step, pos, pos[0],
+                                    qck, qcv)
+        tol = 0.05 * float(np.max(np.abs(np.asarray(ref))))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=tol)
+        pos = pos + 1
+
+
+def test_kv_quant_generate_deterministic_and_valid(hf_pair):
+    """Fused generate with the int8 cache: greedy decode is seeded-
+    deterministic, emits in-vocab ids, and ragged-batch isolation holds
+    (a padded short row equals its solo run under the SAME cache repr)."""
+    from dataclasses import replace
+
+    _, params = hf_pair
+    qcfg = replace(CFG, kv_quant=True)
+    ids = _prompt(np.random.default_rng(9), 2, 10)
+    plen = jnp.asarray(np.asarray([10, 6], np.int32))
+    out1, n1 = generate(params, qcfg, jnp.asarray(ids), plen, 5, 255, 0,
+                        jax.random.PRNGKey(0), 0.0)
+    out2, _ = generate(params, qcfg, jnp.asarray(ids), plen, 5, 255, 0,
+                       jax.random.PRNGKey(0), 0.0)
+    assert (np.asarray(out1) == np.asarray(out2)).all()
+    assert ((np.asarray(out1) >= 0) & (np.asarray(out1) < CFG.vocab_size)).all()
+    solo, _ = generate(params, qcfg, jnp.asarray(ids[1:2, :6]),
+                       jnp.asarray([6]), 5, 255, 0, jax.random.PRNGKey(0),
+                       0.0)
+    assert (np.asarray(out1)[1] == np.asarray(solo)[0]).all()
+
+
 def test_tensor_parallel_prefill_equality(hf_pair):
     """Decoder params shard with the generic megatron-style rule
     (parallel/mesh.py param_shardings) over the model axis; sharded

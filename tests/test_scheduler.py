@@ -12,6 +12,7 @@ greedy decode through the batcher is token-identical to a solo fused
 import asyncio
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -151,6 +152,40 @@ def test_retire_clears_slot_map():
 
     slot_pos = asyncio.run(run())
     assert (slot_pos == DEAD).all()
+
+
+def test_kv_quant_batcher_matches_solo_across_compaction():
+    """int8 KV cache through the batcher: token-identical to a solo
+    fused `generate` under the same cache representation, including
+    across a forced compaction (the re-pack gathers quantized rows and
+    their scales together, so values are preserved exactly)."""
+    from dataclasses import replace
+
+    qcfg = replace(CFG, kv_quant=True)
+
+    def solo_q(prompt, max_new, prompt_pad):
+        ids = np.zeros((1, prompt_pad), np.int32)
+        ids[0, :len(prompt)] = prompt
+        out, _ = generate(PARAMS, qcfg, ids,
+                          np.asarray([len(prompt)], np.int32),
+                          max_new, -1, -7, jax.random.PRNGKey(0), 0.0)
+        return [int(t) for t in np.asarray(out)[0] if int(t) != -7]
+
+    rng = np.random.default_rng(11)
+    prompts = _prompts(3, rng)
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, qcfg, slots=2, prompt_pad=8,
+                              horizon=16, chunk=4)
+        assert b.ck["q"].dtype == jnp.int8
+        outs = await asyncio.gather(*[
+            b.submit(p[:6], max_new=14) for p in prompts])
+        return outs, b.compactions
+
+    got, compactions = asyncio.run(run())
+    assert compactions > 0
+    for p, toks in zip(prompts, got):
+        assert toks == solo_q(p[:6], 14, 8), p
 
 
 def test_local_llm_batched_chat_matches_solo_chat():
