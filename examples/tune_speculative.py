@@ -1,0 +1,105 @@
+"""On-chip prompt-lookup speculative decoding measurement
+(models/speculative.py vs the plain fused loop in models/decoder.py).
+
+Two numbers matter:
+  * block overhead — a (1, K+1) verify step vs a (1, 1) decode step:
+    both are weight/cache-bandwidth bound at B=1, so the block should
+    cost ~the same and the speedup is ~tokens-accepted-per-block;
+  * realized tokens/step on a copy-heavy sequence. Untrained random
+    models fall into greedy cycles from a repetitive prompt, which the
+    lookup exploits exactly like a trained model quoting context, so
+    a random checkpoint still measures the mechanism honestly.
+
+Run on the TPU:  timeout 3000 python examples/tune_speculative.py
+Env: TUNE_* model knobs as tune_decoder.py, plus TUNE_SPEC_K (4),
+     TUNE_NEW (256), TUNE_PROMPT (64).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(f"[{time.strftime('%X')}]", *a, file=sys.stderr)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rag_application_tpu.models.decoder import (
+        DecoderConfig,
+        generate,
+        init_decoder_params,
+    )
+    from rag_application_tpu.models.speculative import generate_lookup_stats
+
+    cfg = DecoderConfig(
+        vocab_size=int(os.environ.get("TUNE_VOCAB", 32000)),
+        hidden=int(os.environ.get("TUNE_HIDDEN", 512)),
+        num_layers=int(os.environ.get("TUNE_LAYERS", 8)),
+        heads=int(os.environ.get("TUNE_HEADS", 8)),
+        kv_heads=int(os.environ.get("TUNE_KV", 4)),
+        mlp_dim=int(os.environ.get("TUNE_MLP", 1536)),
+        max_len=int(os.environ.get("TUNE_MAXLEN", 1024)),
+        dtype=os.environ.get("TUNE_DTYPE", "bfloat16"),
+    )
+    T = int(os.environ.get("TUNE_PROMPT", 64))
+    NEW = int(os.environ.get("TUNE_NEW", 256))
+    K = int(os.environ.get("TUNE_SPEC_K", 4))
+    log(f"cfg={cfg} prompt={T} new={NEW} k={K}")
+
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    # repetitive prompt: the honest stand-in for a copy-heavy RAG answer
+    phrase = rng.integers(1, cfg.vocab_size, 8)
+    ids = jnp.asarray(np.tile(phrase, T // 8)[None, :T].astype(np.int32))
+    plen = jnp.asarray([T], jnp.int32)
+    key = jax.random.PRNGKey(1)
+    eos = cfg.vocab_size  # unreachable
+
+    def timed(fn, label):
+        t0 = time.time()
+        r = fn(0)
+        jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), r[0])
+        log(f"{label} compile+run {time.time()-t0:.1f}s")
+        ts = []
+        for i in range(3):
+            t0 = time.time()
+            r = fn(i)
+            float(jnp.sum(r[0]))
+            ts.append(time.time() - t0)
+        return min(ts), r
+
+    plain_s, (out_p, n_p) = timed(
+        lambda i: generate(params, cfg, ids, plen, NEW, eos, 0,
+                           jax.random.fold_in(key, 0), 0.0), "plain")
+    spec_s, (out_s, n_s, steps) = timed(
+        lambda i: generate_lookup_stats(params, cfg, ids, plen, NEW, eos,
+                                        0, jax.random.fold_in(key, 0), K),
+        "spec")
+    identical = bool((np.asarray(out_p) == np.asarray(out_s)).all())
+    st = int(np.asarray(steps))
+    log(f"plain {plain_s*1e3:.0f} ms, spec {spec_s*1e3:.0f} ms, "
+        f"steps {st} (tokens/step {NEW/st:.2f}), identical={identical}")
+    print(json.dumps({
+        "prompt": T, "new": NEW, "k_spec": K,
+        "plain_ms": round(plain_s * 1e3, 1),
+        "spec_ms": round(spec_s * 1e3, 1),
+        "speedup": round(plain_s / spec_s, 3),
+        "steps": st,
+        "tokens_per_step": round(NEW / st, 3),
+        "identical": identical,
+    }))
+
+
+if __name__ == "__main__":
+    main()

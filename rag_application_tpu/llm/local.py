@@ -48,10 +48,14 @@ class LocalLLM:
 
     def __init__(self, params: Dict[str, Any], cfg: DecoderConfig,
                  tokenizer, *, eos_id: Optional[int] = None,
-                 model_name: str = "local-decoder"):
+                 model_name: str = "local-decoder",
+                 speculative: bool = False):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # greedy solo requests use prompt-lookup block verification
+        # (models/speculative.py) when enabled — token-identical output
+        self.speculative = bool(speculative)
         # WordPiece ends every encoded turn with [SEP]; that IS the
         # natural end-of-turn marker, so it doubles as eos
         if eos_id is None:
@@ -67,11 +71,13 @@ class LocalLLM:
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
                     dtype: str = "bfloat16", quantize: bool = False,
-                    **kw) -> "LocalLLM":
+                    kv_quant: bool = False, **kw) -> "LocalLLM":
         """Load a local LLaMA-family HF checkpoint directory (never
         downloads — parity with the bert.py loader convention).
         `quantize=True` serves weight-only int8 (half the HBM, faster
-        small-batch decode; see models/decoder.py)."""
+        small-batch decode); `kv_quant=True` stores the KV cache as int8
+        rows + per-row scales (half the cache traffic/capacity; see
+        models/decoder.py)."""
         from transformers import AutoConfig, AutoTokenizer, LlamaForCausalLM
 
         hf_cfg = AutoConfig.from_pretrained(model_dir, local_files_only=True)
@@ -84,7 +90,8 @@ class LocalLLM:
             mlp_dim=hf_cfg.intermediate_size,
             max_len=min(max_len, hf_cfg.max_position_embeddings),
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
-            eps=getattr(hf_cfg, "rms_norm_eps", 1e-6), dtype=dtype)
+            eps=getattr(hf_cfg, "rms_norm_eps", 1e-6), dtype=dtype,
+            kv_quant=kv_quant)
         model = LlamaForCausalLM.from_pretrained(
             model_dir, local_files_only=True)
         params = convert_hf_llama_state_dict(model.state_dict(), cfg)
@@ -152,10 +159,15 @@ class LocalLLM:
     def generate_ids(self, prompt_ids: Sequence[int], *,
                      max_new: int = 128, temperature: float = 0.0,
                      top_k: int = 64, top_p: float = 1.0,
-                     seed: int = 0) -> List[int]:
+                     seed: int = 0, speculative: bool = False) -> List[int]:
         """Blocking fused generation for one prompt. Pads the prompt to
         a power-of-two bucket so repeated lengths reuse the compiled
-        while_loop (search/params.py convention)."""
+        while_loop (search/params.py convention).
+
+        `speculative=True` routes greedy requests through prompt-lookup
+        block verification (models/speculative.py) — token-identical,
+        fewer decoder steps on copy-heavy RAG completions. Sampled
+        requests (temperature>0) always use the plain loop."""
         n = len(prompt_ids)
         max_new = max(1, min(max_new, self.cfg.max_len - n))
         bucket = 1
@@ -164,10 +176,18 @@ class LocalLLM:
         bucket = min(bucket, self.cfg.max_len - 1)
         ids = np.full((1, bucket), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids
-        out, count = generate(
-            self.params, self.cfg, ids, np.asarray([n], np.int32),
-            max_new, self.eos_id, self.pad_id, jax.random.PRNGKey(seed),
-            float(temperature), int(top_k), float(top_p))
+        if speculative and temperature == 0.0:
+            from ..models.speculative import generate_lookup
+
+            out, count = generate_lookup(
+                self.params, self.cfg, ids, np.asarray([n], np.int32),
+                max_new, self.eos_id, self.pad_id,
+                jax.random.PRNGKey(seed))
+        else:
+            out, count = generate(
+                self.params, self.cfg, ids, np.asarray([n], np.int32),
+                max_new, self.eos_id, self.pad_id, jax.random.PRNGKey(seed),
+                float(temperature), int(top_k), float(top_p))
         out = np.asarray(out)[0]
         return [int(t) for t in out if int(t) != self.pad_id
                 and int(t) != self.eos_id]
@@ -200,7 +220,8 @@ class LocalLLM:
             out_ids = await loop.run_in_executor(
                 None, lambda: self.generate_ids(
                     prompt, max_new=max_new, temperature=temperature,
-                    top_p=top_p, seed=int(params.get("seed") or 0)))
+                    top_p=top_p, seed=int(params.get("seed") or 0),
+                    speculative=self.speculative))
         text = self._apply_stop(self._decode(out_ids), params.get("stop"))
         return LLMResponse(content=text,
                            usage={"prompt_tokens": len(prompt),

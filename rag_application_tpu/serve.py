@@ -123,7 +123,10 @@ def main() -> None:
                 "(a local LLaMA-family HF checkpoint directory)")
         local = LocalLLM.from_hf_dir(
             model_dir,
-            quantize=os.environ.get("RAGTPU_LOCAL_QUANT", "0") == "1")
+            quantize=os.environ.get("RAGTPU_LOCAL_QUANT", "0") == "1",
+            kv_quant=os.environ.get("RAGTPU_LOCAL_KV_QUANT", "0") == "1",
+            speculative=os.environ.get(
+                "RAGTPU_LOCAL_SPECULATIVE", "0") == "1")
         # RAGTPU_LOCAL_BATCH_SLOTS>0 serves concurrent chats from ONE
         # continuous decode batch (llm/scheduler.py) instead of
         # serializing fused generate calls on the chip
