@@ -16,7 +16,8 @@ Run on the TPU:  timeout 3000 python examples/tune_batcher.py
 Env: TUNE_HIDDEN (512), TUNE_LAYERS (8), TUNE_HEADS (8), TUNE_KV (4),
      TUNE_MLP (1536), TUNE_VOCAB (32000), TUNE_REQS (32), TUNE_SLOTS
      (8), TUNE_PROMPT (64), TUNE_NEW (128), TUNE_CHUNK (16),
-     TUNE_HORIZON (256), TUNE_QUANT (0), TUNE_SERIAL (1; 0 skips the
+     TUNE_HORIZON (256), TUNE_QUANT (0), TUNE_SPEC_K (0),
+     TUNE_KV_QUANT (0), TUNE_SERIAL (1; 0 skips the
      serialized baseline).
 """
 
@@ -63,6 +64,7 @@ def main() -> None:
         mlp_dim=int(os.environ.get("TUNE_MLP", 1536)),
         max_len=int(os.environ.get("TUNE_MAXLEN", 1024)),
         dtype=os.environ.get("TUNE_DTYPE", "bfloat16"),
+        kv_quant=os.environ.get("TUNE_KV_QUANT", "0") == "1",
     )
     R = int(os.environ.get("TUNE_REQS", 32))
     SLOTS = int(os.environ.get("TUNE_SLOTS", 8))
@@ -70,6 +72,8 @@ def main() -> None:
     NEW = int(os.environ.get("TUNE_NEW", 128))
     CHUNK = int(os.environ.get("TUNE_CHUNK", 16))
     HORIZON = int(os.environ.get("TUNE_HORIZON", 256))
+    SPEC_K = int(os.environ.get("TUNE_SPEC_K", 0))
+    KVQ = os.environ.get("TUNE_KV_QUANT", "0") == "1"
     log(f"cfg={cfg}")
     log(f"R={R} slots={SLOTS} prompt={T} new={NEW} chunk={CHUNK} "
         f"horizon={HORIZON}")
@@ -107,7 +111,8 @@ def main() -> None:
     # ---- continuous batching: R requests share SLOTS rows
     async def run_batched():
         b = ContinuousBatcher(params, cfg, slots=SLOTS, prompt_pad=T,
-                              horizon=HORIZON, chunk=CHUNK)
+                              horizon=HORIZON, chunk=CHUNK,
+                              spec_k=SPEC_K)
         # compile pass: one request end-to-end (prefill_row+chunk+compact
         # all get compiled here so the timed run is compile-free)
         await b.submit(prompts[0], max_new=NEW)
@@ -127,7 +132,8 @@ def main() -> None:
     rec = {
         "params_m": round(n_params / 1e6, 1), "quant": quant,
         "reqs": R, "slots": SLOTS, "prompt": T, "new": NEW,
-        "chunk": CHUNK, "horizon": HORIZON,
+        "chunk": CHUNK, "horizon": HORIZON, "spec_k": SPEC_K,
+        "kv_quant": KVQ,
         "batched_s": round(batch_s, 2),
         "batched_tok_s": round(n_tok / batch_s),
         "compactions": compactions,

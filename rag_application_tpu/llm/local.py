@@ -104,18 +104,21 @@ class LocalLLM:
     def enable_batching(self, *, slots: int = 8, prompt_pad: int = 256,
                         horizon: int = 512, chunk: int = 8,
                         temperature: float = 0.0, top_k: int = 64,
-                        top_p: float = 1.0, seed: int = 0):
+                        top_p: float = 1.0, seed: int = 0,
+                        spec_k: int = 0):
         """Route `chat` through a continuous batcher: N concurrent
         requests share ONE decode batch on the chip (llm/scheduler.py),
         matching the reference's Ollama serving behavior. Sampling knobs
         are fixed per batcher (one compiled program); a chat call whose
-        knobs differ falls back to the solo fused path."""
+        knobs differ falls back to the solo fused path. `spec_k`>0 adds
+        prompt-lookup speculative blocks to every batch step (greedy
+        batchers only — token-identical output, fewer steps)."""
         from .scheduler import ContinuousBatcher
 
         self._batcher = ContinuousBatcher(
             self.params, self.cfg, slots=slots, prompt_pad=prompt_pad,
             horizon=horizon, chunk=chunk, temperature=temperature,
-            top_k=top_k, top_p=top_p, seed=seed)
+            top_k=top_k, top_p=top_p, seed=seed, spec_k=spec_k)
         return self._batcher
 
     # ------------------------------------------------------------- prompt

@@ -44,7 +44,9 @@ import numpy as np
 
 from ..models.decoder import (
     DecoderConfig,
+    _project,
     decode_step,
+    forward,
     init_kv_cache,
     prefill,
     sample_logits,
@@ -90,6 +92,104 @@ def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
     tok = tok.at[row].set(first[0])
     active = active.at[row].set(True)
     return ck, cv, slot_pos, pos, tok, active
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _hist_admit(hist, ids, plen, row, tok):
+    """Write an admitted request's prompt + first sampled token into its
+    row of the position-indexed history buffer (speculative mode)."""
+    HB = hist.shape[1]
+    row_h = jnp.zeros((HB,), jnp.int32)
+    row_h = jax.lax.dynamic_update_slice(row_h, ids[0], (0,))
+    hist = jax.lax.dynamic_update_slice(hist, row_h[None], (row, 0))
+    return jax.lax.dynamic_update_slice(hist, tok[row][None, None],
+                                        (row, plen[0]))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3),
+         donate_argnums=(4, 5, 6, 7, 8, 11, 12))
+def _decode_chunk_spec(params, cfg: DecoderConfig, chunk: int, K: int,
+                       tok, pos, active, slot_pos, hist, base_slot,
+                       eos, ck, cv):
+    """`chunk` speculative block steps in ONE dispatch (greedy only).
+
+    Each step drafts K tokens per row from the row's own history
+    (prompt-lookup: continuation of the latest earlier occurrence of
+    the current bigram) and verifies them plus one correction token in
+    a single (B, K+1) forward through the shared-slot cache. Per-row
+    acceptance needs no rewind: every step burns K+1 physical slots
+    for every row and each row's REJECTED slots are stamped DEAD in its
+    slot_pos lane, so compaction reclaims them exactly like retired
+    requests' slots. Returns emitted ids (chunk, B, K+1) — per (step,
+    row) a contiguous prefix of real ids then -1 sentinels (eos is
+    consumed, never emitted, matching `_decode_chunk`)."""
+    B = tok.shape[0]
+    HB = hist.shape[1]
+    h_idx = jnp.arange(HB - 1, dtype=jnp.int32)
+    k_off = jnp.arange(K + 1, dtype=jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def body(carry, j):
+        tok, pos, active, slot_pos, hist, ck, cv = carry
+        head = base_slot + j * (K + 1)
+        # ---- per-row bigram lookup over the history buffer
+        prev = jnp.take_along_axis(
+            hist, jnp.clip(pos - 1, 0, HB - 1)[:, None], axis=1)[:, 0]
+        m = ((hist[:, :-1] == prev[:, None])
+             & (hist[:, 1:] == tok[:, None])
+             & (h_idx[None, :] + 1 < pos[:, None]))
+        mi = jnp.max(jnp.where(m, h_idx[None, :], -1), axis=1)
+        start = jnp.clip(jnp.where(mi >= 0, mi + 2, pos + 1), 0, HB - K)
+        draft = jnp.take_along_axis(
+            hist, start[:, None] + k_off[None, :K], axis=1)     # (B, K)
+
+        # ---- verify block: K+1 tokens per row, shared physical slots
+        x = jnp.concatenate([tok[:, None], draft], axis=1)       # (B, K+1)
+        positions = pos[:, None] + k_off[None, :]
+        col = jnp.where(active[:, None], positions,
+                        jnp.asarray(DEAD, jnp.int32))
+        slot_pos = jax.lax.dynamic_update_slice(slot_pos, col, (0, head))
+        hidden, ck, cv = forward(params, cfg, x, positions, ck, cv,
+                                 write_slot=head, slot_positions=slot_pos)
+        g = jnp.argmax(_project(params, cfg, hidden),
+                       axis=-1).astype(jnp.int32)                # (B, K+1)
+
+        # ---- per-row acceptance + emission (eos consumed, not emitted)
+        acc = jnp.cumprod((draft == g[:, :K]).astype(jnp.int32), axis=1)
+        a = jnp.sum(acc, axis=1)                                 # (B,) 0..K
+        in_run = k_off[None, :] <= a[:, None]
+        no_eos_before = jnp.cumprod(jnp.concatenate(
+            [jnp.ones((B, 1), jnp.int32),
+             (g[:, :-1] != eos[:, None]).astype(jnp.int32)], axis=1),
+            axis=1)
+        ok = in_run & (no_eos_before == 1) & active[:, None]
+        emit = ok & (g != eos[:, None])
+        emitted = jnp.where(emit, g, jnp.asarray(-1, jnp.int32))
+        eos_hit = jnp.any(ok & (g == eos[:, None]), axis=1)
+
+        # rejected (and inactive) slots go DEAD so compaction reclaims
+        # them; accepted slots keep their positions
+        col2 = jnp.where(in_run & active[:, None], positions,
+                         jnp.asarray(DEAD, jnp.int32))
+        slot_pos = jax.lax.dynamic_update_slice(slot_pos, col2, (0, head))
+
+        # append the block's tokens to each row's history (clamped once
+        # a request outgrows the buffer — drafts degrade, never results)
+        widx = jnp.clip(pos + 1, 0, HB - (K + 1))[:, None] + k_off[None, :]
+        hist = hist.at[rows, widx].set(
+            jnp.where(in_run & active[:, None], g,
+                      jnp.take_along_axis(hist, widx, axis=1)))
+
+        new_tok = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+        still = jnp.logical_and(active, ~eos_hit)
+        return (jnp.where(active, new_tok, tok),
+                jnp.where(active, pos + a + 1, pos),
+                still, slot_pos, hist, ck, cv), emitted
+
+    (tok, pos, active, slot_pos, hist, ck, cv), out = jax.lax.scan(
+        body, (tok, pos, active, slot_pos, hist, ck, cv),
+        jnp.arange(chunk, dtype=jnp.int32))
+    return tok, pos, active, slot_pos, hist, ck, cv, out
 
 
 @partial(jax.jit, static_argnums=(1, 2, 9, 10, 11),
@@ -161,13 +261,22 @@ class ContinuousBatcher:
                  slots: int = 8, prompt_pad: int = 128,
                  horizon: int = 512, chunk: int = 8,
                  temperature: float = 0.0, top_k: int = 64,
-                 top_p: float = 1.0, seed: int = 0):
+                 top_p: float = 1.0, seed: int = 0, spec_k: int = 0):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
+        if spec_k > 0 and temperature != 0.0:
+            raise ValueError("speculative batching is greedy-only "
+                             "(acceptance compares the model's argmax)")
         self.params, self.cfg = params, cfg
         self.B, self.T = slots, prompt_pad
         self.S = prompt_pad + horizon
         self.chunk = chunk
+        # spec_k>0: every chunk step verifies spec_k history-drafted
+        # tokens + 1 correction per row in ONE forward (_decode_chunk_spec)
+        self.spec_k = int(spec_k)
+        self.width = self.spec_k + 1  # physical slots burned per step
+        if horizon < chunk * self.width:
+            raise ValueError("need horizon >= chunk * (spec_k + 1)")
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.rng = jax.random.PRNGKey(seed)
         self._reset_device_state()
@@ -226,6 +335,11 @@ class ContinuousBatcher:
         self.tok = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), bool)
         self.head = self.T  # next physical write slot (shared)
+        # speculative mode: per-row position-indexed token history (the
+        # draft source). Requests outgrowing it keep decoding correctly
+        # — only their draft quality degrades (writes clamp).
+        self.hist = (jnp.zeros((self.B, self.S + self.width + 1),
+                               jnp.int32) if self.spec_k else None)
 
     def _ensure_loop(self) -> None:
         if self._task is None or self._task.done():
@@ -246,6 +360,22 @@ class ContinuousBatcher:
             self.active, self.temperature, self.top_k, self.top_p,
             jax.random.fold_in(self.rng, 2 ** 20 + rid))
         self._slots[row] = _Slot(rid, max_new, q, eos_id)
+        if self.spec_k:
+            self.hist = _hist_admit(
+                self.hist, jnp.asarray(padded),
+                jnp.asarray([len(ids)], np.int32), np.int32(row), self.tok)
+            # block steps emit their OUTPUTS (g); the prefill-sampled
+            # first token is nobody's output, so deliver it here (the
+            # plain path instead emits each consumed token one step
+            # late, which covers it)
+            first = int(np.asarray(self.tok)[row])
+            if first == eos_id or max_new <= 0:
+                self._retire(row)
+            else:
+                q.put_nowait(first)
+                self._slots[row].remaining -= 1
+                if self._slots[row].remaining == 0:
+                    self._retire(row)
         # the shared write head must never re-enter a live prompt range
         # (possible after compaction shrank it): decode writes hit EVERY
         # row at the shared slot and would clobber this prompt's K/V.
@@ -303,14 +433,15 @@ class ContinuousBatcher:
                 if admitted:
                     continue
                 return  # nothing in flight; next submit restarts the loop
-            if self.head + self.chunk > self.S:
+            burn = self.chunk * self.width  # physical slots per dispatch
+            if self.head + burn > self.S:
                 (self.ck, self.cv, self.slot_pos,
                  head) = await loop.run_in_executor(
                     None, lambda: _compact(self.ck, self.cv,
                                            self.slot_pos))
                 self.head = int(head)
                 self.compactions += 1
-                if self.head + self.chunk > self.S:
+                if self.head + burn > self.S:
                     raise RuntimeError(
                         "cache full after compaction: concurrent live "
                         "tokens exceed prompt_pad+horizon; raise horizon "
@@ -320,26 +451,40 @@ class ContinuousBatcher:
                 eos_vec[i] = self._slots[i].eos_id
 
             def _step():
-                return _decode_chunk(
+                if self.spec_k:
+                    (self.tok, self.pos, self.active, self.slot_pos,
+                     self.hist, self.ck, self.cv, out) = _decode_chunk_spec(
+                        self.params, self.cfg, self.chunk, self.spec_k,
+                        self.tok, self.pos, self.active, self.slot_pos,
+                        self.hist, np.int32(self.head),
+                        jnp.asarray(eos_vec), self.ck, self.cv)
+                    return out  # (chunk, B, K+1)
+                (self.tok, self.pos, self.active, self.slot_pos,
+                 self.ck, self.cv, out) = _decode_chunk(
                     self.params, self.cfg, self.chunk, self.tok, self.pos,
                     self.active, self.slot_pos, np.int32(self.head),
                     np.int32(self.steps),
                     self.temperature, self.top_k, self.top_p,
                     jnp.asarray(eos_vec), self.rng, self.ck, self.cv)
+                return out[:, :, None]  # (chunk, B, 1)
 
-            (self.tok, self.pos, self.active, self.slot_pos,
-             self.ck, self.cv, out) = await loop.run_in_executor(None, _step)
-            self.head += self.chunk
+            out = await loop.run_in_executor(None, _step)
+            self.head += burn
             self.steps += self.chunk
-            emitted = np.asarray(out)  # (chunk, B)
+            emitted = np.asarray(out)  # (chunk, B, width)
             alive = np.asarray(self.active)
             for i in busy:
                 s = self._slots[i]
                 for j in range(self.chunk):
-                    t = int(emitted[j, i])
-                    if t < 0 or s.remaining == 0:
+                    if s.remaining == 0:
                         break
-                    s.queue.put_nowait(t)
-                    s.remaining -= 1
+                    for w in range(emitted.shape[2]):
+                        t = int(emitted[j, i, w])
+                        if t < 0 or s.remaining == 0:
+                            # -1 ends this BLOCK's run, not the row:
+                            # later steps in the chunk may emit more
+                            break
+                        s.queue.put_nowait(t)
+                        s.remaining -= 1
                 if s.remaining == 0 or not alive[i]:
                     self._retire(i)

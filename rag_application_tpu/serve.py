@@ -138,7 +138,8 @@ def main() -> None:
                     "RAGTPU_LOCAL_BATCH_PROMPT", "256")),
                 horizon=int(os.environ.get(
                     "RAGTPU_LOCAL_BATCH_HORIZON", "512")),
-                chunk=int(os.environ.get("RAGTPU_LOCAL_BATCH_CHUNK", "8")))
+                chunk=int(os.environ.get("RAGTPU_LOCAL_BATCH_CHUNK", "8")),
+                spec_k=int(os.environ.get("RAGTPU_LOCAL_BATCH_SPEC_K", "0")))
     llm = LLMRouter(
         provider,
         model=os.environ.get("RAGTPU_LLM_MODEL", "stub-model"),

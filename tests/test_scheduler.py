@@ -188,6 +188,94 @@ def test_kv_quant_batcher_matches_solo_across_compaction():
         assert toks == solo_q(p[:6], 14, 8), p
 
 
+def test_speculative_batcher_matches_solo():
+    """spec_k>0: every batch step verifies K drafts + 1 correction per
+    row; per-row acceptance with the shared write head. Token-identical
+    to solo greedy generate for repetitive prompts (high acceptance),
+    random prompts (near-zero acceptance), and mixed batches."""
+    rng = np.random.default_rng(7)
+    phrase = list(rng.integers(1, CFG.vocab_size, 4))
+    prompts = [phrase * 3,                     # cyclic: drafts accept
+               list(rng.integers(1, CFG.vocab_size, 9)),   # random
+               phrase * 2 + [7]]               # near-cyclic
+    news = [12, 9, 11]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=4, prompt_pad=16,
+                              horizon=96, chunk=3, spec_k=3)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=n) for p, n in zip(prompts, news)])
+
+    got = asyncio.run(run())
+    for p, n, toks in zip(prompts, news, got):
+        assert toks == _solo(p, n, 16), (p, n, toks)
+
+
+def test_speculative_batcher_compaction_and_eos():
+    """Slot burn is chunk*(K+1) per dispatch, so a small horizon forces
+    compaction mid-request; eos is consumed (never emitted) exactly as
+    in the plain batcher."""
+    rng = np.random.default_rng(8)
+    prompts = _prompts(3, rng)
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=8,
+                              horizon=32, chunk=2, spec_k=3)
+        outs = await asyncio.gather(*[
+            b.submit(p[:6], max_new=14) for p in prompts])
+        return outs, b.compactions
+
+    got, compactions = asyncio.run(run())
+    assert compactions > 0
+    for p, toks in zip(prompts, got):
+        assert toks == _solo(p[:6], 14, 8), p
+
+    # eos: take a known continuation and re-run with eos = 3rd token
+    base = _solo(prompts[0][:6], 14, 8)
+    eos = base[2]
+
+    async def run_eos():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=8,
+                              horizon=32, chunk=2, spec_k=3)
+        return await b.submit(prompts[0][:6], max_new=14, eos_id=eos)
+
+    assert asyncio.run(run_eos()) == _solo(prompts[0][:6], 14, 8, eos_id=eos)
+
+
+def test_speculative_batcher_composes_with_kv_quant():
+    """spec_k and the int8 KV cache together: still token-identical to
+    a solo greedy run under the same cache representation."""
+    from dataclasses import replace
+
+    qcfg = replace(CFG, kv_quant=True)
+    rng = np.random.default_rng(9)
+    phrase = list(rng.integers(1, CFG.vocab_size, 4))
+    prompts = [phrase * 3, list(rng.integers(1, CFG.vocab_size, 7))]
+
+    def solo_q(prompt, max_new, prompt_pad):
+        ids = np.zeros((1, prompt_pad), np.int32)
+        ids[0, :len(prompt)] = prompt
+        out, _ = generate(PARAMS, qcfg, ids,
+                          np.asarray([len(prompt)], np.int32),
+                          max_new, -1, -7, jax.random.PRNGKey(0), 0.0)
+        return [int(t) for t in np.asarray(out)[0] if int(t) != -7]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, qcfg, slots=2, prompt_pad=16,
+                              horizon=64, chunk=2, spec_k=3)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=10) for p in prompts])
+
+    got = asyncio.run(run())
+    for p, toks in zip(prompts, got):
+        assert toks == solo_q(p, 10, 16), p
+
+
+def test_speculative_batcher_rejects_sampling():
+    with pytest.raises(ValueError, match="greedy-only"):
+        ContinuousBatcher(PARAMS, CFG, slots=2, spec_k=2, temperature=0.7)
+
+
 def test_local_llm_batched_chat_matches_solo_chat():
     """LocalLLM.chat through enable_batching returns the same text as
     the solo fused path for greedy requests, and concurrent chats
