@@ -287,6 +287,16 @@ class ContinuousBatcher:
         self._task: Optional[asyncio.Task] = None
         self.steps = 0
         self.compactions = 0
+        self.tokens_out = 0  # delivered ids (speculative tokens/step =
+        #                      tokens_out/steps; ~1 without spec_k)
+
+    def stats(self) -> Dict[str, float]:
+        """Serving counters (also pushed to utils.observability.METRICS
+        as decode_* by the loop)."""
+        return {"steps": self.steps, "compactions": self.compactions,
+                "tokens_out": self.tokens_out,
+                "tokens_per_step": (self.tokens_out / self.steps
+                                    if self.steps else 0.0)}
 
     # ------------------------------------------------------------ public
 
@@ -373,6 +383,7 @@ class ContinuousBatcher:
                 self._retire(row)
             else:
                 q.put_nowait(first)
+                self.tokens_out += 1
                 self._slots[row].remaining -= 1
                 if self._slots[row].remaining == 0:
                     self._retire(row)
@@ -486,5 +497,12 @@ class ContinuousBatcher:
                             break
                         s.queue.put_nowait(t)
                         s.remaining -= 1
+                        self.tokens_out += 1
                 if s.remaining == 0 or not alive[i]:
                     self._retire(i)
+            from ..utils.observability import METRICS
+
+            METRICS.inc("decode_steps", self.chunk)
+            METRICS.set_gauge("decode_tokens_per_step",
+                              self.tokens_out / max(self.steps, 1))
+            METRICS.set_gauge("decode_active_rows", len(busy))
