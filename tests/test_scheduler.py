@@ -271,6 +271,30 @@ def test_speculative_batcher_composes_with_kv_quant():
         assert toks == solo_q(p, 10, 16), p
 
 
+def test_batcher_serves_tp_sharded_params():
+    """Multi-chip serving: the SAME batcher jits run with TP-sharded
+    params (megatron-style param_shardings over the model axis) and
+    produce token-identical output — XLA inserts the ICI collectives
+    from the input shardings, the scheduler never changes."""
+    from rag_application_tpu.parallel.mesh import make_mesh, param_shardings
+
+    mesh = make_mesh(8, model=2)
+    sharded = jax.device_put(PARAMS, param_shardings(mesh, PARAMS))
+    rng = np.random.default_rng(10)
+    prompts = _prompts(3, rng)
+    news = [8, 11, 6]
+
+    async def run(params):
+        b = ContinuousBatcher(params, CFG, slots=2, prompt_pad=16,
+                              horizon=48, chunk=4)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=n) for p, n in zip(prompts, news)])
+
+    base = asyncio.run(run(PARAMS))
+    shard = asyncio.run(run(sharded))
+    assert shard == base
+
+
 def test_speculative_batcher_rejects_sampling():
     with pytest.raises(ValueError, match="greedy-only"):
         ContinuousBatcher(PARAMS, CFG, slots=2, spec_k=2, temperature=0.7)
