@@ -121,6 +121,21 @@ class LocalLLM:
             top_k=top_k, top_p=top_p, seed=seed, spec_k=spec_k)
         return self._batcher
 
+    def register_prefix_text(self, text: str) -> int:
+        """Prefix-cache a shared prompt header with the batcher: its K/V
+        is computed once and every admission whose rendered prompt
+        starts with it prefills only the suffix. The text must end on a
+        token boundary of the render format (e.g. a full
+        \"system: ...\\n\" line) so `encode(prefix+rest)` starts with
+        `encode(prefix)`. Returns the prefix length in tokens."""
+        if self._batcher is None:
+            raise RuntimeError("enable_batching() first")
+        ids = self.tokenizer.encode(text)
+        if ids and ids[-1] == self.eos_id:
+            ids = ids[:-1]
+        self._batcher.register_prefix(ids)
+        return len(ids)
+
     # ------------------------------------------------------------- prompt
 
     def render(self, messages: Sequence[Any]) -> List[int]:

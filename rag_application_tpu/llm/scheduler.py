@@ -94,6 +94,49 @@ def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
     return ck, cv, slot_pos, pos, tok, active
 
 
+@partial(jax.jit, static_argnums=(1, 13, 14, 15),
+         donate_argnums=(7, 8, 9, 10, 11, 12))
+def _prefill_row_prefix(params, cfg: DecoderConfig, pck, pcv, suffix,
+                        slen, row, ck, cv, slot_pos, pos, tok, active,
+                        temperature: float, top_k: int, top_p: float, rng):
+    """Admit a request whose prompt starts with a REGISTERED prefix:
+    the prefix's K/V (pck/pcv, (L,1,p0,KVH,hd)) was computed once at
+    registration, so only the suffix runs through the model. The row
+    cache is prefix-paste + one suffix block forward at write_slot=p0
+    (slot s = position s throughout, same layout as a full prefill)."""
+    p0 = jax.tree.leaves(pck)[0].shape[2]
+    Ts = suffix.shape[1]
+    rck, rcv = init_kv_cache(cfg, 1, p0 + Ts)
+    paste = lambda c, pre: jax.tree.map(
+        lambda d, s: jax.lax.dynamic_update_slice(d, s, (0,) * d.ndim),
+        c, pre)
+    rck, rcv = paste(rck, pck), paste(rcv, pcv)
+    positions = (p0 + jnp.arange(Ts, dtype=jnp.int32))[None, :]
+    hidden, rck, rcv = forward(params, cfg, suffix, positions, rck, rcv,
+                               write_slot=jnp.asarray(p0, jnp.int32))
+    last = jnp.take_along_axis(
+        hidden, (slen - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = _project(params, cfg, last)
+
+    write = lambda c, n: jax.tree.map(
+        lambda d, s: jax.lax.dynamic_update_slice(
+            d, s, (0, row, 0) + (0,) * (d.ndim - 3)), c, n)
+    ck, cv = write(ck, rck), write(cv, rcv)
+    S = slot_pos.shape[1]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    plen_total = p0 + slen[0]
+    new_row = jnp.where(s_idx < plen_total, s_idx,
+                        jnp.asarray(DEAD, jnp.int32))
+    slot_pos = jax.lax.dynamic_update_slice(slot_pos, new_row[None],
+                                            (row, 0))
+    pos = pos.at[row].set(plen_total)
+    first = sample_logits(logits, rng, temperature=temperature,
+                          top_k=top_k, top_p=top_p)
+    tok = tok.at[row].set(first[0])
+    active = active.at[row].set(True)
+    return ck, cv, slot_pos, pos, tok, active
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _hist_admit(hist, ids, plen, row, tok):
     """Write an admitted request's prompt + first sampled token into its
@@ -289,6 +332,30 @@ class ContinuousBatcher:
         self.compactions = 0
         self.tokens_out = 0  # delivered ids (speculative tokens/step =
         #                      tokens_out/steps; ~1 without spec_k)
+        self._prefixes: List[Tuple[Tuple[int, ...], Any, Any]] = []
+        self.prefix_hits = 0
+
+    def register_prefix(self, prefix_ids: Sequence[int]) -> None:
+        """Precompute and pin the K/V of a shared prompt prefix (e.g.
+        the rendered system preamble). Admissions whose prompt starts
+        with it skip recomputing those positions — only the suffix runs
+        through the model (vLLM-style prefix caching, sized to the RAG
+        serving pattern of one constant header + variable question)."""
+        ids = [int(t) for t in prefix_ids]
+        p0 = len(ids)
+        if not 2 <= p0 < self.T:
+            raise ValueError("prefix needs 2 <= len < prompt_pad")
+        Pb = 1
+        while Pb < p0:
+            Pb <<= 1
+        padded = np.zeros((1, Pb), np.int32)
+        padded[0, :p0] = ids
+        pck, pcv = init_kv_cache(self.cfg, 1, Pb)
+        _, pck, pcv = prefill(self.params, self.cfg, jnp.asarray(padded),
+                              jnp.asarray([p0], np.int32), pck, pcv)
+        cut = lambda c: jax.tree.map(lambda d: d[:, :, :p0], c)
+        self._prefixes.append((tuple(ids), cut(pck), cut(pcv)))
+        self._prefixes.sort(key=lambda e: -len(e[0]))  # longest wins
 
     def stats(self) -> Dict[str, float]:
         """Serving counters (also pushed to utils.observability.METRICS
@@ -362,13 +429,34 @@ class ContinuousBatcher:
                eos_id: int, q: asyncio.Queue) -> None:
         padded = np.zeros((1, self.T), np.int32)
         padded[0, :len(ids)] = ids
-        (self.ck, self.cv, self.slot_pos, self.pos, self.tok,
-         self.active) = _prefill_row(
-            self.params, self.cfg, jnp.asarray(padded),
-            jnp.asarray([len(ids)], np.int32), np.int32(row),
-            self.ck, self.cv, self.slot_pos, self.pos, self.tok,
-            self.active, self.temperature, self.top_k, self.top_p,
-            jax.random.fold_in(self.rng, 2 ** 20 + rid))
+        rng = jax.random.fold_in(self.rng, 2 ** 20 + rid)
+        match = next(((pids, pck, pcv) for pids, pck, pcv in self._prefixes
+                      if len(ids) > len(pids)
+                      and tuple(ids[:len(pids)]) == pids), None)
+        if match is not None:
+            pids, pck, pcv = match
+            sfx = ids[len(pids):]
+            Ts = 1
+            while Ts < len(sfx):
+                Ts <<= 1
+            spad = np.zeros((1, Ts), np.int32)
+            spad[0, :len(sfx)] = sfx
+            (self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+             self.active) = _prefill_row_prefix(
+                self.params, self.cfg, pck, pcv, jnp.asarray(spad),
+                jnp.asarray([len(sfx)], np.int32), np.int32(row),
+                self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+                self.active, self.temperature, self.top_k, self.top_p,
+                rng)
+            self.prefix_hits += 1
+        else:
+            (self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+             self.active) = _prefill_row(
+                self.params, self.cfg, jnp.asarray(padded),
+                jnp.asarray([len(ids)], np.int32), np.int32(row),
+                self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+                self.active, self.temperature, self.top_k, self.top_p,
+                rng)
         self._slots[row] = _Slot(rid, max_new, q, eos_id)
         if self.spec_k:
             self.hist = _hist_admit(

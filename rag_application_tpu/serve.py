@@ -140,6 +140,13 @@ def main() -> None:
                     "RAGTPU_LOCAL_BATCH_HORIZON", "512")),
                 chunk=int(os.environ.get("RAGTPU_LOCAL_BATCH_CHUNK", "8")),
                 spec_k=int(os.environ.get("RAGTPU_LOCAL_BATCH_SPEC_K", "0")))
+            # prefix-cache a shared system header (text, token-boundary
+            # aligned with the render format) so admissions prefill only
+            # their suffix
+            prefix_text = os.environ.get("RAGTPU_LOCAL_BATCH_PREFIX")
+            if prefix_text:
+                n = local.register_prefix_text(prefix_text)
+                logging.info("prefix-cached %d tokens for the batcher", n)
     llm = LLMRouter(
         provider,
         model=os.environ.get("RAGTPU_LLM_MODEL", "stub-model"),

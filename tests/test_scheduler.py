@@ -271,6 +271,50 @@ def test_speculative_batcher_composes_with_kv_quant():
         assert toks == solo_q(p, 10, 16), p
 
 
+def test_prefix_cached_admission_matches_solo():
+    """register_prefix: prompts sharing the registered header prefill
+    only their suffix, and the decoded tokens are identical to full
+    prefills (slot s = position s either way)."""
+    rng = np.random.default_rng(12)
+    header = list(rng.integers(1, CFG.vocab_size, 11))
+    tails = [list(rng.integers(1, CFG.vocab_size, n)) for n in (3, 5, 1)]
+    prompts = [header + t for t in tails]
+    other = list(rng.integers(1, CFG.vocab_size, 6))  # no prefix match
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=32,
+                              horizon=48, chunk=4)
+        b.register_prefix(header)
+        outs = await asyncio.gather(*[
+            b.submit(p, max_new=8) for p in prompts + [other]])
+        return outs, b.prefix_hits
+
+    got, hits = asyncio.run(run())
+    assert hits == 3
+    for p, toks in zip(prompts + [other], got):
+        assert toks == _solo(p, 8, 32), p
+
+
+def test_prefix_cache_composes_with_speculation():
+    rng = np.random.default_rng(13)
+    header = list(rng.integers(1, CFG.vocab_size, 9))
+    prompts = [header + list(rng.integers(1, CFG.vocab_size, n))
+               for n in (2, 4)]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=64, chunk=2, spec_k=3)
+        b.register_prefix(header)
+        outs = await asyncio.gather(*[
+            b.submit(p, max_new=10) for p in prompts])
+        return outs, b.prefix_hits
+
+    got, hits = asyncio.run(run())
+    assert hits == 2
+    for p, toks in zip(prompts, got):
+        assert toks == _solo(p, 10, 16), p
+
+
 def test_batcher_serves_tp_sharded_params():
     """Multi-chip serving: the SAME batcher jits run with TP-sharded
     params (megatron-style param_shardings over the model axis) and
