@@ -78,7 +78,11 @@ class LocalLLM:
         small-batch decode); `kv_quant=True` stores the KV cache as int8
         rows + per-row scales (half the cache traffic/capacity; see
         models/decoder.py)."""
-        from transformers import AutoConfig, AutoTokenizer, LlamaForCausalLM
+        from transformers import (
+            AutoConfig,
+            AutoModelForCausalLM,
+            AutoTokenizer,
+        )
 
         hf_cfg = AutoConfig.from_pretrained(model_dir, local_files_only=True)
         cfg = DecoderConfig(
@@ -92,7 +96,7 @@ class LocalLLM:
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
             eps=getattr(hf_cfg, "rms_norm_eps", 1e-6), dtype=dtype,
             kv_quant=kv_quant)
-        model = LlamaForCausalLM.from_pretrained(
+        model = AutoModelForCausalLM.from_pretrained(
             model_dir, local_files_only=True)
         params = convert_hf_llama_state_dict(model.state_dict(), cfg)
         if quantize:

@@ -27,9 +27,10 @@ is the same model family re-designed for XLA:
     stalled position masks the pad tokens later written on its lane.
 
 Weight import (`convert_hf_llama_state_dict`) maps a torch
-`LlamaForCausalLM` state dict (incl. grouped-query attention) onto the
-stacked tree; logits parity vs transformers is asserted in
-tests/test_decoder.py.
+`LlamaForCausalLM`-layout state dict (incl. grouped-query attention,
+tied embeddings, and Qwen2-family q/k/v projection biases) onto the
+stacked tree — LLaMA, Mistral, Qwen2, TinyLlama, etc.; logits parity vs
+transformers is asserted in tests/test_decoder.py for both families.
 
 Weight-only int8 (`quantize_decoder_params`): small-batch decode is
 bound by weight HBM bytes, so int8 weights with per-output-channel
@@ -127,7 +128,18 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, Any],
     emb = get("model.embed_tokens.weight")
     head_key = ("lm_head.weight" if "lm_head.weight" in state_dict
                 else "model.embed_tokens.weight")  # tied embeddings
-    return {
+    out = {}
+    # Qwen2-family checkpoints carry q/k/v projection biases (LLaMA and
+    # Mistral don't); pick them up when present — forward adds them
+    # before RoPE, matching the HF attention module.
+    for short, proj in (("bq", "q_proj"), ("bk", "k_proj"),
+                        ("bv", "v_proj")):
+        key = f"model.layers.0.self_attn.{proj}.bias"
+        if key in state_dict:
+            out[short] = stacked(
+                "model.layers.{}.self_attn." + proj + ".bias",
+                transpose=False)
+    out.update({
         "tok_emb": jnp.asarray(emb, dtype=cfg.dtype),
         "attn_norm": stacked(
             "model.layers.{}.input_layernorm.weight", transpose=False),
@@ -143,7 +155,8 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, Any],
         "w_down": stacked("model.layers.{}.mlp.down_proj.weight"),
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype=cfg.dtype),
         "lm_head": jnp.asarray(get(head_key).T, dtype=cfg.dtype),
-    }
+    })
+    return out
 
 
 def quantize_decoder_params(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -160,7 +173,8 @@ def quantize_decoder_params(params: Dict[str, Any]) -> Dict[str, Any]:
     estimator here)."""
     out = {}
     for name, w in params.items():
-        if name in ("attn_norm", "ffn_norm", "final_norm"):
+        if name in ("attn_norm", "ffn_norm", "final_norm",
+                    "bq", "bk", "bv"):  # norms and biases stay as-is
             out[name] = w
             continue
         wf = w.astype(jnp.float32)
@@ -299,8 +313,10 @@ def forward(
         — K scales multiply the scores, V scales pre-multiply the probs
         — so the dequantized K/V matrices are never materialized and the
         MXU reads int8-sized operands."""
-        q = _mm(_rmsnorm(x, lp["attn_norm"], cfg.eps), lp["wq"]).reshape(
-            B, T, cfg.heads, cfg.head_dim)
+        q = _mm(_rmsnorm(x, lp["attn_norm"], cfg.eps), lp["wq"])
+        if "bq" in lp:  # Qwen2-family projection bias, pre-RoPE
+            q = q + lp["bq"].astype(q.dtype)
+        q = q.reshape(B, T, cfg.heads, cfg.head_dim)
         q = _apply_rope(q, cos, sin)
         # grouped-query attention without materializing repeated K/V
         qg = q.reshape(B, T, cfg.kv_heads, cfg.q_groups, cfg.head_dim)
@@ -324,8 +340,12 @@ def forward(
 
     def new_kv(x, lp):
         h = _rmsnorm(x, lp["attn_norm"], cfg.eps)
-        k = _mm(h, lp["wk"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
-        v = _mm(h, lp["wv"]).reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        k, v = _mm(h, lp["wk"]), _mm(h, lp["wv"])
+        if "bk" in lp:
+            k = k + lp["bk"].astype(k.dtype)
+            v = v + lp["bv"].astype(v.dtype)
+        k = k.reshape(B, T, cfg.kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.kv_heads, cfg.head_dim)
         k, v = _apply_rope(k, cos, sin), v
         if cfg.kv_quant:
             return _kv_quantize(k), _kv_quantize(v)
@@ -333,7 +353,8 @@ def forward(
 
     layer_params = {k: params[k] for k in
                     ("attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
-                     "w_gate", "w_up", "w_down")}
+                     "w_gate", "w_up", "w_down", "bq", "bk", "bv")
+                    if k in params}
 
     if write_slot is None:
         # prefill/training: caches flow xs -> ys (the bulk [0,T) write IS

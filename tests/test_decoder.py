@@ -217,6 +217,49 @@ def test_quantized_grid_weights_are_exact():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_qwen2_logits_parity():
+    """Qwen2-family checkpoints (q/k/v projection biases, GQA, tied or
+    untied head) convert through the same loader; prefill + decode
+    logits match the HF forward."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(1)
+    cfg = DecoderConfig(vocab_size=256, hidden=64, num_layers=2, heads=4,
+                        kv_heads=2, mlp_dim=128, max_len=32,
+                        rope_theta=1e6, dtype="float32")
+    hf = Qwen2ForCausalLM(Qwen2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden,
+        intermediate_size=cfg.mlp_dim, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.heads, num_key_value_heads=cfg.kv_heads,
+        max_position_embeddings=64, rms_norm_eps=cfg.eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attention_dropout=0.0)).eval()
+    params = convert_hf_llama_state_dict(hf.state_dict(), cfg)
+    assert "bq" in params and params["bq"].shape == (2, 64)
+
+    rng = np.random.default_rng(11)
+    B, T = 2, 9
+    ids = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+    extra = rng.integers(0, cfg.vocab_size, (B, 3)).astype(np.int32)
+    full = np.concatenate([ids, extra], axis=1)
+    with torch.no_grad():
+        ref = hf(torch.tensor(full.astype(np.int64))).logits.numpy()
+
+    ck, cv = init_kv_cache(cfg, B)
+    logits, ck, cv = prefill(params, cfg, jnp.asarray(ids),
+                             jnp.asarray([T, T]), ck, cv)
+    np.testing.assert_allclose(np.asarray(logits), ref[:, T - 1],
+                               atol=2e-4, rtol=1e-4)
+    pos = jnp.asarray([T, T])
+    for j in range(extra.shape[1]):
+        logits, ck, cv = decode_step(params, cfg, jnp.asarray(extra[:, j]),
+                                     pos, pos[0], ck, cv)
+        np.testing.assert_allclose(np.asarray(logits), ref[:, T + j],
+                                   atol=2e-4, rtol=1e-4)
+        pos = pos + 1
+
+
 def test_kv_quant_cache_logits_close(hf_pair):
     """int8 KV cache: prefill + incremental decode logits stay within
     quantization noise of the f32-cache run (the per-slot scales commute
