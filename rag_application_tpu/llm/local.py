@@ -85,6 +85,14 @@ class LocalLLM:
         )
 
         hf_cfg = AutoConfig.from_pretrained(model_dir, local_files_only=True)
+        rs = getattr(hf_cfg, "rope_scaling", None) or {}
+        kind = rs.get("rope_type", rs.get("type", "none")) if rs else "none"
+        if kind in ("default",):
+            kind = "none"
+        if kind not in ("none", "linear", "llama3"):
+            raise ValueError(
+                f"unsupported rope_scaling type {kind!r} (supported: "
+                "linear, llama3)")
         cfg = DecoderConfig(
             vocab_size=hf_cfg.vocab_size, hidden=hf_cfg.hidden_size,
             num_layers=hf_cfg.num_hidden_layers,
@@ -94,6 +102,13 @@ class LocalLLM:
             mlp_dim=hf_cfg.intermediate_size,
             max_len=min(max_len, hf_cfg.max_position_embeddings),
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+            rope_kind=kind,
+            rope_factor=float(rs.get("factor", 1.0)),
+            rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_original_max_len=int(rs.get(
+                "original_max_position_embeddings",
+                hf_cfg.max_position_embeddings)),
             eps=getattr(hf_cfg, "rms_norm_eps", 1e-6), dtype=dtype,
             kv_quant=kv_quant)
         model = AutoModelForCausalLM.from_pretrained(

@@ -61,6 +61,14 @@ class DecoderConfig:
     mlp_dim: int
     max_len: int = 1024
     rope_theta: float = 10000.0
+    # Llama-3-style rope scaling ("llama3") or positional interpolation
+    # ("linear"); "none" = plain RoPE. Flat fields (not HF's dict) keep
+    # the config hashable for jit static args.
+    rope_kind: str = "none"
+    rope_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_len: int = 8192
     eps: float = 1e-6
     dtype: str = "bfloat16"
     # int8 KV cache (inference only — the round() has no gradient):
@@ -247,10 +255,31 @@ def _rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 def _rope(positions: jax.Array, cfg: DecoderConfig) -> Tuple[jax.Array, jax.Array]:
     """cos/sin (B, T, head_dim) in the HF rotate-half convention
-    (freqs repeated across both halves)."""
+    (freqs repeated across both halves). rope_kind applies the HF
+    `rope_scaling` schemes: "linear" divides every frequency by the
+    factor; "llama3" keeps high frequencies, divides low frequencies,
+    and smoothly interpolates the band between (the Llama-3.x long-
+    context recipe, modeling_rope_utils._compute_llama3_parameters)."""
     hd = cfg.head_dim
     inv = 1.0 / (cfg.rope_theta
                  ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    if cfg.rope_kind == "linear":
+        inv = inv / cfg.rope_factor
+    elif cfg.rope_kind == "llama3":
+        two_pi = 2.0 * np.pi
+        wavelen = two_pi / inv
+        low_wl = cfg.rope_original_max_len / cfg.rope_low_freq_factor
+        high_wl = cfg.rope_original_max_len / cfg.rope_high_freq_factor
+        smooth = (cfg.rope_original_max_len / wavelen
+                  - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = (1.0 - smooth) * inv / cfg.rope_factor + smooth * inv
+        inv = jnp.where(wavelen < high_wl, inv,
+                        jnp.where(wavelen > low_wl,
+                                  inv / cfg.rope_factor, scaled))
+    elif cfg.rope_kind != "none":
+        raise ValueError(f"unknown rope_kind {cfg.rope_kind!r}")
     freqs = positions.astype(jnp.float32)[..., None] * inv  # (B,T,hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)

@@ -260,6 +260,42 @@ def test_qwen2_logits_parity():
         pos = pos + 1
 
 
+def test_llama3_rope_scaling_parity():
+    """rope_scaling {rope_type: llama3}: frequency-banded scaling (the
+    Llama-3.x long-context recipe) matches the HF forward exactly."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(2)
+    cfg = DecoderConfig(vocab_size=128, hidden=64, num_layers=2, heads=4,
+                        kv_heads=2, mlp_dim=96, max_len=64,
+                        rope_theta=10000.0, rope_kind="llama3",
+                        rope_factor=8.0, rope_low_freq_factor=1.0,
+                        rope_high_freq_factor=4.0,
+                        rope_original_max_len=32, dtype="float32")
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden,
+        intermediate_size=cfg.mlp_dim, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.heads, num_key_value_heads=cfg.kv_heads,
+        max_position_embeddings=64, rms_norm_eps=cfg.eps,
+        rope_theta=cfg.rope_theta, tie_word_embeddings=False,
+        attention_dropout=0.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32})).eval()
+    params = convert_hf_llama_state_dict(hf.state_dict(), cfg)
+    rng = np.random.default_rng(12)
+    B, T = 2, 40  # past original_max so the scaled band matters
+    ids = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    ck, cv = init_kv_cache(cfg, B)
+    logits, *_ = prefill(params, cfg, jnp.asarray(ids),
+                         jnp.asarray([T, T]), ck, cv)
+    np.testing.assert_allclose(np.asarray(logits), ref[:, T - 1],
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_kv_quant_cache_logits_close(hf_pair):
     """int8 KV cache: prefill + incremental decode logits stay within
     quantization noise of the f32-cache run (the per-slot scales commute
