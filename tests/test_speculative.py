@@ -53,6 +53,18 @@ def test_token_identical_to_plain_generate(seed, t, k):
     assert (gn == rn).all()
 
 
+def test_token_identical_fuzz():
+    """8 random prompts at fixed shapes (one compiled program each
+    side): speculative == plain for every one — acceptance patterns
+    vary per prompt, the equality must not."""
+    rng = np.random.default_rng(99)
+    for _ in range(8):
+        ids = rng.integers(0, CFG.vocab_size, (1, 16)).astype(np.int32)
+        ref, rn = _greedy(ids, [16], 24)
+        got, gn = _spec(ids, [16], 24, k=4)
+        assert (got == ref).all() and (gn == rn).all()
+
+
 def test_repetitive_prompt_accepts_drafts():
     """A prompt that is itself a repeated phrase: untrained models fall
     into greedy cycles, and even before that the emitted sequence reuses
