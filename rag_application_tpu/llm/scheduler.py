@@ -64,6 +64,30 @@ class _Slot:
     eos_id: int = -1
 
 
+def _commit_row(logits, plen_total, rck, rcv, row, ck, cv, slot_pos,
+                pos, tok, active, temperature, top_k, top_p, rng):
+    """Shared admission tail (traced inside both prefill jits): paste
+    the request's row cache into the batch cache, stamp its slot map,
+    and seed pos/tok/active from the sampled first token."""
+    # tree-mapped so int8 caches ({"q","s"}, per-leaf ndim differs) work
+    write = lambda c, n: jax.tree.map(
+        lambda d, s: jax.lax.dynamic_update_slice(
+            d, s, (0, row, 0) + (0,) * (d.ndim - 3)), c, n)
+    ck, cv = write(ck, rck), write(cv, rcv)
+    S = slot_pos.shape[1]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    new_row = jnp.where(s_idx < plen_total, s_idx,
+                        jnp.asarray(DEAD, jnp.int32))
+    slot_pos = jax.lax.dynamic_update_slice(slot_pos, new_row[None],
+                                            (row, 0))
+    pos = pos.at[row].set(plen_total)
+    first = sample_logits(logits, rng, temperature=temperature,
+                          top_k=top_k, top_p=top_p)
+    tok = tok.at[row].set(first[0])
+    active = active.at[row].set(True)
+    return ck, cv, slot_pos, pos, tok, active
+
+
 @partial(jax.jit, static_argnums=(1, 11, 12, 13),
          donate_argnums=(5, 6, 7, 8, 9, 10))
 def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
@@ -75,23 +99,8 @@ def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
     T = ids.shape[1]
     rck, rcv = init_kv_cache(cfg, 1, T)
     logits, rck, rcv = prefill(params, cfg, ids, plen, rck, rcv)
-    # tree-mapped so int8 caches ({"q","s"}, per-leaf ndim differs) work
-    write = lambda c, n: jax.tree.map(
-        lambda d, s: jax.lax.dynamic_update_slice(
-            d, s, (0, row, 0) + (0,) * (d.ndim - 3)), c, n)
-    ck, cv = write(ck, rck), write(cv, rcv)
-    S = slot_pos.shape[1]
-    s_idx = jnp.arange(S, dtype=jnp.int32)
-    new_row = jnp.where(s_idx < plen[0], s_idx,
-                        jnp.asarray(DEAD, jnp.int32))
-    slot_pos = jax.lax.dynamic_update_slice(slot_pos, new_row[None],
-                                            (row, 0))
-    pos = pos.at[row].set(plen[0])
-    first = sample_logits(logits, rng, temperature=temperature,
-                          top_k=top_k, top_p=top_p)
-    tok = tok.at[row].set(first[0])
-    active = active.at[row].set(True)
-    return ck, cv, slot_pos, pos, tok, active
+    return _commit_row(logits, plen[0], rck, rcv, row, ck, cv, slot_pos,
+                       pos, tok, active, temperature, top_k, top_p, rng)
 
 
 @partial(jax.jit, static_argnums=(1, 13, 14, 15),
@@ -117,24 +126,9 @@ def _prefill_row_prefix(params, cfg: DecoderConfig, pck, pcv, suffix,
     last = jnp.take_along_axis(
         hidden, (slen - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     logits = _project(params, cfg, last)
-
-    write = lambda c, n: jax.tree.map(
-        lambda d, s: jax.lax.dynamic_update_slice(
-            d, s, (0, row, 0) + (0,) * (d.ndim - 3)), c, n)
-    ck, cv = write(ck, rck), write(cv, rcv)
-    S = slot_pos.shape[1]
-    s_idx = jnp.arange(S, dtype=jnp.int32)
-    plen_total = p0 + slen[0]
-    new_row = jnp.where(s_idx < plen_total, s_idx,
-                        jnp.asarray(DEAD, jnp.int32))
-    slot_pos = jax.lax.dynamic_update_slice(slot_pos, new_row[None],
-                                            (row, 0))
-    pos = pos.at[row].set(plen_total)
-    first = sample_logits(logits, rng, temperature=temperature,
-                          top_k=top_k, top_p=top_p)
-    tok = tok.at[row].set(first[0])
-    active = active.at[row].set(True)
-    return ck, cv, slot_pos, pos, tok, active
+    return _commit_row(logits, p0 + slen[0], rck, rcv, row, ck, cv,
+                       slot_pos, pos, tok, active, temperature, top_k,
+                       top_p, rng)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -252,7 +246,12 @@ def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
     base_slot) so sampling randomness never repeats."""
     def body(carry, j):
         tok, pos, active, slot_pos, ck, cv = carry
-        col = jnp.where(active, pos, jnp.asarray(DEAD, jnp.int32))
+        # the carried token is normally eos-free (a sampled eos latches
+        # the row before riding the carry), EXCEPT the prefill-sampled
+        # first token — latch on consumption so it is neither delivered
+        # nor continued past (decoder.generate's newly_done semantics)
+        ok = jnp.logical_and(active, tok != eos)
+        col = jnp.where(ok, pos, jnp.asarray(DEAD, jnp.int32))
         slot_pos = jax.lax.dynamic_update_slice(
             slot_pos, col[:, None], (0, base_slot + j))
         logits, ck, cv = decode_step(params, cfg, tok, pos,
@@ -261,10 +260,10 @@ def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
         nxt = sample_logits(logits, jax.random.fold_in(rng, step0 + j),
                             temperature=temperature, top_k=top_k,
                             top_p=top_p)
-        emitted = jnp.where(active, tok, jnp.asarray(-1, jnp.int32))
-        still = jnp.logical_and(active, nxt != eos)
-        return (jnp.where(active, nxt, tok),
-                jnp.where(active, pos + 1, pos),
+        emitted = jnp.where(ok, tok, jnp.asarray(-1, jnp.int32))
+        still = jnp.logical_and(ok, nxt != eos)
+        return (jnp.where(ok, nxt, tok),
+                jnp.where(ok, pos + 1, pos),
                 still, slot_pos, ck, cv), emitted
 
     (tok, pos, active, slot_pos, ck, cv), out = jax.lax.scan(
@@ -425,8 +424,12 @@ class ContinuousBatcher:
     def _free_rows(self) -> List[int]:
         return [i for i, s in enumerate(self._slots) if s.queue is None]
 
-    def _admit(self, row: int, rid: int, ids: List[int], max_new: int,
-               eos_id: int, q: asyncio.Queue) -> None:
+    def _admit(self, row: int, rid: int,
+               ids: List[int]) -> Optional[int]:
+        """Device-side admission (jit dispatches + the spec-mode first-
+        token read). Runs in an executor thread; returns the first
+        sampled token in speculative mode (else None). Queue-facing
+        state moves in `_finish_admit` on the loop thread."""
         padded = np.zeros((1, self.T), np.int32)
         padded[0, :len(ids)] = ids
         rng = jax.random.fold_in(self.rng, 2 ** 20 + rid)
@@ -439,6 +442,12 @@ class ContinuousBatcher:
             Ts = 1
             while Ts < len(sfx):
                 Ts <<= 1
+            # the p0+Ts row buffer must paste inside the S-slot axis;
+            # a long suffix after a long prefix can overshoot the pow2
+            # pad — fall back to a full prefill rather than fail
+            if len(pids) + Ts > self.S:
+                match = None
+        if match is not None:
             spad = np.zeros((1, Ts), np.int32)
             spad[0, :len(sfx)] = sfx
             (self.ck, self.cv, self.slot_pos, self.pos, self.tok,
@@ -457,16 +466,30 @@ class ContinuousBatcher:
                 self.ck, self.cv, self.slot_pos, self.pos, self.tok,
                 self.active, self.temperature, self.top_k, self.top_p,
                 rng)
-        self._slots[row] = _Slot(rid, max_new, q, eos_id)
+        first = None
         if self.spec_k:
             self.hist = _hist_admit(
                 self.hist, jnp.asarray(padded),
                 jnp.asarray([len(ids)], np.int32), np.int32(row), self.tok)
+            first = int(np.asarray(self.tok)[row])
+        # the shared write head must never re-enter a live prompt range
+        # (possible after compaction shrank it): decode writes hit EVERY
+        # row at the shared slot and would clobber this prompt's K/V.
+        self.head = max(self.head, len(ids))
+        return first
+
+    def _finish_admit(self, row: int, rid: int, max_new: int,
+                      eos_id: int, q: asyncio.Queue,
+                      first: Optional[int]) -> None:
+        """Queue-facing admission bookkeeping. Runs on the EVENT-LOOP
+        thread (asyncio.Queue.put_nowait is not thread-safe; the device
+        work in `_admit` runs in an executor thread)."""
+        self._slots[row] = _Slot(rid, max_new, q, eos_id)
+        if first is not None:
             # block steps emit their OUTPUTS (g); the prefill-sampled
             # first token is nobody's output, so deliver it here (the
             # plain path instead emits each consumed token one step
             # late, which covers it)
-            first = int(np.asarray(self.tok)[row])
             if first == eos_id or max_new <= 0:
                 self._retire(row)
             else:
@@ -475,10 +498,6 @@ class ContinuousBatcher:
                 self._slots[row].remaining -= 1
                 if self._slots[row].remaining == 0:
                     self._retire(row)
-        # the shared write head must never re-enter a live prompt range
-        # (possible after compaction shrank it): decode writes hit EVERY
-        # row at the shared slot and would clobber this prompt's K/V.
-        self.head = max(self.head, len(ids))
 
     def _retire(self, row: int) -> None:
         s = self._slots[row]
@@ -524,8 +543,9 @@ class ContinuousBatcher:
                     rid, ids, max_new, eos_id, q = self._pending.get_nowait()
                 except asyncio.QueueEmpty:
                     break
-                await loop.run_in_executor(
-                    None, self._admit, row, rid, ids, max_new, eos_id, q)
+                first = await loop.run_in_executor(
+                    None, self._admit, row, rid, ids)
+                self._finish_admit(row, rid, max_new, eos_id, q, first)
                 admitted = True
             busy = [i for i, s in enumerate(self._slots) if s.queue is not None]
             if not busy:

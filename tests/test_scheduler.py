@@ -271,6 +271,44 @@ def test_speculative_batcher_composes_with_kv_quant():
         assert toks == solo_q(p, 10, 16), p
 
 
+def test_first_token_eos_latches_row():
+    """A request whose FIRST sampled token is eos must deliver nothing
+    and stop — in both plain and speculative modes (the first token is
+    the only eos that can ride the carry into a chunk)."""
+    rng = np.random.default_rng(21)
+    prompt = list(rng.integers(1, CFG.vocab_size, 7))
+    first = _solo(prompt, 1, 16)[0]  # the greedy first token
+
+    async def run(spec_k):
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=48, chunk=4, spec_k=spec_k)
+        return await b.submit(prompt, max_new=10, eos_id=first)
+
+    assert asyncio.run(run(0)) == []
+    assert asyncio.run(run(3)) == []
+
+
+def test_prefix_overflow_falls_back_to_full_prefill():
+    """A suffix whose pow2 pad would overshoot the slot axis silently
+    uses the full-prefill path (correct output, zero prefix hits):
+    p0=18, suffix 14 pads to Ts=16 -> row buffer 34 > S = 32+1."""
+    header = list(np.random.default_rng(24).integers(
+        1, CFG.vocab_size, 18))
+    prompt = header + list(np.random.default_rng(25).integers(
+        1, CFG.vocab_size, 14))
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=1, prompt_pad=32,
+                              horizon=1, chunk=1)
+        b.register_prefix(header)
+        out = await b.submit(prompt, max_new=1)
+        return out, b.prefix_hits
+
+    out, hits = asyncio.run(run())
+    assert hits == 0  # fell back instead of tracing an over-long paste
+    assert out == _solo(prompt, 1, 32)
+
+
 def test_prefix_cached_admission_matches_solo():
     """register_prefix: prompts sharing the registered header prefill
     only their suffix, and the decoded tokens are identical to full
