@@ -444,6 +444,15 @@ def build_app(config: Optional[Config] = None, *,
 
     @router.route("POST", "/api/v1/users/signup")
     async def signup(req: Request):
+        # when a global api key is configured, only the key holder may
+        # mint accounts: an open signup would let anyone create a token
+        # that _auth accepts, bypassing the key entirely. (User tokens
+        # don't qualify either — accounts create accounts is the same
+        # hole one hop later.)
+        if state.api_key is not None:
+            tok = req.headers.get("authorization", "")
+            if tok != f"Bearer {state.api_key}":
+                return JSONResponse({"detail": "unauthorized"}, 401)
         body = req.json()
         try:
             user = state.user_registry.signup(
@@ -550,7 +559,12 @@ def build_app(config: Optional[Config] = None, *,
             for aid, cls in sorted(AGENT_CLASS_MAP.items())]}
 
     def _doc_counts(user_id: str) -> Dict[str, int]:
-        sp = state.space(user_id)
+        # read-only: never allocate a fresh space for an unknown user
+        # (a lookup loop over random ids would grow state.users
+        # unboundedly — same guard as collection_count)
+        if user_id not in state.users:
+            return {}
+        sp = state.users[user_id]
         docs: Dict[str, int] = {}
         for row in range(len(sp.collection.payloads)):
             p = sp.collection.payloads.get(row)
@@ -584,18 +598,22 @@ def build_app(config: Optional[Config] = None, *,
 
     @router.route("GET", "/api/v1/documents")
     async def list_documents(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         docs = _doc_counts(req.query.get("user_id", "default"))
         return {"documents": [
             {"document_id": d, "chunks": c} for d, c in sorted(docs.items())]}
 
     @router.route("GET", "/api/v1/documents/{document_id}")
     async def get_document(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
         user_id = req.query.get("user_id", "default")
         did = req.params["document_id"]
         docs = _doc_counts(user_id)
         if did not in docs:
             return JSONResponse({"detail": "not found"}, 404)
-        sp = state.space(user_id)
+        sp = state.users[user_id]
         meta = sp.kg.get_document(did) or {}
         return {"document_id": did, "chunks": docs[did],
                 "pages": len(sp.kg.get_pages(did)), **meta}
@@ -665,9 +683,14 @@ def build_app(config: Optional[Config] = None, *,
     async def scout(req: Request):
         if (deny := _auth(req)) is not None:
             return deny
+        import asyncio as _asyncio
+
         body = req.json()
         sp = state.space(body.get("user_id", "default"))
-        q = state.embedder.encode([body["query"]])[0][: sp.kg.dim]
+        # encoder off the event loop (first call pays the remote
+        # compile; inline it would freeze every concurrent request)
+        q = (await _asyncio.get_running_loop().run_in_executor(
+            None, state.embedder.encode, [body["query"]]))[0][: sp.kg.dim]
         hits = sp.kg.search_across_spaces(q, k=body.get("k", 10))
         return {"results": hits}
 
@@ -749,7 +772,10 @@ def build_app(config: Optional[Config] = None, *,
                     if isinstance(b, dict) and b.get("type") == "text"))
             else:
                 texts.append(str(item))
-        vecs = state.embedder.encode(texts)
+        import asyncio as _asyncio
+
+        vecs = await _asyncio.get_running_loop().run_in_executor(
+            None, state.embedder.encode, texts)
         return {
             "object": "list",
             "model": body.get("model", "rag-tpu-encoder"),

@@ -246,12 +246,9 @@ class LocalLLM:
                              self.cfg.max_len - len(prompt)))
         temperature = float(params.get("temperature") or 0.0)
         top_p = float(params.get("top_p") or 1.0)
-        b = self._batcher
-        if (b is not None and temperature == b.temperature
-                and top_p == b.top_p
-                and min(len(prompt), b.T) + max_new <= b.S):
-            out_ids = await b.submit(prompt, max_new=max_new,
-                                     eos_id=self.eos_id)
+        if self._batch_eligible(prompt, max_new, params, temperature, top_p):
+            out_ids = await self._batcher.submit(prompt, max_new=max_new,
+                                                 eos_id=self.eos_id)
         else:
             loop = asyncio.get_running_loop()
             out_ids = await loop.run_in_executor(
@@ -264,6 +261,24 @@ class LocalLLM:
                            usage={"prompt_tokens": len(prompt),
                                   "completion_tokens": len(out_ids),
                                   "total_tokens": len(prompt) + len(out_ids)})
+
+    def _batch_eligible(self, prompt, max_new, params, temperature,
+                        top_p) -> bool:
+        """A request rides the shared batch only when every sampling
+        knob matches the batcher's fixed compile AND the prompt fits
+        prompt_pad (submit clips to the LAST prompt_pad tokens — a
+        longer prompt would silently lose its head, i.e. the system
+        prompt). Everything else falls back to the solo fused path."""
+        b = self._batcher
+        if b is None:
+            return False
+        if temperature != b.temperature or top_p != b.top_p:
+            return False
+        if int(params.get("top_k") or b.top_k) != b.top_k:
+            return False
+        if temperature > 0 and params.get("seed") is not None:
+            return False  # explicit seed: honor it via the solo path
+        return len(prompt) <= b.T and len(prompt) + max_new <= b.S
 
     async def stream(self, messages: Sequence[Any],
                      **params: Any) -> AsyncIterator[str]:
@@ -280,14 +295,11 @@ class LocalLLM:
         stop = params.get("stop")
         loop = asyncio.get_running_loop()
 
-        b = self._batcher
-        if (b is not None and temperature == b.temperature
-                and top_p == b.top_p
-                and min(len(prompt), b.T) + max_new <= b.S):
+        if self._batch_eligible(prompt, max_new, params, temperature, top_p):
             produced: List[int] = []
             emitted = ""
-            async for tok in b.submit_stream(prompt, max_new=max_new,
-                                             eos_id=self.eos_id):
+            async for tok in self._batcher.submit_stream(
+                    prompt, max_new=max_new, eos_id=self.eos_id):
                 produced.append(tok)
                 text = self._decode(produced)
                 if stop:
@@ -308,10 +320,18 @@ class LocalLLM:
             self._step = make_decode_step(self.params, self.cfg)
 
         def _prefill():
+            # bucket the prompt pad to a power of two: distinct lengths
+            # would each pay a fresh remote compile (repo convention)
+            n = len(prompt)
+            bucket = 1
+            while bucket < n:
+                bucket <<= 1
+            bucket = min(bucket, self.cfg.max_len - 1)
             ck, cv = init_kv_cache(self.cfg, 1)
-            ids = np.asarray([prompt], np.int32)
+            ids = np.full((1, bucket), self.pad_id, np.int32)
+            ids[0, :n] = prompt
             logits, ck, cv = prefill(self.params, self.cfg, ids,
-                                     np.asarray([len(prompt)], np.int32),
+                                     np.asarray([n], np.int32),
                                      ck, cv)
             tok = sample_logits(logits, jax.random.fold_in(
                 jax.random.PRNGKey(seed), max_new),

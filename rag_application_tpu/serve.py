@@ -206,11 +206,15 @@ def main() -> None:
 
         async def dedup_loop():
             interval = float(os.environ.get("RAGTPU_DEDUP_INTERVAL", "300"))
+            loop = asyncio.get_running_loop()
             while True:
                 await asyncio.sleep(interval)
                 for space in list(state.users.values()):
                     try:
-                        deduplicate(space.kg)
+                        # kNN + merge work — off the event loop, like
+                        # the checkpoint loop, so requests stay live
+                        await loop.run_in_executor(
+                            None, deduplicate, space.kg)
                     except Exception:  # noqa: BLE001
                         logging.exception("dedup pass failed")
 
@@ -225,10 +229,17 @@ def main() -> None:
                 await loop.run_in_executor(
                     None, checkpoint_spaces, state, ckpt_dir, saved_fp)
 
-        asyncio.ensure_future(dedup_loop())
+        # hold strong references: the event loop keeps only weak refs to
+        # tasks, and an unreferenced background loop can be GC'd mid-
+        # sleep — dedup/checkpointing would silently stop
+        background = [asyncio.ensure_future(dedup_loop())]
         if ckpt_dir:
-            asyncio.ensure_future(checkpoint_loop())
-        await server.serve_forever()
+            background.append(asyncio.ensure_future(checkpoint_loop()))
+        try:
+            await server.serve_forever()
+        finally:
+            for t in background:
+                t.cancel()
 
     asyncio.run(run())
 

@@ -254,10 +254,17 @@ def test_signin_token_opens_protected_routes():
                 ):
                     r = await client.request(method, path, json={})
                     assert r.status_code == 401, (method, path, r.status_code)
-                # signup open; signin token then opens doors
+                # with a global api key configured, signup itself is
+                # key-gated: an open signup would let anyone mint a
+                # token _auth accepts, bypassing the key entirely
                 r = await client.post("/api/v1/users/signup",
                                       json={"username": "ann",
                                             "password": "pw12345"})
+                assert r.status_code == 401
+                r = await client.post(
+                    "/api/v1/users/signup",
+                    json={"username": "ann", "password": "pw12345"},
+                    headers={"authorization": "Bearer sekret"})
                 assert r.status_code == 201
                 r = await client.post("/api/v1/users/signin",
                                       json={"username": "ann",
