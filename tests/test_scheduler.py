@@ -417,6 +417,40 @@ def test_local_llm_batched_chat_matches_solo_chat():
     assert got == want
 
 
+def test_long_prompt_bypasses_batcher():
+    """A prompt longer than the batcher's prompt_pad must take the solo
+    path (submit clips to the LAST prompt_pad tokens — routing it
+    through the batch would silently drop the system prompt)."""
+    from rag_application_tpu.llm.local import LocalLLM
+    from rag_application_tpu.llm.router import ChatMessage
+    from rag_application_tpu.models.wordpiece import WordPieceTokenizer
+
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "system", "user",
+             "assistant", ":", "hello", "world", "weather", "sunny",
+             "how", "is", "the", "today", "a", "fine"]
+    tok = WordPieceTokenizer.from_vocab_list(words, native=False)
+    cfg = DecoderConfig(vocab_size=len(words), hidden=32, num_layers=2,
+                        heads=4, kv_heads=2, mlp_dim=64, max_len=64,
+                        dtype="float32")
+    params = init_decoder_params(jax.random.PRNGKey(7), cfg)
+    long_msg = [ChatMessage("system", "the weather today is fine"),
+                ChatMessage("user", " ".join(["hello world"] * 6))]
+
+    async def main():
+        solo = LocalLLM(params, cfg, tok, model_name="tiny")
+        want = (await solo.chat(long_msg, max_tokens=6)).content
+        batched = LocalLLM(params, cfg, tok, model_name="tiny")
+        b = batched.enable_batching(slots=2, prompt_pad=8, horizon=16,
+                                    chunk=4)
+        assert len(batched.render(long_msg)) > 8  # genuinely too long
+        got = (await batched.chat(long_msg, max_tokens=6)).content
+        return want, got, b.steps
+
+    want, got, steps = asyncio.run(main())
+    assert got == want
+    assert steps == 0  # never entered the batch
+
+
 def test_local_llm_batched_stream_matches_solo_stream():
     """Concurrent LocalLLM.stream calls through the batcher yield the
     same concatenated text as the solo per-token path."""
