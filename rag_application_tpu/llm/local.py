@@ -201,10 +201,11 @@ class LocalLLM:
         a power-of-two bucket so repeated lengths reuse the compiled
         while_loop (search/params.py convention).
 
-        `speculative=True` routes greedy requests through prompt-lookup
-        block verification (models/speculative.py) — token-identical,
-        fewer decoder steps on copy-heavy RAG completions. Sampled
-        requests (temperature>0) always use the plain loop."""
+        `speculative=True` routes requests through prompt-lookup block
+        verification (models/speculative.py) — greedy output is
+        token-identical and sampled output draws from the identical
+        filtered distribution (rejection-sampled acceptance); fewer
+        decoder steps on copy-heavy RAG completions either way."""
         n = len(prompt_ids)
         max_new = max(1, min(max_new, self.cfg.max_len - n))
         bucket = 1
@@ -213,13 +214,14 @@ class LocalLLM:
         bucket = min(bucket, self.cfg.max_len - 1)
         ids = np.full((1, bucket), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids
-        if speculative and temperature == 0.0:
+        if speculative:
             from ..models.speculative import generate_lookup
 
             out, count = generate_lookup(
                 self.params, self.cfg, ids, np.asarray([n], np.int32),
                 max_new, self.eos_id, self.pad_id,
-                jax.random.PRNGKey(seed))
+                jax.random.PRNGKey(seed), 4, float(temperature),
+                int(top_k), float(top_p))
         else:
             out, count = generate(
                 self.params, self.cfg, ids, np.asarray([n], np.int32),

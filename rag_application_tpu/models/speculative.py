@@ -45,20 +45,80 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decoder import DecoderConfig, _project, forward, init_kv_cache, prefill
+from .decoder import (
+    DecoderConfig,
+    _project,
+    forward,
+    init_kv_cache,
+    prefill,
+    sample_logits,
+)
 
 DEAD = 2 ** 30  # slot_positions sentinel (matches llm/scheduler.py)
 
 
-@partial(jax.jit, static_argnums=(1, 4, 8))
+def _filtered_probs(logits: jax.Array, *, temperature: float, top_k: int,
+                    top_p: float) -> jax.Array:
+    """The exact full-vocab distribution `decoder.sample_logits` draws
+    from: temperature -> top-k -> nucleus within the top-k, renormalized
+    (everything outside gets probability 0)."""
+    V = logits.shape[-1]
+    k = min(top_k, V)
+    vals, idx = jax.lax.top_k(logits / temperature, k)  # sorted desc
+    if top_p < 1.0:
+        probs = jax.nn.softmax(vals)
+        csum = jnp.cumsum(probs)
+        keep = (csum - probs) < top_p  # first token always kept
+        vals = jnp.where(keep, vals, -jnp.inf)
+    kept = jax.nn.softmax(vals)
+    return jnp.zeros((V,), kept.dtype).at[idx].set(kept)
+
+
+def _sampled_verify(probs: jax.Array, draft: jax.Array, key: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Rejection-sampling verification of a deterministic draft.
+
+    probs (K+1, V): the target distributions at each block position
+    (position j conditions on draft[:j]); draft (K,). The drafted
+    proposal is a point mass, so speculative sampling reduces to:
+    accept draft[j] with probability p_j(draft[j]); on the first
+    rejection, draw from p_j with the drafted token REMOVED and
+    renormalized (the positive residual (p - q)+). The emitted marginal
+    equals p_j exactly: p(d)*delta_d + (1-p(d)) * p|!d = p. Position K
+    (the bonus token) has no draft — a plain draw from p_K.
+
+    Returns (g (K+1,) tokens, accept (K,) bool flags)."""
+    K = draft.shape[0]
+    uk, rk = jax.random.split(key)
+    p_d = jnp.take_along_axis(probs[:K], draft[:, None], axis=1)[:, 0]
+    accept = jax.random.uniform(uk, (K,)) < p_d
+    residual = probs.at[jnp.arange(K), draft].set(0.0)  # row K untouched
+    res = jax.random.categorical(
+        rk, jnp.log(jnp.maximum(residual, 1e-38)), axis=-1).astype(
+        jnp.int32)
+    g = jnp.concatenate([jnp.where(accept, draft, res[:K]), res[K:]])
+    return g, accept
+
+
+@partial(jax.jit, static_argnums=(1, 4, 8, 9, 10, 11))
 def generate_lookup_stats(params: Dict[str, Any], cfg: DecoderConfig,
                           ids: jax.Array, prompt_len: jax.Array,
                           max_new: int, eos_id: int, pad_id: int,
-                          rng: jax.Array, k_spec: int = 4
+                          rng: jax.Array, k_spec: int = 4,
+                          temperature: float = 0.0, top_k: int = 64,
+                          top_p: float = 1.0
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """`generate_lookup` that also returns the number of decoder block
-    steps taken (scalar int32) — tokens-per-step is the speedup."""
-    del rng
+    steps taken (scalar int32) — tokens-per-step is the speedup.
+
+    temperature == 0: greedy — accept drafts the argmax agrees with;
+    output is token-identical to `decoder.generate` at temperature 0.
+    temperature > 0: SAMPLED speculation — each draft is accepted with
+    the target probability of that token and rejections resample from
+    the residual (`_sampled_verify`), so every emitted token is an
+    exact draw from the same filtered distribution `decoder.generate`
+    samples — speculation changes the schedule, not the law."""
+    sampled = temperature > 0.0
     B, T = ids.shape
     if B != 1:
         raise ValueError("generate_lookup is single-row (B=1); batches "
@@ -90,7 +150,12 @@ def generate_lookup_stats(params: Dict[str, Any], cfg: DecoderConfig,
     logits, cache_k, cache_v = prefill(params, cfg, ids,
                                        prompt_len.astype(jnp.int32),
                                        cache_k, cache_v)
-    first = jnp.argmax(logits[0]).astype(jnp.int32)
+    if sampled:
+        first = sample_logits(logits, jax.random.fold_in(rng, 2 ** 16),
+                              temperature=temperature, top_k=top_k,
+                              top_p=top_p)[0]
+    else:
+        first = jnp.argmax(logits[0]).astype(jnp.int32)
     hist = jax.lax.dynamic_update_slice(hist, first[None], (plen,))
 
     h_idx = jnp.arange(HL - 1, dtype=jnp.int32)
@@ -122,11 +187,18 @@ def generate_lookup_stats(params: Dict[str, Any], cfg: DecoderConfig,
             slot_pos, positions, (0, head))
         hidden, ck, cv = forward(params, cfg, x, positions, ck, cv,
                                  write_slot=head, slot_positions=slot_pos)
-        g = jnp.argmax(_project(params, cfg, hidden[0]),
-                       axis=-1).astype(jnp.int32)            # (K+1,)
-
-        # ---- acceptance: longest draft prefix the model agrees with
-        acc = jnp.cumprod((draft == g[:K]).astype(jnp.int32))
+        blk = _project(params, cfg, hidden[0])               # (K+1, V)
+        if sampled:
+            probs = jax.vmap(lambda l: _filtered_probs(
+                l, temperature=temperature, top_k=top_k,
+                top_p=top_p))(blk)
+            g, accept = _sampled_verify(
+                probs, draft, jax.random.fold_in(rng, steps))
+            acc = jnp.cumprod(accept.astype(jnp.int32))
+        else:
+            g = jnp.argmax(blk, axis=-1).astype(jnp.int32)   # (K+1,)
+            # acceptance: longest draft prefix the model agrees with
+            acc = jnp.cumprod((draft == g[:K]).astype(jnp.int32))
         a = jnp.sum(acc)                                     # 0..K
 
         # ---- emit g[0..a], clamped by budget and cut at eos
@@ -156,14 +228,16 @@ def generate_lookup_stats(params: Dict[str, Any], cfg: DecoderConfig,
 def generate_lookup(params: Dict[str, Any], cfg: DecoderConfig,
                     ids: jax.Array, prompt_len: jax.Array, max_new: int,
                     eos_id: int, pad_id: int, rng: jax.Array,
-                    k_spec: int = 4) -> Tuple[jax.Array, jax.Array]:
-    """Greedy generation with prompt-lookup drafts, fused in one
-    dispatch. Same contract as `decoder.generate` at temperature=0:
-    returns (tokens (1, max_new) int32, pad after eos; n_generated (1,)).
-
-    `rng` is accepted for signature compatibility and unused (greedy
-    only: acceptance compares the model's argmax to the draft, which is
-    only meaningful when the target choice is deterministic)."""
+                    k_spec: int = 4, temperature: float = 0.0,
+                    top_k: int = 64, top_p: float = 1.0
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Generation with prompt-lookup drafts, fused in one dispatch.
+    Same contract as `decoder.generate`: returns (tokens (1, max_new)
+    int32, pad after eos; n_generated (1,)). Greedy at temperature 0 is
+    token-identical to the plain loop; temperature > 0 draws from the
+    identical filtered distribution via rejection-sampled verification
+    (`rng` seeds it)."""
     out, n, _ = generate_lookup_stats(params, cfg, ids, prompt_len,
-                                      max_new, eos_id, pad_id, rng, k_spec)
+                                      max_new, eos_id, pad_id, rng,
+                                      k_spec, temperature, top_k, top_p)
     return out, n

@@ -116,6 +116,90 @@ def test_rejects_batch():
         _spec(np.zeros((2, 4), np.int32), [4, 4], 8)
 
 
+def test_filtered_probs_matches_sample_logits():
+    """_filtered_probs is the analytic law of decoder.sample_logits:
+    20k Monte-Carlo draws land within ~2% of it (temperature + top-k +
+    nucleus all active)."""
+    from rag_application_tpu.models.decoder import sample_logits
+    from rag_application_tpu.models.speculative import _filtered_probs
+
+    logits = jnp.asarray(np.random.default_rng(0).normal(0, 2, (8,)),
+                         jnp.float32)
+    p = np.asarray(_filtered_probs(logits, temperature=0.7, top_k=5,
+                                   top_p=0.8))
+    assert abs(p.sum() - 1.0) < 1e-5
+    assert (p > 0).sum() <= 5  # top-k honored
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 20000)
+    draws = jax.vmap(lambda k: sample_logits(
+        logits[None], k, temperature=0.7, top_k=5, top_p=0.8)[0])(keys)
+    emp = np.bincount(np.asarray(draws), minlength=8) / 20000.0
+    np.testing.assert_allclose(emp, p, atol=0.02)
+
+
+def test_sampled_verify_preserves_the_target_law():
+    """Rejection-sampled draft verification: the marginal of the first
+    emitted token equals the target distribution exactly (20k draws),
+    regardless of what the draft proposes; accepted positions echo the
+    draft."""
+    from rag_application_tpu.models.speculative import _sampled_verify
+
+    rng = np.random.default_rng(3)
+    V, K = 8, 3
+    probs = rng.dirichlet(np.ones(V), size=K + 1).astype(np.float32)
+    probs_j = jnp.asarray(probs)
+    draft = jnp.asarray([2, 5, 0], jnp.int32)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 20000)
+    g, accept = jax.vmap(lambda k: _sampled_verify(probs_j, draft, k))(keys)
+    g, accept = np.asarray(g), np.asarray(accept)
+    # accepted -> the draft token verbatim
+    assert (g[:, 0][accept[:, 0]] == 2).all()
+    # position-0 marginal == target row 0 (the exactness property)
+    emp = np.bincount(g[:, 0], minlength=V) / 20000.0
+    np.testing.assert_allclose(emp, probs[0], atol=0.02)
+    # acceptance rate at position 0 == p_0(draft_0)
+    assert abs(accept[:, 0].mean() - probs[0, 2]) < 0.02
+    # bonus position K: plain draw from row K
+    emp_k = np.bincount(g[:, K], minlength=V) / 20000.0
+    np.testing.assert_allclose(emp_k, probs[K], atol=0.02)
+
+
+def test_sampled_lookup_generates_seeded_and_valid():
+    """Sampled speculative generation: seeded-deterministic, in-vocab,
+    pads after eos, and a near-zero temperature reproduces the greedy
+    sequence (the distribution collapses onto the argmax)."""
+    rng = np.random.default_rng(31)
+    ids = rng.integers(0, CFG.vocab_size, (1, 12)).astype(np.int32)
+
+    def sample(seed, temp):
+        out, n = generate_lookup(PARAMS, CFG, jnp.asarray(ids),
+                                 jnp.asarray([12], jnp.int32), 16, -1,
+                                 -9, jax.random.PRNGKey(seed), 4, temp,
+                                 32, 0.9)
+        return np.asarray(out), np.asarray(n)
+
+    o1, n1 = sample(0, 0.8)
+    o2, _ = sample(0, 0.8)
+    o3, _ = sample(7, 0.8)
+    assert (o1 == o2).all()
+    assert ((o1 >= -9) & (o1 < CFG.vocab_size)).all()
+    assert not (o1 == o3).all()  # different seed, different path
+    # temperature -> 0 collapses onto greedy
+    cold, _ = sample(0, 1e-4)
+    ref, _ = _greedy(ids, [12], 16)
+    assert (cold == ref).all()
+    # eos stops and pads
+    eos = int(o1[0, 1])
+    oe, ne = generate_lookup(PARAMS, CFG, jnp.asarray(ids),
+                             jnp.asarray([12], jnp.int32), 16, eos, -9,
+                             jax.random.PRNGKey(0), 4, 0.8, 32, 0.9)
+    oe = np.asarray(oe)[0]
+    stopped = np.where(oe == eos)[0]
+    if stopped.size:  # everything after the first eos is pad
+        assert (oe[stopped[0] + 1:] == -9).all()
+
+
 def test_local_llm_speculative_chat_matches_plain():
     """LocalLLM(speculative=True): greedy chat text equals the plain
     fused path (lossless), via the public provider surface."""
