@@ -143,12 +143,14 @@ def _hist_admit(hist, ids, plen, row, tok):
                                         (row, plen[0]))
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3),
+@partial(jax.jit, static_argnums=(1, 2, 3, 13, 14, 15),
          donate_argnums=(4, 5, 6, 7, 8, 11, 12))
 def _decode_chunk_spec(params, cfg: DecoderConfig, chunk: int, K: int,
                        tok, pos, active, slot_pos, hist, base_slot,
-                       eos, ck, cv):
-    """`chunk` speculative block steps in ONE dispatch (greedy only).
+                       eos, ck, cv, temperature: float = 0.0,
+                       top_k: int = 64, top_p: float = 1.0,
+                       rng=None, step0=None):
+    """`chunk` speculative block steps in ONE dispatch.
 
     Each step drafts K tokens per row from the row's own history
     (prompt-lookup: continuation of the latest earlier occurrence of
@@ -188,11 +190,27 @@ def _decode_chunk_spec(params, cfg: DecoderConfig, chunk: int, K: int,
         slot_pos = jax.lax.dynamic_update_slice(slot_pos, col, (0, head))
         hidden, ck, cv = forward(params, cfg, x, positions, ck, cv,
                                  write_slot=head, slot_positions=slot_pos)
-        g = jnp.argmax(_project(params, cfg, hidden),
-                       axis=-1).astype(jnp.int32)                # (B, K+1)
+        blk = _project(params, cfg, hidden)                      # (B,K+1,V)
+        if temperature > 0.0:
+            # sampled speculation: accept each draft with its target
+            # probability, resample rejections from the residual — the
+            # emitted law equals plain sampling (models/speculative.py,
+            # Monte-Carlo-pinned in tests)
+            from ..models.speculative import _filtered_probs, _sampled_verify
+
+            probs = jax.vmap(jax.vmap(lambda l: _filtered_probs(
+                l, temperature=temperature, top_k=top_k,
+                top_p=top_p)))(blk)
+            keys = jax.random.split(
+                jax.random.fold_in(rng, step0 + j), B)
+            g, accept = jax.vmap(_sampled_verify)(probs, draft, keys)
+            acc = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+        else:
+            g = jnp.argmax(blk, axis=-1).astype(jnp.int32)       # (B, K+1)
+            acc = jnp.cumprod((draft == g[:, :K]).astype(jnp.int32),
+                              axis=1)
 
         # ---- per-row acceptance + emission (eos consumed, not emitted)
-        acc = jnp.cumprod((draft == g[:, :K]).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)                                 # (B,) 0..K
         in_run = k_off[None, :] <= a[:, None]
         no_eos_before = jnp.cumprod(jnp.concatenate(
@@ -306,9 +324,9 @@ class ContinuousBatcher:
                  top_p: float = 1.0, seed: int = 0, spec_k: int = 0):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
-        if spec_k > 0 and temperature != 0.0:
-            raise ValueError("speculative batching is greedy-only "
-                             "(acceptance compares the model's argmax)")
+        # spec_k works for greedy (argmax-agreement acceptance, token-
+        # identical) AND sampled batchers (rejection-sampled acceptance
+        # preserving the filtered distribution exactly)
         self.params, self.cfg = params, cfg
         self.B, self.T = slots, prompt_pad
         self.S = prompt_pad + horizon
@@ -576,7 +594,9 @@ class ContinuousBatcher:
                         self.params, self.cfg, self.chunk, self.spec_k,
                         self.tok, self.pos, self.active, self.slot_pos,
                         self.hist, np.int32(self.head),
-                        jnp.asarray(eos_vec), self.ck, self.cv)
+                        jnp.asarray(eos_vec), self.ck, self.cv,
+                        self.temperature, self.top_k, self.top_p,
+                        self.rng, np.int32(self.steps))
                     return out  # (chunk, B, K+1)
                 (self.tok, self.pos, self.active, self.slot_pos,
                  self.ck, self.cv, out) = _decode_chunk(

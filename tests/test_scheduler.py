@@ -377,9 +377,34 @@ def test_batcher_serves_tp_sharded_params():
     assert shard == base
 
 
-def test_speculative_batcher_rejects_sampling():
-    with pytest.raises(ValueError, match="greedy-only"):
-        ContinuousBatcher(PARAMS, CFG, slots=2, spec_k=2, temperature=0.7)
+def test_sampled_speculative_batcher():
+    """spec_k with temperature>0: rejection-sampled verification (law
+    pinned in tests/test_speculative.py). Seeded-deterministic per
+    batcher; a near-zero temperature collapses onto the solo greedy
+    sequence THROUGH the whole batch machinery (joins + compaction)."""
+    rng = np.random.default_rng(14)
+    prompt = list(rng.integers(1, CFG.vocab_size, 6))
+
+    def run_once(seed, temp):
+        async def run():
+            b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=8,
+                                  horizon=32, chunk=2, spec_k=3,
+                                  temperature=temp, top_k=32,
+                                  top_p=0.9, seed=seed)
+            return await b.submit(prompt, max_new=12), b.compactions
+
+        return asyncio.run(run())
+
+    a, _ = run_once(0, 0.8)
+    b, _ = run_once(0, 0.8)
+    c, _ = run_once(5, 0.8)
+    assert a == b and len(a) == 12
+    assert all(0 <= t < CFG.vocab_size for t in a)
+    assert a != c  # different seed, different trajectory (overwhelmingly)
+
+    cold, compactions = run_once(0, 1e-4)
+    assert compactions > 0  # the run crossed a compaction
+    assert cold == _solo(prompt, 12, 8)
 
 
 def test_local_llm_batched_chat_matches_solo_chat():
