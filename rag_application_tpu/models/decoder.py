@@ -195,8 +195,15 @@ def quantize_decoder_params(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _mm(x: jax.Array, w: Any) -> jax.Array:
-    """x @ w for either a plain matrix or a quantized {"q","s"} pair."""
+    """x @ w for a plain matrix, a quantized {"q","s"} pair, or a
+    LoRA-wrapped {"w","a","b","s"} leaf (models/lora.py): base matmul +
+    the rank-r update x@a@b scaled by s — the (in, out) product is
+    never materialized, and the base may itself be quantized."""
     if isinstance(w, dict):
+        if "a" in w:  # LoRA wrapper
+            y = _mm(x, w["w"])
+            lo = (x @ w["a"].astype(x.dtype)) @ w["b"].astype(x.dtype)
+            return y + lo * w["s"].astype(x.dtype)
         y = x @ w["q"].astype(x.dtype)
         return y * w["s"].astype(x.dtype)
     return x @ w
