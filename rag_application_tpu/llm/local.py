@@ -71,13 +71,15 @@ class LocalLLM:
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
                     dtype: str = "bfloat16", quantize: bool = False,
-                    kv_quant: bool = False, **kw) -> "LocalLLM":
+                    kv_quant: bool = False, lora_path: str = "",
+                    lora_alpha: float = 16.0, **kw) -> "LocalLLM":
         """Load a local LLaMA-family HF checkpoint directory (never
         downloads — parity with the bert.py loader convention).
         `quantize=True` serves weight-only int8 (half the HBM, faster
         small-batch decode); `kv_quant=True` stores the KV cache as int8
         rows + per-row scales (half the cache traffic/capacity; see
-        models/decoder.py)."""
+        models/decoder.py); `lora_path` merges trained LoRA factors
+        (models/lora.py `save_adapters` npz) into the weights at load."""
         from transformers import (
             AutoConfig,
             AutoModelForCausalLM,
@@ -114,6 +116,13 @@ class LocalLLM:
         model = AutoModelForCausalLM.from_pretrained(
             model_dir, local_files_only=True)
         params = convert_hf_llama_state_dict(model.state_dict(), cfg)
+        if lora_path:
+            # merge trained rank-r adapters (models/lora.py) into the
+            # dense weights BEFORE quantization — zero serving overhead
+            from ..models.lora import load_adapters, lora_merge, lora_wrap_with
+
+            params = lora_merge(lora_wrap_with(
+                params, load_adapters(lora_path), alpha=lora_alpha))
         if quantize:
             params = quantize_decoder_params(params)
         tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)

@@ -107,6 +107,38 @@ def lora_merge(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def lora_wrap_with(params: Dict[str, Any], adapters: Dict[str, Any], *,
+                   alpha: float = 16.0) -> Dict[str, Any]:
+    """Wrap a base tree with ALREADY-TRAINED factors (e.g. from
+    `load_adapters`) — rank comes from the factor shapes."""
+    out = dict(params)
+    for name, ab in adapters.items():
+        L, _, r = ab["a"].shape
+        out[name] = {"w": params[name], "a": ab["a"], "b": ab["b"],
+                     "s": jnp.full((L, 1, 1), alpha / r, jnp.float32)}
+    return out
+
+
+def save_adapters(adapters: Dict[str, Any], path: str) -> None:
+    """npz of the adapter factors alone (megabytes — the artifact a
+    fine-tune ships; the base checkpoint is unchanged by design)."""
+    flat = {}
+    for name, ab in adapters.items():
+        flat[f"{name}.a"] = np.asarray(ab["a"].astype(jnp.float32))
+        flat[f"{name}.b"] = np.asarray(ab["b"].astype(jnp.float32))
+    np.savez(path, **flat)
+
+
+def load_adapters(path: str, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Inverse of save_adapters; graft with `lora_apply`."""
+    raw = np.load(path)
+    out: Dict[str, Any] = {}
+    for key in raw.files:
+        name, part = key.rsplit(".", 1)
+        out.setdefault(name, {})[part] = jnp.asarray(raw[key], dtype)
+    return out
+
+
 def make_lora_train_step(cfg: DecoderConfig, optimizer, *,
                          remat: bool = True) -> Callable:
     """Causal-LM step that differentiates ONLY the adapter factors.

@@ -125,6 +125,9 @@ def main() -> None:
             model_dir,
             quantize=os.environ.get("RAGTPU_LOCAL_QUANT", "0") == "1",
             kv_quant=os.environ.get("RAGTPU_LOCAL_KV_QUANT", "0") == "1",
+            lora_path=os.environ.get("RAGTPU_LOCAL_LORA", ""),
+            lora_alpha=float(os.environ.get("RAGTPU_LOCAL_LORA_ALPHA",
+                                            "16")),
             speculative=os.environ.get(
                 "RAGTPU_LOCAL_SPECULATIVE", "0") == "1")
         # RAGTPU_LOCAL_BATCH_SLOTS>0 serves concurrent chats from ONE
