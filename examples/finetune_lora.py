@@ -34,8 +34,12 @@ def log(*a):
     print(f"[{time.strftime('%X')}]", *a, file=sys.stderr)
 
 
-def render_records(path: str, render, encode) -> list:
-    seqs = []
+def render_records(path: str, render_train, encode, eos_id) -> list:
+    """TRAINING rendering: unlike the serving prompt template (which
+    appends a dangling 'assistant:' and strips eos — llm/local.py
+    render), each example ends with the assistant's actual reply
+    followed by eos, so ending a turn IS a prediction target."""
+    seqs, skipped = [], 0
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -43,11 +47,20 @@ def render_records(path: str, render, encode) -> list:
                 continue
             rec = json.loads(line)
             if "messages" in rec:
-                seqs.append(render(rec["messages"]))
+                ids = render_train(rec["messages"])
             elif "text" in rec:
-                seqs.append(encode(rec["text"]))
+                ids = list(encode(rec["text"]))
+            else:
+                skipped += 1
+                continue
+            if eos_id is not None and (not ids or ids[-1] != eos_id):
+                ids = ids + [eos_id]
+            seqs.append(ids)
+    if skipped:
+        log(f"WARNING: skipped {skipped} records without "
+            f"'messages'/'text' keys — check the dataset")
     if not seqs:
-        raise SystemExit(f"no records in {path}")
+        raise SystemExit(f"no usable records in {path}")
     return seqs
 
 
@@ -85,8 +98,8 @@ def main(argv=None) -> str:
 
         llm = LocalLLM.from_hf_dir(args.model_dir)
         params, cfg = llm.params, llm.cfg
-        render = llm.render
         encode = llm.tokenizer.encode
+        eos_id = llm.eos_id
     else:  # smoke mode: tiny random model + wordpiece-free encoding
         from rag_application_tpu.models.decoder import (
             DecoderConfig,
@@ -98,10 +111,14 @@ def main(argv=None) -> str:
                             dtype="float32")
         params = init_decoder_params(jax.random.PRNGKey(0), cfg)
         encode = lambda t: [ord(c) % 256 for c in t][: args.seq_len]
-        render = lambda msgs: encode(
-            "\n".join(f"{m['role']}: {m['content']}" for m in msgs))
+        eos_id = 0
 
-    seqs = render_records(args.data, render, encode)
+    def render_train(msgs):
+        text = "\n".join(f"{m['role']}: {m['content']}" for m in msgs)
+        ids = list(encode(text))
+        return ids  # render_records appends eos
+
+    seqs = render_records(args.data, render_train, encode, eos_id)
     log(f"{len(seqs)} sequences, cfg hidden={cfg.hidden} L={cfg.num_layers}")
 
     T = min(args.seq_len, cfg.max_len)
@@ -132,13 +149,15 @@ def main(argv=None) -> str:
                 f"acc {float(m['accuracy']):.3f}")
     log(f"trained {args.steps} steps in {time.time()-t0:.1f}s")
 
-    save_adapters(state.params, args.out)
-    size = os.path.getsize(args.out if args.out.endswith(".npz")
-                           else args.out + ".npz")
-    print(json.dumps({"out": args.out, "bytes": size,
+    # np.savez appends .npz when missing — report the REAL path
+    out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+    # wrapped carries the trained scale s = alpha/r; embedding it makes
+    # the artifact self-describing (serve boot needs no matching alpha)
+    save_adapters(state.params, out, wrapped=wrapped)
+    print(json.dumps({"out": out, "bytes": os.path.getsize(out),
                       "final_loss": round(float(m["loss"]), 4),
                       "final_acc": round(float(m["accuracy"]), 4)}))
-    return args.out
+    return out
 
 
 if __name__ == "__main__":

@@ -110,32 +110,46 @@ def lora_merge(params: Dict[str, Any]) -> Dict[str, Any]:
 def lora_wrap_with(params: Dict[str, Any], adapters: Dict[str, Any], *,
                    alpha: float = 16.0) -> Dict[str, Any]:
     """Wrap a base tree with ALREADY-TRAINED factors (e.g. from
-    `load_adapters`) — rank comes from the factor shapes."""
+    `load_adapters`) — rank comes from the factor shapes. A scale
+    embedded in the artifact wins over the `alpha` fallback (it is the
+    strength the factors were trained at)."""
     out = dict(params)
     for name, ab in adapters.items():
         L, _, r = ab["a"].shape
-        out[name] = {"w": params[name], "a": ab["a"], "b": ab["b"],
-                     "s": jnp.full((L, 1, 1), alpha / r, jnp.float32)}
+        s = ab.get("s")
+        if s is None:
+            s = jnp.full((L, 1, 1), alpha / r, jnp.float32)
+        out[name] = {"w": params[name], "a": ab["a"], "b": ab["b"], "s": s}
     return out
 
 
-def save_adapters(adapters: Dict[str, Any], path: str) -> None:
+def save_adapters(adapters: Dict[str, Any], path: str, *,
+                  wrapped: Dict[str, Any] = None) -> None:
     """npz of the adapter factors alone (megabytes — the artifact a
-    fine-tune ships; the base checkpoint is unchanged by design)."""
+    fine-tune ships; the base checkpoint is unchanged by design).
+
+    Pass the `wrapped` tree to embed each target's trained scale s
+    (alpha/r): without it, whoever loads the artifact must supply the
+    SAME alpha the training run used or the adapter applies at the
+    wrong strength."""
     flat = {}
     for name, ab in adapters.items():
         flat[f"{name}.a"] = np.asarray(ab["a"].astype(jnp.float32))
         flat[f"{name}.b"] = np.asarray(ab["b"].astype(jnp.float32))
+        if wrapped is not None and isinstance(wrapped.get(name), dict):
+            flat[f"{name}.s"] = np.asarray(wrapped[name]["s"], np.float32)
     np.savez(path, **flat)
 
 
 def load_adapters(path: str, dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Inverse of save_adapters; graft with `lora_apply`."""
+    """Inverse of save_adapters; graft with `lora_apply` (training
+    shape) or `lora_wrap_with` (serving). Scales stay f32."""
     raw = np.load(path)
     out: Dict[str, Any] = {}
     for key in raw.files:
         name, part = key.rsplit(".", 1)
-        out.setdefault(name, {})[part] = jnp.asarray(raw[key], dtype)
+        dt = jnp.float32 if part == "s" else dtype
+        out.setdefault(name, {})[part] = jnp.asarray(raw[key], dt)
     return out
 
 

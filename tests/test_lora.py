@@ -147,6 +147,31 @@ def test_adapter_save_load_roundtrip(tmp_path):
     _ = _logits(lora_apply(wrapped, back), np.zeros((1, 4), np.int32))
 
 
+def test_saved_scale_wins_over_alpha_fallback(tmp_path):
+    """The npz embeds the trained scale s = alpha/r, so serving with a
+    different (default) alpha still applies the adapter at its trained
+    strength."""
+    from rag_application_tpu.models.lora import (
+        load_adapters,
+        lora_wrap_with,
+        save_adapters,
+    )
+
+    wrapped = lora_init(jax.random.PRNGKey(7), BASE, r=4, alpha=32.0)
+    ads = lora_adapters(wrapped)
+    ads = jax.tree.map(lambda v: v + 0.05, ads)
+    wrapped = lora_apply(wrapped, ads)
+    p = str(tmp_path / "a32.npz")
+    save_adapters(lora_adapters(wrapped), p, wrapped=wrapped)
+
+    rewrapped = lora_wrap_with(BASE, load_adapters(p), alpha=16.0)
+    assert float(rewrapped["wq"]["s"][0, 0, 0]) == 32.0 / 4  # stored s
+    ids = np.random.default_rng(4).integers(0, 64, (1, 5)).astype(np.int32)
+    lw, lr = _logits(wrapped, ids), _logits(rewrapped, ids)
+    scale = max(np.abs(lw).max(), 1.0)
+    np.testing.assert_allclose(lr, lw, atol=2e-3 * scale)
+
+
 def test_lora_over_quantized_base():
     """QLoRA-style composition: int8 frozen base + bf16 factors. The
     wrapped forward runs through the same _mm recursion and merge
