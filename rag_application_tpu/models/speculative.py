@@ -1,4 +1,4 @@
-"""Prompt-lookup speculative decoding: lossless greedy speedup.
+"""Prompt-lookup speculative decoding: lossless speedup, greedy or sampled.
 
 Parity+: the reference's serving paths (Ollama local serving,
 app/core/models/ollama/*; HF local generation,
@@ -10,9 +10,11 @@ lookup: match the current bigram earlier in the history, propose its
 continuation) and verifies K drafts + 1 token in ONE decoder step.
 Accepted drafts cost one step instead of one step each; rejected
 drafts cost nothing extra (the correction token came out of the same
-verify pass). Greedy output is TOKEN-IDENTICAL to `decoder.generate`
-(asserted in tests/test_speculative.py) — drafting changes the
-schedule, never the distribution.
+verify pass). Greedy output is TOKEN-IDENTICAL to `decoder.generate`,
+and sampled output (temperature > 0) draws from the IDENTICAL filtered
+distribution via rejection-sampled acceptance (`_sampled_verify`;
+Monte-Carlo-pinned in tests/test_speculative.py) — drafting changes
+the schedule, never the distribution.
 
 TPU-first design:
   * the whole generate loop is ONE `lax.while_loop` dispatch (like
