@@ -321,7 +321,8 @@ class ContinuousBatcher:
                  slots: int = 8, prompt_pad: int = 128,
                  horizon: int = 512, chunk: int = 8,
                  temperature: float = 0.0, top_k: int = 64,
-                 top_p: float = 1.0, seed: int = 0, spec_k: int = 0):
+                 top_p: float = 1.0, seed: int = 0, spec_k: int = 0,
+                 spec_min_tps: float = 0.0, spec_cooldown: int = 16):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
         # spec_k works for greedy (argmax-agreement acceptance, token-
@@ -337,6 +338,17 @@ class ContinuousBatcher:
         self.width = self.spec_k + 1  # physical slots burned per step
         if horizon < chunk * self.width:
             raise ValueError("need horizon >= chunk * (spec_k + 1)")
+        # adaptive speculation: a speculative dispatch whose realized
+        # tokens/step falls below spec_min_tps pauses speculation for
+        # spec_cooldown dispatches (a K=0 spec chunk IS a plain chunk
+        # under the same output-emission convention, so switching
+        # widths per dispatch never changes the emitted tokens).
+        # spec_min_tps=0 (default) disables throttling.
+        self.spec_min_tps = float(spec_min_tps)
+        self.spec_cooldown = int(spec_cooldown)
+        self._cooldown = 0
+        self.spec_dispatches = 0
+        self.plain_dispatches = 0
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.rng = jax.random.PRNGKey(seed)
         self._reset_device_state()
@@ -570,7 +582,14 @@ class ContinuousBatcher:
                 if admitted:
                     continue
                 return  # nothing in flight; next submit restarts the loop
-            burn = self.chunk * self.width  # physical slots per dispatch
+            # adaptive speculation: during a cooldown run K=0 spec
+            # chunks (same emission convention, 1 slot/step) and
+            # re-probe speculation when it expires
+            use_k = self.spec_k
+            if use_k and self.spec_min_tps > 0 and self._cooldown > 0:
+                use_k = 0
+                self._cooldown -= 1
+            burn = self.chunk * (use_k + 1)  # physical slots per dispatch
             if self.head + burn > self.S:
                 (self.ck, self.cv, self.slot_pos,
                  head) = await loop.run_in_executor(
@@ -591,13 +610,13 @@ class ContinuousBatcher:
                 if self.spec_k:
                     (self.tok, self.pos, self.active, self.slot_pos,
                      self.hist, self.ck, self.cv, out) = _decode_chunk_spec(
-                        self.params, self.cfg, self.chunk, self.spec_k,
+                        self.params, self.cfg, self.chunk, use_k,
                         self.tok, self.pos, self.active, self.slot_pos,
                         self.hist, np.int32(self.head),
                         jnp.asarray(eos_vec), self.ck, self.cv,
                         self.temperature, self.top_k, self.top_p,
                         self.rng, np.int32(self.steps))
-                    return out  # (chunk, B, K+1)
+                    return out  # (chunk, B, use_k+1)
                 (self.tok, self.pos, self.active, self.slot_pos,
                  self.ck, self.cv, out) = _decode_chunk(
                     self.params, self.cfg, self.chunk, self.tok, self.pos,
@@ -610,7 +629,17 @@ class ContinuousBatcher:
             out = await loop.run_in_executor(None, _step)
             self.head += burn
             self.steps += self.chunk
-            emitted = np.asarray(out)  # (chunk, B, width)
+            emitted = np.asarray(out)  # (chunk, B, use_k+1)
+            if self.spec_k:
+                if use_k > 0:
+                    self.spec_dispatches += 1
+                    if self.spec_min_tps > 0:
+                        rate = float((emitted[:, busy, :] >= 0).sum()) / (
+                            self.chunk * len(busy))
+                        if rate < self.spec_min_tps:
+                            self._cooldown = self.spec_cooldown
+                else:
+                    self.plain_dispatches += 1
             alive = np.asarray(self.active)
             for i in busy:
                 s = self._slots[i]

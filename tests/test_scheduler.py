@@ -377,6 +377,29 @@ def test_batcher_serves_tp_sharded_params():
     assert shard == base
 
 
+def test_adaptive_speculation_throttles_and_stays_exact():
+    """spec_min_tps above what random prompts can achieve: the batcher
+    probes speculation, measures a low realized rate, and falls back to
+    K=0 chunks for the cooldown — emitted tokens stay identical to solo
+    (the K=0 spec chunk shares the output-emission convention)."""
+    rng = np.random.default_rng(15)
+    prompts = _prompts(3, rng)
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=64, chunk=2, spec_k=3,
+                              spec_min_tps=4.5, spec_cooldown=4)
+        outs = await asyncio.gather(*[
+            b.submit(p, max_new=12) for p in prompts])
+        return outs, b.spec_dispatches, b.plain_dispatches
+
+    got, spec_d, plain_d = asyncio.run(run())
+    assert spec_d >= 1  # probed at least once
+    assert plain_d >= 1  # and throttled
+    for p, toks in zip(prompts, got):
+        assert toks == _solo(p, 12, 16), p
+
+
 def test_sampled_speculative_batcher():
     """spec_k with temperature>0: rejection-sampled verification (law
     pinned in tests/test_speculative.py). Seeded-deterministic per
