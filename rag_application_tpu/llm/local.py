@@ -133,7 +133,7 @@ class LocalLLM:
                         horizon: int = 512, chunk: int = 8,
                         temperature: float = 0.0, top_k: int = 64,
                         top_p: float = 1.0, seed: int = 0,
-                        spec_k: int = 0):
+                        spec_k: int = 0, **batcher_kw):
         """Route `chat` through a continuous batcher: N concurrent
         requests share ONE decode batch on the chip (llm/scheduler.py),
         matching the reference's Ollama serving behavior. Sampling knobs
@@ -146,7 +146,8 @@ class LocalLLM:
         self._batcher = ContinuousBatcher(
             self.params, self.cfg, slots=slots, prompt_pad=prompt_pad,
             horizon=horizon, chunk=chunk, temperature=temperature,
-            top_k=top_k, top_p=top_p, seed=seed, spec_k=spec_k)
+            top_k=top_k, top_p=top_p, seed=seed, spec_k=spec_k,
+            **batcher_kw)
         return self._batcher
 
     def register_prefix_text(self, text: str) -> int:

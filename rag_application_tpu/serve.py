@@ -142,7 +142,11 @@ def main() -> None:
                 horizon=int(os.environ.get(
                     "RAGTPU_LOCAL_BATCH_HORIZON", "512")),
                 chunk=int(os.environ.get("RAGTPU_LOCAL_BATCH_CHUNK", "8")),
-                spec_k=int(os.environ.get("RAGTPU_LOCAL_BATCH_SPEC_K", "0")))
+                spec_k=int(os.environ.get("RAGTPU_LOCAL_BATCH_SPEC_K", "0")),
+                spec_min_tps=float(os.environ.get(
+                    "RAGTPU_LOCAL_BATCH_SPEC_MIN_TPS", "0")),
+                spec_cooldown=int(os.environ.get(
+                    "RAGTPU_LOCAL_BATCH_SPEC_COOLDOWN", "16")))
             # prefix-cache a shared system header (text, token-boundary
             # aligned with the render format) so admissions prefill only
             # their suffix
