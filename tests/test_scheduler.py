@@ -400,6 +400,31 @@ def test_adaptive_speculation_throttles_and_stays_exact():
         assert toks == _solo(p, 12, 16), p
 
 
+def test_adaptive_speculation_sampled_mode():
+    """Throttling composes with sampled speculation: K=0 chunks route
+    through _sampled_verify's empty-draft path; output stays seeded-
+    deterministic and in-vocab."""
+    rng = np.random.default_rng(16)
+    prompt = list(rng.integers(1, CFG.vocab_size, 6))
+
+    def run_once():
+        async def run():
+            b = ContinuousBatcher(PARAMS, CFG, slots=1, prompt_pad=8,
+                                  horizon=48, chunk=2, spec_k=2,
+                                  temperature=0.8, top_k=32, top_p=0.9,
+                                  spec_min_tps=4.0, spec_cooldown=3)
+            out = await b.submit(prompt, max_new=10)
+            return out, b.plain_dispatches
+
+        return asyncio.run(run())
+
+    a, plain_a = run_once()
+    b, _ = run_once()
+    assert a == b and len(a) == 10
+    assert plain_a >= 1
+    assert all(0 <= t < CFG.vocab_size for t in a)
+
+
 def test_sampled_speculative_batcher():
     """spec_k with temperature>0: rejection-sampled verification (law
     pinned in tests/test_speculative.py). Seeded-deterministic per
