@@ -22,9 +22,10 @@ loop stays free.
 from __future__ import annotations
 
 import asyncio
-from typing import Any, AsyncIterator, Dict, List, Optional, Sequence
+from typing import Any, AsyncIterator, Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models.decoder import (
@@ -240,6 +241,44 @@ class LocalLLM:
         out = np.asarray(out)[0]
         return [int(t) for t in out if int(t) != self.pad_id
                 and int(t) != self.eos_id]
+
+    def choose(self, prompt_ids: Sequence[int],
+               choices: Sequence[Sequence[int]]) -> Tuple[int, List[float]]:
+        """Exact log P(choice | prompt) for each candidate (one batched
+        teacher-forced forward, decoder.score_continuations); returns
+        (argmax index, per-choice log-probs). The constrained answer
+        for enum-style structured output: always a valid option."""
+        from ..models.decoder import score_continuations
+
+        n = len(prompt_ids)
+        lens = [n + len(c) for c in choices]
+        bucket = 1
+        while bucket < max(lens):
+            bucket <<= 1
+        bucket = min(bucket, self.cfg.max_len)
+        ids = np.full((len(choices), bucket), self.pad_id, np.int32)
+        for i, c in enumerate(choices):
+            row = (list(prompt_ids) + list(c))[:bucket]
+            ids[i, :len(row)] = row
+        scores = np.asarray(score_continuations(
+            self.params, self.cfg, jnp.asarray(ids),
+            jnp.asarray([n] * len(choices), np.int32),
+            jnp.asarray([min(l, bucket) for l in lens], np.int32)))
+        return int(np.argmax(scores)), [float(s) for s in scores]
+
+    def choose_text(self, messages: Sequence[Any],
+                    options: Sequence[str]) -> str:
+        """Pick the most probable option string as the assistant's
+        reply — guaranteed to BE one of the options."""
+        prompt = self.render(messages)
+        enc = []
+        for o in options:
+            ids = self.tokenizer.encode(o)
+            if ids and ids[-1] == self.eos_id:
+                ids = ids[:-1]
+            enc.append(ids)
+        i, _ = self.choose(prompt, enc)
+        return options[i]
 
     async def chat(self, messages: Sequence[Any], *,
                    tools=None, response_schema=None,

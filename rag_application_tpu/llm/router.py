@@ -20,6 +20,7 @@ without network dependencies (SURVEY §7.4).
 
 from __future__ import annotations
 
+import asyncio
 import enum
 import json
 import re
@@ -317,6 +318,17 @@ class LLMRouter:
         if system:
             msgs.append(ChatMessage("system", system))
         msgs.append(ChatMessage("user", prompt))
+        # top-level enum schemas on the LOCAL provider skip the
+        # prompt-and-retry loop entirely: exact choice scoring
+        # (decoder.score_continuations) GUARANTEES a valid option —
+        # the on-chip answer to server-side constrained output
+        enum_vals = schema.get("enum")
+        if (enum_vals and self.provider == Provider.LOCAL
+                and self.local is not None
+                and all(isinstance(v, str) for v in enum_vals)):
+            loop = asyncio.get_running_loop()
+            return await loop.run_in_executor(
+                None, self.local.choose_text, msgs, list(enum_vals))
         last_err: Optional[Exception] = None
         for attempt in range(self.max_retries):
             resp = await self.chat(msgs, response_schema=schema, **params)

@@ -470,6 +470,35 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
     return _project(params, cfg, x[:, 0]), cache_k, cache_v
 
 
+@partial(jax.jit, static_argnums=(1,))
+def score_continuations(params: Dict[str, Any], cfg: DecoderConfig,
+                        ids: jax.Array, prompt_len: jax.Array,
+                        total_len: jax.Array) -> jax.Array:
+    """Exact log P(continuation | prompt) for C candidates in ONE
+    teacher-forced forward.
+
+    ids (C, T): each row = the SAME prompt followed by one candidate
+    continuation, right-padded; prompt_len/total_len (C,) delimit the
+    scored span. Returns (C,) summed token log-probs — argmax is a
+    GUARANTEED-valid choice (the constrained-decoding answer for
+    enum/classification structured outputs: instead of hoping sampling
+    emits a valid string and retrying, score the finite candidate set;
+    parity+: the reference leans on OpenAI's server-side structured
+    output, openai.py:115-166)."""
+    C, T = ids.shape
+    z1, z2 = init_kv_cache(cfg, C, T)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                                 (C, T))
+    x, _, _ = forward(params, cfg, ids, positions, z1, z2)
+    lp = jax.nn.log_softmax(_project(params, cfg, x)[:, :-1], axis=-1)
+    tok_lp = jnp.take_along_axis(
+        lp, ids[:, 1:, None].astype(jnp.int32), axis=-1)[..., 0]  # (C,T-1)
+    j = jnp.arange(T - 1, dtype=jnp.int32)[None, :]
+    m = ((j >= prompt_len[:, None] - 1)
+         & (j < total_len[:, None] - 1)).astype(tok_lp.dtype)
+    return jnp.sum(tok_lp * m, axis=1)
+
+
 # ---------------------------------------------------------------- sampling
 
 

@@ -217,6 +217,72 @@ def test_quantized_grid_weights_are_exact():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_score_continuations_matches_hf(hf_pair):
+    """Choice scoring: summed continuation log-probs equal the HF
+    full-forward oracle for ragged candidates in one batched call."""
+    import torch
+
+    from rag_application_tpu.models.decoder import score_continuations
+
+    hf, params = hf_pair
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, CFG.vocab_size, (6,)).astype(np.int32)
+    choices = [rng.integers(0, CFG.vocab_size, (k,)).astype(np.int32)
+               for k in (3, 5, 2)]
+    T = 16
+    ids = np.zeros((len(choices), T), np.int32)
+    tlen = []
+    for i, c in enumerate(choices):
+        row = np.concatenate([prompt, c])
+        ids[i, :len(row)] = row
+        tlen.append(len(row))
+    got = np.asarray(score_continuations(
+        params, CFG, jnp.asarray(ids),
+        jnp.asarray([6] * len(choices), np.int32),
+        jnp.asarray(tlen, np.int32)))
+    for i, c in enumerate(choices):
+        row = np.concatenate([prompt, c])[None].astype(np.int64)
+        with torch.no_grad():
+            lg = hf(torch.tensor(row)).logits.log_softmax(-1).numpy()[0]
+        want = sum(lg[j, row[0, j + 1]] for j in range(5, 5 + len(c)))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=3e-4)
+
+
+def test_local_llm_choose_text():
+    """choose_text always returns one of the options and prefers the
+    higher-likelihood one (checked against per-option scoring)."""
+    local = _make_local()
+    from rag_application_tpu.llm.router import ChatMessage
+
+    msgs = [ChatMessage("user", "how is the weather")]
+    options = ["sunny", "fine today", "hello world"]
+    out = local.choose_text(msgs, options)
+    assert out in options
+    prompt = local.render(msgs)
+    enc = [local.tokenizer.encode(o) for o in options]
+    enc = [e[:-1] if e and e[-1] == local.eos_id else e for e in enc]
+    idx, scores = local.choose(prompt, enc)
+    assert options[idx] == out
+    assert scores[idx] == max(scores)
+
+
+def test_structured_enum_routes_through_choice_scoring():
+    """generate_structured with a top-level enum on the local provider
+    returns a GUARANTEED-valid option via exact scoring (no retries)."""
+    from rag_application_tpu.llm.router import LLMRouter, Provider
+
+    local = _make_local()
+    router = LLMRouter(Provider.LOCAL, model="tiny-local", local=local)
+
+    async def main():
+        return await router.generate_structured(
+            "how is the weather today",
+            {"enum": ["sunny", "fine", "hello world"]})
+
+    out = asyncio.run(main())
+    assert out in ("sunny", "fine", "hello world")
+
+
 def test_qwen2_logits_parity():
     """Qwen2-family checkpoints (q/k/v projection biases, GQA, tied or
     untied head) convert through the same loader; prefill + decode
