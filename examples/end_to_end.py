@@ -15,6 +15,13 @@ import numpy as np
 # allow running uninstalled from a repo checkout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# RAGTPU_PLATFORM=cpu runs the demo off-TPU (the axon relay can be
+# degraded; this must be set before first backend use)
+if os.environ.get("RAGTPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["RAGTPU_PLATFORM"])
+
 from rag_application_tpu.agents.chat_agent import ChatAgent
 from rag_application_tpu.config import Config
 from rag_application_tpu.ingest.pipeline import IngestPipeline
