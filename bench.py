@@ -43,14 +43,35 @@ def synth_tokens(rng, n, vocab=50_000, doc_len=24):
 
 def run():
     t_start = time.time()
+    # a fully-degraded axon relay can hang `import jax` ITSELF (the
+    # plugin's import-time discovery blocks on the network, observed
+    # for hours at a stretch) — arm a watchdog so the bench fails loudly
+    # in minutes instead of wedging the harness indefinitely
+    import threading
+
+    imported = threading.Event()
+
+    def _fuse():
+        if not imported.wait(600.0):
+            log("[bench] FATAL: jax import/attach wedged for 600s "
+                "(degraded relay?) — aborting")
+            os._exit(3)
+
+    threading.Thread(target=_fuse, daemon=True).start()
+    # BENCH_PLATFORM=cpu: off-TPU smoke runs. Setting the ENV VAR
+    # before the import skips the axon plugin's import-time discovery
+    # (which wedges on a dead relay); the config update below also
+    # overrides the sitecustomize's programmatic "axon,cpu".
+    if os.environ.get("BENCH_PLATFORM"):
+        os.environ["JAX_PLATFORMS"] = os.environ["BENCH_PLATFORM"]
     import jax
 
-    # BENCH_PLATFORM=cpu: off-TPU smoke runs (the JAX_PLATFORMS env var
-    # is overridden by the axon sitecustomize; this knob wins because it
-    # runs before first backend use)
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
+
+    jax.devices()  # backend attach happens here, inside the fuse window
+    imported.set()
 
     small = os.environ.get("BENCH_SMALL") == "1"
     n = int(os.environ.get("BENCH_N", 100_000 if small else 1_000_000))
