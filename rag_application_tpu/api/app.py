@@ -653,7 +653,8 @@ def build_app(config: Optional[Config] = None, *,
         # the router's per-provider allowlist filters them
         gen = {k: body[k] for k in (
             "temperature", "max_tokens", "top_p", "stop", "seed",
-            "presence_penalty", "frequency_penalty") if k in body}
+            "logprobs", "presence_penalty", "frequency_penalty")
+            if k in body}
         if body.get("stream"):
             async def events():
                 async for delta in state.llm.stream(msgs, **gen):
@@ -670,12 +671,14 @@ def build_app(config: Optional[Config] = None, *,
                                     "finish_reason": "stop"}]}
             return SSEResponse(events())
         resp = await state.llm.chat(msgs, **gen)
+        choice = {"index": 0, "message": {
+            "role": "assistant", "content": resp.content},
+            "finish_reason": "stop"}
+        if getattr(resp, "logprobs", None) is not None:
+            choice["logprobs"] = {"content": resp.logprobs}
         return {"id": completion_id, "object": "chat.completion",
                 "created": int(time.time()), "model": model,
-                "choices": [{"index": 0, "message": {
-                    "role": "assistant", "content": resp.content},
-                    "finish_reason": "stop"}],
-                "usage": resp.usage}
+                "choices": [choice], "usage": resp.usage}
 
     # -------------------------------------------------------------- search
 

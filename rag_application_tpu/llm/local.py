@@ -242,6 +242,31 @@ class LocalLLM:
         return [int(t) for t in out if int(t) != self.pad_id
                 and int(t) != self.eos_id]
 
+    def generate_ids_logprobs(self, prompt_ids: Sequence[int], *,
+                              max_new: int = 128, temperature: float = 0.0,
+                              top_k: int = 64, top_p: float = 1.0,
+                              seed: int = 0):
+        """`generate_ids` that also returns each emitted token's raw
+        model log-prob (decoder.generate_logprobs — same fused loop)."""
+        from ..models.decoder import generate_logprobs
+
+        n = len(prompt_ids)
+        max_new = max(1, min(max_new, self.cfg.max_len - n))
+        bucket = 1
+        while bucket < n:
+            bucket <<= 1
+        bucket = min(bucket, self.cfg.max_len - 1)
+        ids = np.full((1, bucket), self.pad_id, np.int32)
+        ids[0, :n] = prompt_ids
+        out, _, lps = generate_logprobs(
+            self.params, self.cfg, ids, np.asarray([n], np.int32),
+            max_new, self.eos_id, self.pad_id, jax.random.PRNGKey(seed),
+            float(temperature), int(top_k), float(top_p))
+        pairs = [(int(t), float(l))
+                 for t, l in zip(np.asarray(out)[0], np.asarray(lps)[0])
+                 if int(t) not in (self.pad_id, self.eos_id)]
+        return [t for t, _ in pairs], [l for _, l in pairs]
+
     def choose(self, prompt_ids: Sequence[int],
                choices: Sequence[Sequence[int]]) -> Tuple[int, List[float]]:
         """Exact log P(choice | prompt) for each candidate (one batched
@@ -297,11 +322,22 @@ class LocalLLM:
                              self.cfg.max_len - len(prompt)))
         temperature = float(params.get("temperature") or 0.0)
         top_p = float(params.get("top_p") or 1.0)
-        if self._batch_eligible(prompt, max_new, params, temperature, top_p):
+        lp_out = None
+        loop = asyncio.get_running_loop()
+        if params.get("logprobs"):
+            # logprobs ride the solo fused loop (the batcher does not
+            # thread per-token scores through its chunks)
+            out_ids, lps = await loop.run_in_executor(
+                None, lambda: self.generate_ids_logprobs(
+                    prompt, max_new=max_new, temperature=temperature,
+                    top_p=top_p, seed=int(params.get("seed") or 0)))
+            lp_out = [{"token": self.tokenizer.decode([t]),
+                       "logprob": l} for t, l in zip(out_ids, lps)]
+        elif self._batch_eligible(prompt, max_new, params, temperature,
+                                  top_p):
             out_ids = await self._batcher.submit(prompt, max_new=max_new,
                                                  eos_id=self.eos_id)
         else:
-            loop = asyncio.get_running_loop()
             out_ids = await loop.run_in_executor(
                 None, lambda: self.generate_ids(
                     prompt, max_new=max_new, temperature=temperature,
@@ -311,7 +347,8 @@ class LocalLLM:
         return LLMResponse(content=text,
                            usage={"prompt_tokens": len(prompt),
                                   "completion_tokens": len(out_ids),
-                                  "total_tokens": len(prompt) + len(out_ids)})
+                                  "total_tokens": len(prompt) + len(out_ids)},
+                           logprobs=lp_out)
 
     def _batch_eligible(self, prompt, max_new, params, temperature,
                         top_p) -> bool:

@@ -72,6 +72,9 @@ class LLMResponse:
     tool_calls: List[Dict[str, Any]] = field(default_factory=list)
     usage: Dict[str, int] = field(default_factory=dict)
     raw: Optional[Dict[str, Any]] = None
+    # OpenAI-style per-token logprobs [{"token","logprob"}, ...] —
+    # populated by the local provider when the request asks for them
+    logprobs: Optional[List[Dict[str, Any]]] = None
 
 
 def estimate_tokens(text: str) -> int:
@@ -176,7 +179,8 @@ class LLMRouter:
         Provider.OLLAMA: {"temperature", "max_tokens", "top_p", "stop", "seed"},
         Provider.GOOGLE: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.BEDROCK: {"temperature", "max_tokens", "top_p", "stop"},
-        Provider.LOCAL: {"temperature", "max_tokens", "top_p", "stop", "seed"},
+        Provider.LOCAL: {"temperature", "max_tokens", "top_p", "stop",
+                         "seed", "logprobs"},
         Provider.STUB: set(),
     }
 

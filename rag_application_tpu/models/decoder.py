@@ -528,18 +528,18 @@ def sample_logits(logits: jax.Array, rng: jax.Array, *,
 
 
 @partial(jax.jit, static_argnums=(1, 4, 8, 9, 10))
-def generate(params: Dict[str, Any], cfg: DecoderConfig,
-             ids: jax.Array, prompt_len: jax.Array, max_new: int,
-             eos_id: int, pad_id: int, rng: jax.Array,
-             temperature: float = 0.0, top_k: int = 64,
-             top_p: float = 1.0) -> Tuple[jax.Array, jax.Array]:
-    """Fused batch generation: prefill + `lax.while_loop` decode in ONE
-    dispatch. Returns (tokens (B, max_new) int32 — pad_id after each
-    row's eos — and n_generated (B,)).
-
-    eos_id / pad_id ride the carry as traced values; shapes depend only
-    on (cfg, B, T, max_new, sampling knobs), so one compilation serves
-    every prompt."""
+def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
+                      ids: jax.Array, prompt_len: jax.Array, max_new: int,
+                      eos_id: int, pad_id: int, rng: jax.Array,
+                      temperature: float = 0.0, top_k: int = 64,
+                      top_p: float = 1.0
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """`generate` that also returns each emitted token's RAW model
+    log-probability (log-softmax of the unscaled logits — temperature/
+    top-k/top-p shape the sampling, not the reported number, matching
+    the OpenAI logprobs convention). lps (B, max_new) f32, 0.0 at pad
+    positions. Same compiled program cost — one extra (B,) gather and
+    buffer per step."""
     B, T = ids.shape
     eos = jnp.asarray(eos_id, jnp.int32)
     pad = jnp.asarray(pad_id, jnp.int32)
@@ -563,30 +563,57 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
         tok = sample_logits(logits, jax.random.fold_in(rng, step),
                             temperature=temperature, top_k=top_k,
                             top_p=top_p)
-        return jnp.where(done, pad, tok)
+        lp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),
+                                 tok[:, None], axis=1)[:, 0]
+        return (jnp.where(done, pad, tok),
+                jnp.where(done, jnp.asarray(0.0, jnp.float32), lp))
 
     def cond(st):
         step, done = st[0], st[1]
         return jnp.logical_and(step < max_new, ~jnp.all(done))
 
     def body(st):
-        step, done, tok, pos, out, ck, cv, rng = st
+        step, done, tok, tok_lp, pos, out, lps, ck, cv, rng = st
         out = jax.lax.dynamic_update_slice(out, tok[None, :], (step, 0))
+        lps = jax.lax.dynamic_update_slice(lps, tok_lp[None, :], (step, 0))
         newly_done = jnp.logical_or(done, tok == eos)
         logits, ck, cv = decode_step(params, cfg, tok, pos, T + step,
                                      ck, cv, slot_positions=slot_pos)
-        nxt = emit(logits, step, newly_done, rng)
+        nxt, nlp = emit(logits, step, newly_done, rng)
         # rows that just emitted eos stop: their buffered token stays pad
-        return (step + 1, newly_done, nxt,
-                jnp.where(newly_done, pos, pos + 1), out, ck, cv, rng)
+        return (step + 1, newly_done, nxt, nlp,
+                jnp.where(newly_done, pos, pos + 1), out, lps, ck, cv, rng)
 
-    first = emit(logits, max_new, jnp.zeros((B,), bool), rng)
+    first, first_lp = emit(logits, max_new, jnp.zeros((B,), bool), rng)
     out0 = jnp.full((max_new, B), pad, jnp.int32)
+    lps0 = jnp.zeros((max_new, B), jnp.float32)
     st = (jnp.asarray(0, jnp.int32), jnp.zeros((B,), bool), first,
-          prompt_len.astype(jnp.int32), out0, cache_k, cache_v, rng)
-    step, done, tok, pos, out, *_ = jax.lax.while_loop(cond, body, st)
+          first_lp, prompt_len.astype(jnp.int32), out0, lps0,
+          cache_k, cache_v, rng)
+    step, done, tok, tok_lp, pos, out, lps, *_ = jax.lax.while_loop(
+        cond, body, st)
     out = out.T  # (B, max_new)
-    return out, jnp.sum(out != pad, axis=1)
+    lps = jnp.where(out != pad, lps.T, 0.0)
+    return out, jnp.sum(out != pad, axis=1), lps
+
+
+def generate(params: Dict[str, Any], cfg: DecoderConfig,
+             ids: jax.Array, prompt_len: jax.Array, max_new: int,
+             eos_id: int, pad_id: int, rng: jax.Array,
+             temperature: float = 0.0, top_k: int = 64,
+             top_p: float = 1.0) -> Tuple[jax.Array, jax.Array]:
+    """Fused batch generation: prefill + `lax.while_loop` decode in ONE
+    dispatch. Returns (tokens (B, max_new) int32 — pad_id after each
+    row's eos — and n_generated (B,)).
+
+    eos_id / pad_id ride the carry as traced values; shapes depend only
+    on (cfg, B, T, max_new, sampling knobs), so one compilation serves
+    every prompt. (`generate_logprobs` returns per-token log-probs too,
+    from the same compiled program.)"""
+    out, n, _ = generate_logprobs(params, cfg, ids, prompt_len, max_new,
+                                  eos_id, pad_id, rng, temperature,
+                                  top_k, top_p)
+    return out, n
 
 
 def make_decode_step(params: Dict[str, Any], cfg: DecoderConfig):

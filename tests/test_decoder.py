@@ -266,6 +266,46 @@ def test_local_llm_choose_text():
     assert scores[idx] == max(scores)
 
 
+def test_generate_logprobs_match_hf(hf_pair):
+    """Each emitted token's reported log-prob equals the HF forward's
+    log-softmax at that position (raw model law, greedy decode)."""
+    import torch
+
+    from rag_application_tpu.models.decoder import generate_logprobs
+
+    hf, params = hf_pair
+    ids = _prompt(np.random.default_rng(14), 1, 8)
+    out, n, lps = generate_logprobs(params, CFG, jnp.asarray(ids),
+                                    jnp.asarray([8]), 5, 255, 0,
+                                    jax.random.PRNGKey(0), 0.0)
+    out, lps = np.asarray(out)[0], np.asarray(lps)[0]
+    full = np.concatenate([ids[0], out]).astype(np.int64)
+    with torch.no_grad():
+        lg = hf(torch.tensor(full[None])).logits.log_softmax(-1).numpy()[0]
+    for j in range(5):
+        want = lg[8 + j - 1, out[j]]
+        np.testing.assert_allclose(lps[j], want, rtol=1e-4, atol=2e-4)
+
+
+def test_local_llm_chat_logprobs():
+    """logprobs=true on the local provider returns OpenAI-style
+    per-token entries aligned with the completion."""
+    local = _make_local()
+
+    from rag_application_tpu.llm.router import ChatMessage
+
+    async def main():
+        return await local.chat([ChatMessage("user", "hello world")],
+                                max_tokens=6, temperature=0.0,
+                                logprobs=True)
+
+    resp = asyncio.run(main())
+    assert resp.logprobs is not None and len(resp.logprobs) >= 1
+    assert all(isinstance(e["logprob"], float) and e["logprob"] <= 0.0
+               for e in resp.logprobs)
+    assert resp.usage["completion_tokens"] == len(resp.logprobs)
+
+
 def test_structured_enum_routes_through_choice_scoring():
     """generate_structured with a top-level enum on the local provider
     returns a GUARANTEED-valid option via exact scoring (no retries)."""
