@@ -53,11 +53,15 @@ class IVFSearchParams:
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters",
                                              "block_rows"))
-def _kmeans_device(x: jax.Array, init: jax.Array, *, n_clusters: int,
-                   iters: int, block_rows: int) -> jax.Array:
+def _kmeans_device(x: jax.Array, init: jax.Array, valid_n: jax.Array, *,
+                   n_clusters: int, iters: int,
+                   block_rows: int) -> jax.Array:
     """Spherical k-means: blocked assignment + one-hot-matmul updates.
-    x: (N, d) f32 unit rows (N multiple of block_rows). Returns (C, d)
-    unit centroids."""
+    x: (N, d) f32 unit rows (N multiple of block_rows); rows >= valid_n
+    are padding and contribute NOTHING (an unmasked zero pad row argmax-
+    ties to cluster 0, making counts[0] > 0 with sums[0] unchanged —
+    the empty-cluster guard would then zero that centroid instead of
+    keeping it). Returns (C, d) unit centroids."""
     n, d = x.shape
     n_blocks = n // block_rows
 
@@ -68,7 +72,10 @@ def _kmeans_device(x: jax.Array, init: jax.Array, *, n_clusters: int,
                                               block_rows, 0)
             scores = xb @ cents.T                       # (B, C)
             assign = jnp.argmax(scores, axis=-1)        # (B,)
-            onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
+            valid = (blk * block_rows
+                     + jnp.arange(block_rows)) < valid_n
+            onehot = (jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
+                      * valid[:, None].astype(jnp.float32))
             sums = sums + onehot.T @ xb                 # (C, d)
             counts = counts + jnp.sum(onehot, axis=0)
             return (sums, counts), None
@@ -146,9 +153,10 @@ def _ivf_search(
     n_chunks = -(-p_eff // chunk)
     pad = n_chunks * chunk - p_eff
     if pad:
-        b_idx = jnp.pad(b_idx, ((0, 0), (0, pad)))  # dup probe 0: deduped
-        # by rowid-validity? padding probes re-scan bucket b_idx[:,0] —
-        # harmless duplicates dominated by the identical true entry
+        # pad probes point at bucket 0; their candidates are masked to
+        # rowid -1 after scoring (probe_valid below), so they can never
+        # rank — the pad only squares up the chunked scan shape
+        b_idx = jnp.pad(b_idx, ((0, 0), (0, pad)))
     b_chunks = jnp.transpose(
         b_idx.reshape(qn, n_chunks, chunk), (1, 0, 2))
 
@@ -263,7 +271,8 @@ class IVFIndex:
                 [train, jnp.zeros((pad, d), jnp.float32)])
         init = train[
             jnp.asarray(rng.choice(n_train, size=n_clusters, replace=False))]
-        cents = _kmeans_device(train, init, n_clusters=n_clusters,
+        cents = _kmeans_device(train, init, jnp.asarray(n_train),
+                               n_clusters=n_clusters,
                                iters=iters, block_rows=blk)
 
         # full assignment (blocked, off the stored plane — no f32 copy).
@@ -384,22 +393,34 @@ class IVFIndex:
         checkpoints separately via index/checkpoint.py; the bucket slab
         table is NOT stored — it regathers from the int8 plane on load,
         keeping the file at ids + centroids size)."""
+        import json
+
         np.savez(path,
                  centroids=np.asarray(self.centroids),
                  bucket_cluster=np.asarray(self.bucket_cluster),
                  bucket_rowids=np.asarray(self.bucket_rowids),
                  built_n=self.built_n, bucket_rows=self.bucket_rows,
-                 rebuild_threshold=self.rebuild_threshold)
+                 rebuild_threshold=self.rebuild_threshold,
+                 build_kw=json.dumps(getattr(self, "_build_kw", {})))
 
     @classmethod
     def load(cls, path: str, dense: DenseIndex) -> "IVFIndex":
+        import json
+
         d = np.load(path)
         rowids = jnp.asarray(d["bucket_rowids"])
         safe = jnp.where(rowids >= 0, rowids, 0)
         tbl = jnp.where((rowids >= 0)[..., None],
                         dense.int8[safe], jnp.int8(0))
-        return cls(dense, jnp.asarray(d["centroids"]),
-                   jnp.asarray(d["bucket_cluster"]), tbl, rowids,
-                   built_n=int(d["built_n"]),
-                   bucket_rows=int(d["bucket_rows"]),
-                   rebuild_threshold=float(d["rebuild_threshold"]))
+        out = cls(dense, jnp.asarray(d["centroids"]),
+                  jnp.asarray(d["bucket_cluster"]), tbl, rowids,
+                  built_n=int(d["built_n"]),
+                  bucket_rows=int(d["bucket_rows"]),
+                  rebuild_threshold=float(d["rebuild_threshold"]))
+        # restore the build configuration so rebuild() after a restart
+        # reproduces it instead of reverting to defaults
+        if "build_kw" in d.files:
+            kw = json.loads(str(d["build_kw"]))
+            if kw:
+                out._build_kw = kw
+        return out

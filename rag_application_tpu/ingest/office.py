@@ -80,6 +80,28 @@ def _docx_has_page_break(p) -> bool:
     return next(p.iter(f"{_W}lastRenderedPageBreak"), None) is not None
 
 
+def _docx_paragraph_segments(p) -> List[str]:
+    """Paragraph text split at page-break points (explicit
+    `w:br type=page` or Word's `lastRenderedPageBreak` marker): N
+    breaks -> N+1 segments in document order, so text AFTER an
+    in-paragraph break lands on the next page."""
+    segs: List[List[str]] = [[]]
+    for node in p.iter():
+        tag = node.tag
+        if tag == f"{_W}t":
+            segs[-1].append(node.text or "")
+        elif tag == f"{_W}tab":
+            segs[-1].append("\t")
+        elif tag == f"{_W}br":
+            if node.get(f"{_W}type") == "page":
+                segs.append([])
+            else:
+                segs[-1].append("\n")
+        elif tag == f"{_W}lastRenderedPageBreak":
+            segs.append([])
+    return ["".join(s) for s in segs]
+
+
 def extract_docx_pages(data: bytes) -> List[str]:
     """Per-page text of a .docx (pages split on explicit/rendered page
     breaks; documents without breaks come back as one page)."""
@@ -99,20 +121,24 @@ def extract_docx_pages(data: bytes) -> List[str]:
     for child in body:
         tag = child.tag
         if tag == f"{_W}p":
-            if _docx_has_page_break(child):
-                # text before the break belongs to the current page
-                txt = _docx_paragraph_text(child)
-                if txt:
-                    pages[-1].append(txt)
+            segs = _docx_paragraph_segments(child)
+            if segs[0]:
+                pages[-1].append(segs[0])
+            elif len(segs) == 1 and pages[-1]:
+                pages[-1].append("")  # blank separator line
+            for seg in segs[1:]:  # each break starts a new page
                 pages.append([])
-            else:
-                txt = _docx_paragraph_text(child)
-                if txt or pages[-1]:
-                    pages[-1].append(txt)
+                if seg:
+                    pages[-1].append(seg)
         elif tag == f"{_W}tbl":
-            for row in child.iter(f"{_W}tr"):
+            # DIRECT rows/cells only: .iter() would also yield nested
+            # tables' rows as siblings AND their paragraphs again via
+            # the outer cell's recursive paragraph walk — triplicating
+            # nested content. Nested tables are covered once, inside
+            # their containing cell's paragraph iteration.
+            for row in child.findall(f"{_W}tr"):
                 cells = []
-                for tc in row.iter(f"{_W}tc"):
+                for tc in row.findall(f"{_W}tc"):
                     cell_txt = " ".join(
                         t for t in (_docx_paragraph_text(p)
                                     for p in tc.iter(f"{_W}p")) if t)

@@ -1037,11 +1037,14 @@ def extract_page_text(doc: PDFDocument, page: Dict[str, Any]) -> str:
     return "\n".join(out).strip()
 
 
-def extract_pages(data: bytes) -> List[str]:
+def extract_pages(data: bytes,
+                  doc: Optional["PDFDocument"] = None) -> List[str]:
     """data -> per-page extracted text (the page-split parity surface;
     reference: pypdf PdfReader/PdfWriter per-page split,
-    file_processor.py:161-166)."""
-    doc = PDFDocument(data)
+    file_processor.py:161-166). Pass a pre-parsed `doc` to reuse its
+    xref/object caches (the ingest pipeline extracts text THEN images —
+    one parse serves both)."""
+    doc = doc if doc is not None else PDFDocument(data)
     return [extract_page_text(doc, p) for p in doc.pages()]
 
 
@@ -1173,7 +1176,9 @@ def _image_to_bytes(doc: PDFDocument,
             if bpc != 8:
                 return None
             samples, mode = _cmyk_to_rgb(samples, w * h), "rgb"
-        if bpc not in (1, 2, 4, 8):
+        # PNG color type 2 (RGB) and 3 (palette... stored as rgb rows
+        # here) only allow bit depth 8/16; sub-byte depths are gray-only
+        if bpc not in (1, 2, 4, 8) or (mode == "rgb" and bpc != 8):
             return None
         dec = doc.resolve(d.get("Decode"))
         if (bpc == 1 and isinstance(dec, list) and len(dec) >= 2
@@ -1230,10 +1235,12 @@ def extract_page_image(doc: PDFDocument,
     return None
 
 
-def extract_page_images(data: bytes) -> List[Optional[Tuple[str, bytes]]]:
+def extract_page_images(data: bytes, doc: Optional["PDFDocument"] = None
+                        ) -> List[Optional[Tuple[str, bytes]]]:
     """Per-page (mime, bytes) of the dominant embedded image (None where
-    the page has no convertible image)."""
-    doc = PDFDocument(data)
+    the page has no convertible image). Pass a pre-parsed `doc` to skip
+    a second full parse."""
+    doc = doc if doc is not None else PDFDocument(data)
     return [extract_page_image(doc, p) for p in doc.pages()]
 
 

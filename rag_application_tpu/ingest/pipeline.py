@@ -386,7 +386,8 @@ class IngestPipeline:
 
         if pdf.is_pdf(data):
             try:
-                texts = pdf.extract_pages(data)
+                doc = pdf.PDFDocument(data)  # one parse serves text+images
+                texts = pdf.extract_pages(data, doc)
             except pdf.PDFError as e:
                 raise NonRetryableError(f"PDF parse failed: {e}") from e
             pages = [{"text": t} for t in texts]
@@ -403,7 +404,7 @@ class IngestPipeline:
             if not all(texts) and (self.page_describer is not None
                                    or not any(texts)):
                 try:
-                    images = pdf.extract_page_images(data)
+                    images = pdf.extract_page_images(data, doc)
                 except Exception:
                     images = []
                 for page, img in zip(pages, images):

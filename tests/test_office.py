@@ -78,6 +78,44 @@ def test_docx_table_rows():
     assert pages == ["name\tage\nada\t36"]
 
 
+def test_docx_nested_table_not_duplicated():
+    """A table inside a table cell must appear ONCE (iterating all
+    descendants emitted nested rows as sibling rows AND re-walked their
+    paragraphs through the outer cell — triplicating the text)."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    inner = (f'<w:tbl xmlns:w="{w}"><w:tr><w:tc><w:p><w:r>'
+             f'<w:t>NESTED</w:t></w:r></w:p></w:tc></w:tr></w:tbl>')
+    doc = (f'<w:document xmlns:w="{w}"><w:body>'
+           f'<w:tbl><w:tr><w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>'
+           f'{inner}</w:tc></w:tr></w:tbl>'
+           f'</w:body></w:document>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    pages = extract_docx_pages(buf.getvalue())
+    joined = "\n".join(pages)
+    assert joined.count("NESTED") == 1, joined
+    assert joined.count("outer") == 1
+
+
+def test_docx_mid_paragraph_page_break_splits_text():
+    """Text after an in-paragraph page break belongs to the NEXT page
+    (and multiple breaks in one paragraph create multiple pages)."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (f'<w:document xmlns:w="{w}"><w:body>'
+           f'<w:p><w:r><w:t>end of ch1 </w:t></w:r>'
+           f'<w:r><w:br w:type="page"/><w:t>ch2 intro </w:t></w:r>'
+           f'<w:r><w:br w:type="page"/><w:t>ch3 intro</w:t></w:r></w:p>'
+           f'</w:body></w:document>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    pages = extract_docx_pages(buf.getvalue())
+    assert pages == ["end of ch1", "ch2 intro", "ch3 intro"]
+
+
 def test_pptx_slide_order():
     pptx = build_pptx([["slide one"], ["slide two"], ["slide three"]])
     pages = extract_pptx_pages(pptx)
