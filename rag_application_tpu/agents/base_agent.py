@@ -132,10 +132,16 @@ class BaseAgent:
         # never start the keep-window on role:"tool" messages — their
         # assistant tool_calls turn would be summarized away, and
         # OpenAI-compatible providers reject a tool message with no
-        # preceding tool_calls
-        while keep and keep[0].get("role") == "tool":
-            keep.pop(0)
-        older = state.messages[: len(state.messages) - len(keep)]
+        # preceding tool_calls. EXTEND the window backward to the turn
+        # that issued the calls instead of popping: with one oversized
+        # tool result, popping would empty the window entirely and the
+        # pending user question would survive only inside the lossy
+        # summary.
+        start = len(state.messages) - len(keep)
+        while start > 0 and state.messages[start].get("role") == "tool":
+            start -= 1
+            keep.insert(0, state.messages[start])
+        older = state.messages[:start]
         convo = "\n".join(
             f"{m['role']}: {m.get('content') or ''}" for m in older
         )
@@ -261,8 +267,11 @@ class BaseAgent:
                 continue
             text = (f"{name} when {proc.get('conditions', '')}: "
                     + " -> ".join(proc.get("steps") or []))
-            # keyed by name so a refined rule replaces its predecessor
-            key = hashlib.sha256(name.encode()).hexdigest()[:16]
+            # keyed by name so a refined rule replaces its predecessor;
+            # unnamed rules key by their conditions instead (hashing ""
+            # made every unnamed rule overwrite the previous one)
+            ident = name or str(proc.get("conditions", ""))
+            key = hashlib.sha256(ident.encode()).hexdigest()[:16]
             self.memory.put(("memory", self.user_id, "procedural"),
                             f"proc-{key}", proc, text=text)
 
@@ -293,10 +302,7 @@ class BaseAgent:
                 state, allow_tools=rounds < self.max_tool_rounds)
         state.messages.append({"role": "assistant", "content": resp.content})
 
-        if self.reflections_enabled:
-            self._reflection_tasks.append(
-                asyncio.create_task(self._reflect(state)))
-
+        self._schedule_reflection(state)
         cp = self.checkpointer.save(thread_id, state.to_dict())
         return {
             "content": resp.content,
@@ -343,6 +349,8 @@ class BaseAgent:
         for i in range(0, max(len(content), 1), 24):
             yield {"type": "message", "delta": content[i : i + 24]}
         state.messages.append({"role": "assistant", "content": content})
+        # streamed turns reflect too (they're the chat API's main path)
+        self._schedule_reflection(state)
         cp = self.checkpointer.save(thread_id, state.to_dict())
         yield {"type": "done", "checkpoint_id": cp}
 
@@ -369,9 +377,32 @@ class BaseAgent:
                 yield {"event": "on_end",
                        "checkpoint_id": ev.get("checkpoint_id")}
 
+    def _schedule_reflection(self, state: AgentState) -> None:
+        """Background memory write for a finished turn. Completed tasks
+        remove themselves (a long-lived server would otherwise retain
+        one Task + captured state per turn, forever) and log failures
+        instead of leaving unretrieved task exceptions."""
+        if not self.reflections_enabled:
+            return
+        task = asyncio.create_task(self._reflect(state))
+        self._reflection_tasks.append(task)
+
+        def _done(t: asyncio.Task) -> None:
+            try:
+                self._reflection_tasks.remove(t)
+            except ValueError:
+                pass  # drain_reflections cleared the list already
+            if not t.cancelled() and t.exception() is not None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "reflection failed: %r", t.exception())
+
+        task.add_done_callback(_done)
+
     async def drain_reflections(self) -> None:
         """Await background memory writes (tests / clean shutdown)."""
         if self._reflection_tasks:
-            await asyncio.gather(*self._reflection_tasks,
+            await asyncio.gather(*list(self._reflection_tasks),
                                  return_exceptions=True)
             self._reflection_tasks.clear()

@@ -170,16 +170,22 @@ class GraphIndex:
         mask = self.dense.live
         if filter_mask is not None:
             mask = jnp.logical_and(mask, filter_mask)
-        level = None
         inv = None
-        if p.prefix_dim is not None:
+        prefix_dim = p.prefix_dim
+        if prefix_dim is not None:
             dims = self.dense.cfg.matryoshka_dims
-            if p.prefix_dim in dims:
-                inv = self.dense.inv_norms[:, dims.index(p.prefix_dim)]
+            if prefix_dim in dims:
+                inv = self.dense.inv_norms[:, dims.index(prefix_dim)]
+            else:
+                # no stored norms for this prefix: raw prefix dots are
+                # on a different scale per row (the condition build()
+                # raises on) — fall back to full-dim beam scoring
+                # rather than rank on a biased score
+                prefix_dim = None
         return beam_search(
             self.adj, self.dense.vecs, inv, q, entries, k,
             ef=p.ef, iters=p.iters, expand=p.expand,
-            prefix_dim=p.prefix_dim, filter_mask=mask,
+            prefix_dim=prefix_dim, filter_mask=mask,
         )
 
     # -------------------------------------------------------- persistence
@@ -193,8 +199,6 @@ class GraphIndex:
     @classmethod
     def load(cls, path: str, dense: DenseIndex) -> "GraphIndex":
         d = np.load(path)
-        import jax.numpy as jnp
-
         return cls(dense, jnp.asarray(d["adj"]), d["entry_ids"],
                    m=int(d["m"]), built_size=int(d["built_size"]))
 
@@ -212,8 +216,15 @@ class GraphIndex:
         rows = np.asarray(rows, dtype=np.int32)
         if rows.size == 0:
             return
-        if rows.min() != self.built_size or rows.max() != self.built_size + len(rows) - 1:
-            raise ValueError("insert_batch rows must extend the graph contiguously")
+        # exact-range check: min/max alone admits duplicated+missing ids
+        # (e.g. [5,6,6,8] onto built_size 5), which would append pruned
+        # rows positionally misaligned with their node ids
+        if not np.array_equal(
+                rows, np.arange(self.built_size,
+                                self.built_size + len(rows), dtype=np.int32)):
+            raise ValueError("insert_batch rows must extend the graph "
+                             "contiguously (exactly arange(built_size, "
+                             "built_size+len))")
         q = self.dense.vecs[rows].astype(jnp.float32)
         vals, ids = self.search(q, min(link_ef, self.built_size))
         new_n = self.built_size + len(rows)

@@ -219,6 +219,31 @@ def test_agent_reflections(embedder):
     asyncio.run(main())
 
 
+def test_streamed_turns_reflect_too(embedder):
+    """astream schedules the same reflection write as ainvoke (the chat
+    API's streaming path previously formed no memories), and distinct
+    UNNAMED procedures keep distinct keys (keying by conditions)."""
+    async def main():
+        store = VectorMemoryStore(embedder)
+        llm = LLMRouter(Provider.STUB)
+        llm.stub.on(r"extract memories", lambda _: json.dumps({
+            "semantic": [], "profile_facts": [], "episode": {},
+            "procedures": [
+                {"name": "", "conditions": "asks for code",
+                 "steps": ["bullets"]},
+                {"name": "", "conditions": "asks for math",
+                 "steps": ["latex"]}]}))
+        agent = BaseAgent(llm, memory_store=store, reflections=True,
+                          user_id="u8")
+        async for _ in agent.astream("hello", thread_id="s1"):
+            pass
+        await agent.drain_reflections()
+        procs = store.list(("memory", "u8", "procedural"))
+        assert len(procs) == 2, procs  # unnamed rules don't collide
+        assert agent._reflection_tasks == []  # done-callback pruned it
+    asyncio.run(main())
+
+
 def test_procedural_correction_changes_precontext(embedder):
     """A user correction becomes a procedural memory that shows up in the
     NEXT turn's system precontext (parity: the procedural reflection
