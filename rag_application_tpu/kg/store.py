@@ -108,6 +108,8 @@ class KGStore:
         # column row -> row-value payload list (values are not embedded in
         # the reference either; RowValue vectors exist only via columns)
         self.column_values: Dict[int, List[Dict[str, Any]]] = {}
+        # page row -> [(column key, column row)] for page-replace cleanup
+        self.page_columns: Dict[int, List[Tuple[Tuple, int]]] = {}
         self._adj_cache: Optional[Tuple[jnp.ndarray, int]] = None
 
     # ------------------------------------------------------------ documents
@@ -154,6 +156,12 @@ class KGStore:
         table = self.spaces[Space.PAGE]
         table.delete_key(("page", document_id, page_no))
         self.page_mentions.pop(page_row, None)
+        # a structured sheet's columns belong to the page: replace-upsert
+        # must delete them (a dropped column would otherwise stay
+        # searchable forever) and their values (keyed by now-dead rows)
+        for key, col_row in self.page_columns.pop(page_row, []):
+            self.spaces[Space.COLUMN].delete_key(key)
+            self.column_values.pop(col_row, None)
         return 1
 
     # --------------------------------------------------------------- pages
@@ -231,6 +239,15 @@ class KGStore:
             if src is not None and dst is not None:
                 self.entity_edges.setdefault(src, []).append((rel_row, dst))
                 self.entity_edges.setdefault(dst, []).append((rel_row, src))
+        # prune edge pairs whose relationship row was tombstoned by a
+        # MERGE re-upsert above: the fresh pair replaces them, and stale
+        # pairs would otherwise accumulate per re-ingest until they
+        # crowd real neighbors out of the max_degree adjacency window
+        live = set(self.spaces[Space.RELATIONSHIP].by_key.values())
+        for erow, lst in self.entity_edges.items():
+            if any(r not in live for r, _ in lst):
+                self.entity_edges[erow] = [(r, o) for r, o in lst
+                                           if r in live]
         self._adj_cache = None
         return page_row
 
@@ -280,15 +297,20 @@ class KGStore:
         )
         self.spaces[Space.PAGE].payloads[page_row]["sheet_name"] = sheet_name
         col_rows = []
+        self.page_columns[page_row] = []
         for i, col in enumerate(columns):
             emb = (column_embeddings[i] if column_embeddings is not None
                    else np.zeros(self.dim, dtype=np.float32))
             key = ("column", sheet_name, col["name"], document_id)
             payload = {**col, "document_id": document_id,
                        "sheet_name": sheet_name, **self.scope}
+            old_row = self.spaces[Space.COLUMN].by_key.get(key)
             row = self.spaces[Space.COLUMN].upsert(key, payload, emb)
+            if old_row is not None and old_row != row:
+                self.column_values.pop(old_row, None)  # re-upsert moved it
             self.column_values[row] = []
             col_rows.append(row)
+            self.page_columns[page_row].append((key, row))
         for r in rows:
             for cr, col in zip(col_rows, columns):
                 name = col["name"]
@@ -313,7 +335,9 @@ class KGStore:
     def get_entities(self, document_id: Optional[str] = None) -> List[Dict[str, Any]]:
         table = self.spaces[Space.ENTITY]
         out = []
-        for key, row in table.by_key.items():
+        with self.lock:  # readers may run in worker threads (see
+            items = list(table.by_key.items())  # entity_adjacency)
+        for key, row in items:
             if document_id is None or key[-1] == document_id:
                 p = table.get(row)
                 if p is not None:
@@ -383,19 +407,26 @@ class KGStore:
     # ---------------------------------------------------------- traversal
 
     def entity_adjacency(self) -> Tuple[jnp.ndarray, int]:
-        """Padded device adjacency over entity rows for the hop kernels."""
-        if self._adj_cache is not None:
+        """Padded device adjacency over entity rows for the hop kernels.
+
+        Takes the store's mutation lock for the dict walk: readers run
+        in worker threads (orchestration's graph branch uses to_thread)
+        while @mutator writers mutate entity_edges on the event loop —
+        an unlocked iteration can raise 'dictionary changed size' or
+        capture a half-applied upsert."""
+        with self.lock:
+            if self._adj_cache is not None:
+                return self._adj_cache
+            n = self.spaces[Space.ENTITY].index.size
+            deg = self.cfg.max_degree
+            adj = np.full((n + 1, deg), n, dtype=np.int32)
+            for row, edges in self.entity_edges.items():
+                if row >= n:
+                    continue
+                for j, (_, other) in enumerate(edges[:deg]):
+                    adj[row, j] = other
+            self._adj_cache = (jnp.asarray(adj), n)
             return self._adj_cache
-        n = self.spaces[Space.ENTITY].index.size
-        deg = self.cfg.max_degree
-        adj = np.full((n + 1, deg), n, dtype=np.int32)
-        for row, edges in self.entity_edges.items():
-            if row >= n:
-                continue
-            for j, (_, other) in enumerate(edges[:deg]):
-                adj[row, j] = other
-        self._adj_cache = (jnp.asarray(adj), n)
-        return self._adj_cache
 
     def traverse(self, seed_rows: Sequence[int], hops: Optional[int] = None,
                  *, query_embedding=None,

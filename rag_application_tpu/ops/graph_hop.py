@@ -110,18 +110,58 @@ def path_reachability(
     visited = visited.at[jnp.arange(q), jnp.clip(src, 0, n - 1)].set(src < n)
 
     def step(_, vis):
-        # neighbors of all visited nodes: for each node i visited, mark adj[i]
-        # vis (Q, N) x adj (N, D) -> scatter: gather adj rows weighted by vis
-        # dense formulation: new[q, j] = any_i vis[q, i] & (adj[i, :] == j)
-        # implemented as boolean matmul via one-hot accumulation per degree slot
-        new = vis
-        for dslot in range(adj.shape[1]):
-            col = adj[:n, dslot]  # (N,)
-            contrib = jnp.zeros((q, n + 1), dtype=bool)
-            contrib = contrib.at[:, jnp.clip(col, 0, n)].max(vis[:, :n])
-            new = new | contrib[:, :n]
-        return new
+        return _expand_frontier(adj, vis)
 
     visited = jax.lax.fori_loop(0, hops, step, visited)
     ok = visited[jnp.arange(q), jnp.clip(dst, 0, n - 1)]
     return jnp.where(dst < n, ok, False)
+
+
+def _expand_frontier(adj: jax.Array, vis: jax.Array) -> jax.Array:
+    """One BFS step over the padded adjacency: for each node i visited,
+    mark adj[i] — new[q, j] = any_i vis[q, i] & (adj[i, :] == j),
+    implemented as a scatter-max per degree slot."""
+    n = adj.shape[0] - 1
+    q = vis.shape[0]
+    new = vis
+    for dslot in range(adj.shape[1]):
+        col = adj[:n, dslot]  # (N,)
+        contrib = jnp.zeros((q, n + 1), dtype=bool)
+        contrib = contrib.at[:, jnp.clip(col, 0, n)].max(vis[:, :n])
+        new = new | contrib[:, :n]
+    return new
+
+
+def path_first_hop(
+    adj: jax.Array,    # (N+1, D)
+    src: jax.Array,    # (Q,) int32
+    dst: jax.Array,    # (Q,) int32
+    hops: int,
+) -> jax.Array:
+    """Smallest hop count (0..hops) at which dst is reachable from src;
+    -1 when not reachable within `hops`. 0 means src == dst.
+
+    ONE compiled program covers every hop count — calling
+    `path_reachability` per candidate h pays a distinct remote compile
+    per h (2-5 s each on this backend, no warm cache) and re-walks hops
+    1..h-1 every iteration."""
+    n = adj.shape[0] - 1
+    q = src.shape[0]
+    visited = jnp.zeros((q, n), dtype=bool)
+    visited = visited.at[jnp.arange(q), jnp.clip(src, 0, n - 1)].set(src < n)
+    d_idx = jnp.clip(dst, 0, n - 1)
+    d_ok = dst < n
+    first = jnp.where(
+        jnp.logical_and(jnp.logical_and(src == dst, src < n), d_ok),
+        0, -1).astype(jnp.int32)
+
+    def step(h, carry):
+        vis, first = carry
+        vis = _expand_frontier(adj, vis)
+        at_dst = jnp.logical_and(vis[jnp.arange(q), d_idx], d_ok)
+        first = jnp.where(jnp.logical_and(first < 0, at_dst),
+                          h + 1, first)
+        return vis, first
+
+    _, first = jax.lax.fori_loop(0, hops, step, (visited, first))
+    return first

@@ -114,10 +114,13 @@ async def determine_graph_params(llm: LLMRouter, query: str) -> GraphSearchParam
             "(search_depth 1-3, expansion_factor 8-64, "
             "relevance_threshold 0-1, max_paths 1-20).",
             GRAPH_PARAMS_SCHEMA, system="You tune graph traversals.")
+        thr = p.get("relevance_threshold")
         return GraphSearchParams(
             search_depth=min(max(int(p.get("search_depth") or 2), 1), 3),
             expansion_factor=min(max(int(p.get("expansion_factor") or 32), 8), 64),
-            relevance_threshold=float(p.get("relevance_threshold") or 0.3),
+            # 0.0 is a VALID choice ("no pruning") — `or` would clobber it
+            relevance_threshold=(0.3 if thr is None
+                                 else min(max(float(thr), 0.0), 1.0)),
             max_paths=min(max(int(p.get("max_paths") or 10), 1), 20),
         )
     except (ValueError, TypeError):
@@ -160,12 +163,21 @@ class SearchOrchestrator:
         names = (extracted.get("entities") or [])[:5]
 
         kgq = q_vec[: self.kg.dim]
-        entity_hits: List[Dict[str, Any]] = []
-        for name in names or [query]:
-            ev = (await asyncio.to_thread(self.embedder.encode, [name])
-                  )[0][: self.kg.dim]
-            entity_hits.extend(await asyncio.to_thread(
-                self.kg.search_space, Space.ENTITY, ev, k=3))
+        # ONE batched encode + per-entity kNN off the loop: sequential
+        # per-name round-trips cost ~2 device dispatches each (~30 ms
+        # relay RTT apiece) on the query hot path
+        lookups = list(names or [query])
+        evs = await asyncio.to_thread(self.embedder.encode, lookups)
+
+        def _entity_knn():
+            out: List[Dict[str, Any]] = []
+            for ev in evs:
+                out.extend(self.kg.search_space(
+                    Space.ENTITY, ev[: self.kg.dim], k=3))
+            return out
+
+        entity_hits: List[Dict[str, Any]] = await asyncio.to_thread(
+            _entity_knn)
         entity_hits = [h for h in entity_hits
                        if h["score"] >= params.relevance_threshold]
         rel_hits = await asyncio.to_thread(

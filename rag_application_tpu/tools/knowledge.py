@@ -203,11 +203,15 @@ class KnowledgeSearchToolbox:
             # frontier_cap neighbors
             adj, _n = kg.entity_adjacency()
             hops_cap = min(max_hops, kg.cfg.max_hops)
-            for h in range(1, hops_cap + 1):
-                ok = path_reachability(adj, jnp.asarray([src[0]]),
-                                       jnp.asarray([dst[0]]), h)
-                if bool(ok[0]):
-                    return {"reachable": True, "hops": h}
+            # one dispatch finds the FIRST reaching hop (a loop of
+            # path_reachability calls compiled one variant per h and
+            # re-walked lower hops each time)
+            from ..ops.graph_hop import path_first_hop
+
+            h = int(path_first_hop(adj, jnp.asarray([src[0]]),
+                                   jnp.asarray([dst[0]]), hops_cap)[0])
+            if h >= 0:
+                return {"reachable": True, "hops": max(h, 1)}
             return {"reachable": False, "hops": None}
         add(Tool("path_between_entities",
                  "Whether and how far two entities connect (<= 3 hops).",
