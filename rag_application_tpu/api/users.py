@@ -65,6 +65,25 @@ class UserRegistry:
         self._by_name[username] = user_id
         return rec.public()
 
+    # ---------------------------------------------------------- durability
+
+    def to_state(self) -> Dict[str, Any]:
+        """Serializable snapshot (serve.py persists it alongside the
+        space checkpoints so accounts — and the token secret, hence
+        outstanding tokens — survive a restart)."""
+        from dataclasses import asdict
+
+        return {"secret": self._secret.decode(),
+                "token_ttl": self.token_ttl,
+                "users": [asdict(u) for u in self._users.values()]}
+
+    def from_state(self, state: Dict[str, Any]) -> None:
+        self._secret = str(state["secret"]).encode()
+        self.token_ttl = float(state.get("token_ttl", self.token_ttl))
+        self._users = {u["user_id"]: UserRecord(**u)
+                       for u in state.get("users", [])}
+        self._by_name = {u.username: uid for uid, u in self._users.items()}
+
     def signin(self, username: str, password: str) -> Optional[str]:
         """Returns a signed bearer token or None."""
         user_id = self._by_name.get(username)
@@ -92,7 +111,12 @@ class UserRegistry:
             return None
         if time.time() > int(expiry):
             return None
-        return user_id if user_id in self._users else None
+        rec = self._users.get(user_id)
+        # deactivation must REVOKE access, not just block new signins —
+        # an is_active=false user's outstanding tokens stop working now
+        if rec is None or not rec.is_active:
+            return None
+        return user_id
 
     # ----------------------------------------------------------------- CRUD
 
@@ -133,6 +157,15 @@ class AgentConfigRegistry:
     def __init__(self):
         self._agents: Dict[str, Dict[str, Any]] = {}
         self._counter = 0
+
+    def to_state(self) -> Dict[str, Any]:
+        return {"agents": list(self._agents.values()),
+                "counter": self._counter}
+
+    def from_state(self, state: Dict[str, Any]) -> None:
+        self._agents = {a["agent_id"]: dict(a)
+                        for a in state.get("agents", [])}
+        self._counter = int(state.get("counter", len(self._agents)))
 
     def create(self, name: str, *, base: str = "chat_agent",
                system_prompt: str = "", capabilities: Optional[Dict] = None

@@ -111,11 +111,19 @@ class WorkQueue:
     async def put(self, task: Task) -> None:
         async with self._cv:
             if len(self._heap) >= self.max_length:
-                # bounded queue: evict the lowest-priority / oldest entry
-                # (heap[0] would be the HIGHEST priority — rmq's drop-head
-                # sheds the least-urgent backlog, not the next task)
+                # bounded queue: evict the lowest-priority, OLDEST entry
+                # (heap[0] would be the HIGHEST priority — rmq's
+                # drop-head sheds the least-urgent, longest-waiting
+                # backlog; maximizing the counter too would churn the
+                # NEWEST work out while stale backlog persisted). The
+                # shed task lands in the failed ledger so the loss is
+                # visible in queue_info, not silent.
                 worst = max(range(len(self._heap)),
-                            key=lambda i: self._heap[i][:2])
+                            key=lambda i: (self._heap[i][0],
+                                           -self._heap[i][1]))
+                shed = self._heap[worst][2]
+                shed.error = "shed: queue full (drop-head)"
+                self.failed.append(shed)
                 self._heap[worst] = self._heap[-1]
                 self._heap.pop()
                 heapq.heapify(self._heap)

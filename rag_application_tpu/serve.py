@@ -37,6 +37,23 @@ def restore_spaces(state, ckpt_dir: str) -> list:
     restored = []
     if not os.path.isdir(ckpt_dir):
         return restored
+    # accounts + custom agents + the token secret (so outstanding
+    # tokens survive a restart) live beside the space checkpoints
+    upath = os.path.join(ckpt_dir, "users.json")
+    if os.path.isfile(upath):
+        try:
+            import json
+
+            with open(upath) as f:
+                payload = json.load(f)
+            if getattr(state, "user_registry", None) is not None:
+                state.user_registry.from_state(payload.get("users", {}))
+            if getattr(state, "agent_registry", None) is not None:
+                state.agent_registry.from_state(payload.get("agents", {}))
+            logging.info("restored %d user accounts",
+                         len(payload.get("users", {}).get("users", [])))
+        except Exception:  # noqa: BLE001
+            logging.exception("user-registry restore failed")
     for entry in sorted(os.listdir(ckpt_dir)):
         path = os.path.join(ckpt_dir, entry)
         if not os.path.isdir(os.path.join(path, "collection")):
@@ -89,6 +106,25 @@ def checkpoint_spaces(state, ckpt_dir: str, saved_fp: dict) -> list:
             logging.info("checkpointed space %r", user_id)
         except Exception:  # noqa: BLE001
             logging.exception("checkpoint of %r failed", user_id)
+    # user/agent registries (skip-if-unchanged; atomic-by-rename)
+    try:
+        import json
+
+        reg = getattr(state, "user_registry", None)
+        areg = getattr(state, "agent_registry", None)
+        if reg is not None:
+            payload = {"users": reg.to_state(),
+                       "agents": areg.to_state() if areg else {}}
+            blob = json.dumps(payload, sort_keys=True)
+            if saved_fp.get("__users__") != blob:
+                os.makedirs(ckpt_dir, exist_ok=True)
+                tmp = os.path.join(ckpt_dir, ".users.json.tmp")
+                with open(tmp, "w") as f:
+                    f.write(blob)
+                os.replace(tmp, os.path.join(ckpt_dir, "users.json"))
+                saved_fp["__users__"] = blob
+    except Exception:  # noqa: BLE001
+        logging.exception("user-registry checkpoint failed")
     return saved
 
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import asyncio
 import os
-import shutil
 import tempfile
 import threading
 from pathlib import Path
@@ -101,16 +100,34 @@ class ObjectStore:
             return False
 
     def delete_prefix(self, prefix: str, *, bucket: Optional[str] = None) -> int:
-        """Delete every object under `prefix`; returns the count (parity:
-        the document delete cascade, s3_handler delete-prefix +
-        delete.py:10-60)."""
+        """Delete every object whose KEY starts with `prefix` — true S3
+        string-prefix semantics ('a/b' also matches key 'a/bc/d'), so a
+        real S3 client can swap in without changing the delete-cascade
+        scope. Returns the number of files actually removed (in-flight
+        .tmp- files included, unlike list_objects). Parity: the document
+        delete cascade, s3_handler delete-prefix + delete.py:10-60."""
         root = self._bucket_root(bucket)
-        target = _safe_relpath(root, prefix)
-        n = len(self.list_objects(prefix, bucket=bucket))
-        if target.is_dir():
-            shutil.rmtree(target, ignore_errors=True)
-        elif target.is_file():
-            target.unlink()
+        if not root.is_dir():
+            return 0
+        n = 0
+        doomed_dirs = []
+        for p in sorted(root.rglob("*"), reverse=True):
+            rel = str(p.relative_to(root))
+            if not rel.startswith(prefix):
+                continue
+            if p.is_file():
+                try:
+                    p.unlink()
+                    n += 1
+                except FileNotFoundError:
+                    pass
+            elif p.is_dir():
+                doomed_dirs.append(p)
+        for d in doomed_dirs:  # already deepest-first (reverse sort)
+            try:
+                d.rmdir()
+            except OSError:
+                pass  # something outside the prefix still lives in it
         return n
 
     def list_objects(self, prefix: str = "", *,

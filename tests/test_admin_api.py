@@ -67,6 +67,36 @@ def test_checkpoint_restore_roundtrip(tmp_path):
     asyncio.run(main())
 
 
+def test_user_registry_survives_restart(tmp_path):
+    """Accounts, custom agents, AND the token secret checkpoint with the
+    spaces: an outstanding bearer token keeps working after a restart,
+    and a deactivated user's token is revoked immediately."""
+    from rag_application_tpu.serve import checkpoint_spaces, restore_spaces
+
+    async def main():
+        llm = LLMRouter(Provider.STUB)
+        emb = Embedder(cfg=TINY, batch_size=4, max_len=16)
+        _, state = build_app(small_config(), llm=llm, embedder=emb)
+        state.user_registry.signup("ann", "pw12345")
+        token = state.user_registry.signin("ann", "pw12345")
+        state.agent_registry.create("helper", system_prompt="hi")
+        ckpt = str(tmp_path / "auto")
+        checkpoint_spaces(state, ckpt, {})
+
+        _, state2 = build_app(small_config(), llm=llm, embedder=emb)
+        restore_spaces(state2, ckpt)
+        assert state2.user_registry.verify_token(token) is not None
+        assert any(a["name"] == "helper"
+                   for a in state2.agent_registry.list())
+
+        # deactivation revokes outstanding tokens, not just new signins
+        uid = state2.user_registry.verify_token(token)
+        state2.user_registry.update(uid, is_active=False)
+        assert state2.user_registry.verify_token(token) is None
+
+    asyncio.run(main())
+
+
 def test_auto_checkpoint_and_boot_restore(tmp_path):
     """serve.py's durability loop: checkpoint_spaces snapshots changed
     spaces (skip-if-unchanged), restore_spaces rebuilds them at boot."""
