@@ -14,8 +14,22 @@ from __future__ import annotations
 
 import asyncio
 import hashlib
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
+
+
+def _file_chunks(f, size: int = 4 << 20):
+    """Async chunk iterator over an open file (httpx streams it as the
+    request body — memory stays at chunk size, not artifact size)."""
+    async def gen():
+        while True:
+            b = f.read(size)
+            if not b:
+                return
+            yield b
+
+    return gen()
 
 
 @dataclass
@@ -97,29 +111,46 @@ class GGUFProvisioner:
                 if r.status_code != 200:
                     raise ProvisionError("conversion status fetch failed")
                 status = r.json().get("status")
-                if status == "Processing":
-                    await asyncio.sleep(cfg.poll_interval_s)
-                    continue
                 if status == "Failed":
                     raise ProvisionError("model conversion failed")
-                artifact_url = status
-                break
+                if isinstance(status, str) and status.startswith("http"):
+                    # done: the converter overloads `status` with the
+                    # artifact URL
+                    artifact_url = status
+                    break
+                # anything else (Processing/Queued/Pending/...) is an
+                # in-flight state — keep polling; guessing that an
+                # unknown word is a URL turned 'Queued' into a broken
+                # GET and burned none of the polling budget
+                await asyncio.sleep(cfg.poll_interval_s)
             if artifact_url is None:
                 raise ProvisionError("conversion timed out")
 
-            # 3. download the GGUF artifact (kept in memory: the blob
-            #    upload streams it straight back out)
-            r = await client.get(artifact_url)
-            if r.status_code != 200:
-                raise ProvisionError("artifact download failed")
-            blob = r.content
-            digest = "sha256:" + hashlib.sha256(blob).hexdigest()
+            # 3. stream the GGUF artifact to a temp file with an
+            #    incremental sha256 — a Q8_0 8B artifact is ~8.5 GB,
+            #    buffering it (twice, once for the re-upload) OOMs
+            import tempfile
 
-            # 4. upload to Ollama's blob store by digest
-            r = await client.post(f"{cfg.ollama_url}/api/blobs/{digest}",
-                                  content=blob)
-            if r.status_code not in (200, 201):
-                raise ProvisionError("blob upload failed")
+            h = hashlib.sha256()
+            with tempfile.NamedTemporaryFile(suffix=".gguf") as tmp:
+                async with client.stream("GET", artifact_url) as r:
+                    if r.status_code != 200:
+                        raise ProvisionError("artifact download failed")
+                    async for chunk in r.aiter_bytes():
+                        h.update(chunk)
+                        tmp.write(chunk)
+                tmp.flush()
+                digest = "sha256:" + h.hexdigest()
+
+                # 4. upload to Ollama's blob store by digest (file-backed
+                #    body: httpx streams it, memory stays at buffer size)
+                tmp.seek(0)
+                r = await client.post(
+                    f"{cfg.ollama_url}/api/blobs/{digest}",
+                    content=tmp.read() if os.path.getsize(tmp.name)
+                    < (64 << 20) else _file_chunks(tmp))
+                if r.status_code not in (200, 201):
+                    raise ProvisionError("blob upload failed")
 
             # 5. register the model against the uploaded blob
             r = await client.post(f"{cfg.ollama_url}/api/create", json={

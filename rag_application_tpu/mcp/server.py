@@ -96,7 +96,10 @@ class MCPServer:
                 "serverInfo": {"name": self.name, "version": self.version},
                 "capabilities": {"tools": {}, "resources": {}},
             })
-        if method == "notifications/initialized":
+        if "id" not in message or method.startswith("notifications/"):
+            # JSON-RPC forbids RESPONDING to notifications — unknown
+            # ones (notifications/cancelled etc.) are ignored, not
+            # answered with an id:null error
             return None
         if method == "ping":
             return ok({})
@@ -136,7 +139,11 @@ class MCPServer:
             reader = self.resources.get(uri)
             if reader is None:
                 return err(-32602, f"unknown resource {uri}")
-            data = reader()
+            try:  # protocol boundary: a failing reader (deleted backing
+                # file, ...) must answer, not kill the serve loop
+                data = reader()
+            except Exception as e:  # noqa: BLE001
+                return err(-32603, f"resource read failed: {e}")
             if not isinstance(data, str):
                 data = json.dumps(data, default=str)
             return ok({"contents": [{"uri": uri, "mimeType": "text/plain",
@@ -146,10 +153,17 @@ class MCPServer:
     # ------------------------------------------------------------- serving
 
     async def serve_stdio(self, stdin=None, stdout=None) -> None:
-        """Line-delimited JSON-RPC over stdio (the MCP stdio transport)."""
+        """Line-delimited JSON-RPC over stdio (the MCP stdio transport).
+
+        stdio is a LOCAL transport — the parent process that spawned us
+        already holds the trust boundary, so calls run at admin level
+        (with api_keys configured there would otherwise be no way to
+        authenticate over stdio at all; keys gate the HTTP transport)."""
         stdin = stdin or sys.stdin
         stdout = stdout or sys.stdout
         loop = asyncio.get_running_loop()
+        admin = next((k for k, lvl in (self.api_keys or {}).items()
+                      if lvl == "admin"), None)
         while True:
             line = await loop.run_in_executor(None, stdin.readline)
             if not line:
@@ -161,7 +175,7 @@ class MCPServer:
                 msg = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            resp = await self.handle(msg)
+            resp = await self.handle(msg, api_key=admin)
             if resp is not None:
                 stdout.write(json.dumps(resp) + "\n")
                 stdout.flush()
@@ -172,9 +186,17 @@ class MCPServer:
 
         async def endpoint(req: Request):
             key = req.headers.get("x-api-key")
-            msg = req.json()
+            try:
+                msg = req.json()
+            except Exception:  # noqa: BLE001 — malformed body
+                msg = None
+            if msg is None or not isinstance(msg, (dict, list)):
+                return JSONResponse({
+                    "jsonrpc": "2.0", "id": None,
+                    "error": {"code": -32700, "message": "parse error"}})
             if isinstance(msg, list):  # batch
-                out = [await self.handle(m, api_key=key) for m in msg]
+                out = [await self.handle(m, api_key=key) for m in msg
+                       if isinstance(m, dict)]
                 return JSONResponse([r for r in out if r is not None])
             resp = await self.handle(msg, api_key=key)
             return JSONResponse(resp if resp is not None else {})

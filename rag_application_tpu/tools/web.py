@@ -21,12 +21,15 @@ _WS_RE = re.compile(r"[ \t]*\n[ \t\n]*")
 
 
 def html_to_text(html: str) -> str:
-    """Small readability pass: drop script/style, strip tags, fold space."""
+    """Small readability pass: drop script/style, strip tags, decode
+    entities (ALL of them — stdlib html.unescape, not a hand-rolled
+    subset), fold space."""
+    import html as _html
+
     text = _TAG_RE.sub(" ", html)
     text = re.sub(r"<br\s*/?>|</p>|</div>|</h[1-6]>", "\n", text, flags=re.I)
     text = _HTML_RE.sub(" ", text)
-    text = re.sub(r"&nbsp;|&#160;", " ", text)
-    text = re.sub(r"&amp;", "&", text)
+    text = _html.unescape(text).replace("\xa0", " ")  # nbsp -> space
     text = re.sub(r"[ \t]+", " ", text)
     return _WS_RE.sub("\n", text).strip()
 
@@ -58,9 +61,18 @@ def make_http_fetch_backend(*, timeout: float = 30.0,
 
         async with httpx.AsyncClient(timeout=timeout,
                                      follow_redirects=True) as client:
-            r = await client.get(url)
-            r.raise_for_status()
-            return r.text[:max_bytes]
+            # stream + stop at the byte budget: agents pass arbitrary
+            # URLs, and a full .get() would download (and hold) an
+            # unbounded body before any slice applied
+            async with client.stream("GET", url) as r:
+                r.raise_for_status()
+                buf = bytearray()
+                async for chunk in r.aiter_bytes():
+                    buf.extend(chunk)
+                    if len(buf) >= max_bytes:
+                        break
+                return bytes(buf[:max_bytes]).decode(
+                    r.encoding or "utf-8", errors="replace")
 
     return fetch
 

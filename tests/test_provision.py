@@ -48,6 +48,29 @@ class FakeServices:
     async def __aexit__(self, *a):
         return False
 
+    def stream(self, method, url, **kw):
+        """httpx-style streaming context (the artifact download streams
+        to bound memory; see provision.py step 3)."""
+        svc = self
+
+        class _Ctx:
+            async def __aenter__(ctx):
+                resp = await svc.get(url, **kw)
+
+                def aiter_bytes():
+                    async def gen():
+                        if resp.content:
+                            yield resp.content
+                    return gen()
+
+                resp.aiter_bytes = aiter_bytes
+                return resp
+
+            async def __aexit__(ctx, *a):
+                return False
+
+        return _Ctx()
+
     async def get(self, url, **kw):
         if url.endswith("/api/tags"):
             return FakeResponse(json_data={"models": [
