@@ -129,6 +129,8 @@ class StubLLM:
         last_user = next(
             (m.content for m in reversed(messages) if m.role == "user"), ""
         )
+        if not isinstance(last_user, str):  # multimodal content blocks
+            last_user = json.dumps(last_user, default=str)
         for pat, fn in self._rules:
             m = pat.search(last_user)
             if m:
@@ -217,6 +219,11 @@ class LLMRouter:
                 "Provider.LOCAL needs a LocalLLM instance: "
                 "LLMRouter(Provider.LOCAL, local=LocalLLM(...)) — build one "
                 "with LocalLLM.from_hf_dir(checkpoint_dir) (llm/local.py)")
+        if (self.provider in (Provider.AZURE,) and not self.base_url):
+            # fail at construction, not as UnsupportedProtocol('None/...')
+            # deep inside the first request
+            raise ValueError("Provider.AZURE needs base_url (the Azure "
+                             "OpenAI deployment endpoint)")
         self.max_retries = max_retries
         self.timeout = timeout
         self._bedrock = None
@@ -231,19 +238,39 @@ class LLMRouter:
         allow = self._PARAM_ALLOWLIST[self.provider]
         return {k: v for k, v in params.items() if k in allow}
 
-    async def _http_chat(self, payload: Dict[str, Any]) -> Dict[str, Any]:
-        import httpx
-
+    def _http_headers(self) -> Dict[str, str]:
         headers = {"Content-Type": "application/json"}
         if self.api_key:
-            headers["Authorization"] = f"Bearer {self.api_key}"
-        async with httpx.AsyncClient(timeout=self.timeout) as client:
-            r = await client.post(
-                f"{self.base_url}/chat/completions", json=payload,
-                headers=headers,
-            )
-            r.raise_for_status()
-            return r.json()
+            if self.provider == Provider.AZURE:
+                # Azure OpenAI key auth uses the api-key header, not a
+                # Bearer token
+                headers["api-key"] = self.api_key
+            else:
+                headers["Authorization"] = f"Bearer {self.api_key}"
+        return headers
+
+    def _client(self):
+        """One keep-alive AsyncClient per event loop (a per-call client
+        pays TCP+TLS setup for every request; a single cached client is
+        loop-bound, so cache by the running loop — tests run many
+        asyncio.run() loops against one router)."""
+        import asyncio as _asyncio
+
+        import httpx
+
+        loop = _asyncio.get_running_loop()
+        if getattr(self, "_client_loop", None) is not loop:
+            self._client_obj = httpx.AsyncClient(timeout=self.timeout)
+            self._client_loop = loop
+        return self._client_obj
+
+    async def _http_chat(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        r = await self._client().post(
+            f"{self.base_url}/chat/completions", json=payload,
+            headers=self._http_headers(),
+        )
+        r.raise_for_status()
+        return r.json()
 
     # ------------------------------------------------------------------ API
 
@@ -372,29 +399,31 @@ class LLMRouter:
                     if delta:
                         yield delta
             return
-        import httpx
-
         payload = {
             "model": self.model,
             "messages": [m.to_dict() for m in messages],
             "stream": True,
             **self._filter_params(params),
         }
-        headers = {"Content-Type": "application/json"}
-        if self.api_key:
-            headers["Authorization"] = f"Bearer {self.api_key}"
-        async with httpx.AsyncClient(timeout=self.timeout) as client:
-            async with client.stream(
-                "POST", f"{self.base_url}/chat/completions", json=payload,
-                headers=headers,
-            ) as r:
-                async for line in r.aiter_lines():
-                    if not line.startswith("data:"):
-                        continue
-                    data = line[5:].strip()
-                    if data == "[DONE]":
-                        break
-                    delta = (json.loads(data)["choices"][0]
-                             .get("delta", {}).get("content"))
-                    if delta:
-                        yield delta
+        async with self._client().stream(
+            "POST", f"{self.base_url}/chat/completions", json=payload,
+            headers=self._http_headers(),
+        ) as r:
+            if r.status_code >= 400:
+                # httpx does not raise inside stream(); an error body has
+                # no data: lines, so without this the caller would see an
+                # EMPTY successful stream instead of the auth/model error
+                body = (await r.aread()).decode("utf-8", errors="replace")
+                raise ValueError(
+                    f"stream request failed ({r.status_code}): "
+                    f"{body[:500]}")
+            async for line in r.aiter_lines():
+                if not line.startswith("data:"):
+                    continue
+                data = line[5:].strip()
+                if data == "[DONE]":
+                    break
+                delta = (json.loads(data)["choices"][0]
+                         .get("delta", {}).get("content"))
+                if delta:
+                    yield delta

@@ -34,8 +34,20 @@ class VLMProcessor:
         if key in self._cache:
             return self._cache[key]
         self.calls += 1
-        desc = await self.vlm.generate_text(
-            DESCRIBE_PROMPT + f"\n[image:{key[:12]}]")
+        # the IMAGE must reach the VLM: send a multimodal content-block
+        # message (raw base64 wraps into a data URL; http(s)/data URLs
+        # pass through). A text-only prompt with a hash tag made any
+        # real provider hallucinate the description from nothing.
+        url = (image_b64 if image_b64.startswith(
+            ("http://", "https://", "data:"))
+            else f"data:image/jpeg;base64,{image_b64}")
+        from .router import ChatMessage
+
+        resp = await self.vlm.chat([ChatMessage("user", [
+            {"type": "text", "text": DESCRIBE_PROMPT},
+            {"type": "image_url", "image_url": {"url": url}},
+        ])])
+        desc = resp.content
         if len(self._cache) >= self.cache_size:
             self._cache.pop(next(iter(self._cache)))
         self._cache[key] = desc
@@ -59,8 +71,11 @@ class VLMProcessor:
                 elif block.get("type") == "text":
                     parts.append(block.get("text", ""))
                 elif block.get("type") in ("image", "image_url"):
-                    data = (block.get("image_url", {}) or {}).get("url") \
-                        or block.get("data", "")
+                    iu = block.get("image_url") or {}
+                    if isinstance(iu, str):  # OpenAI shorthand form
+                        data = iu
+                    else:
+                        data = iu.get("url") or block.get("data", "")
                     desc = await self.describe(str(data))
                     parts.append(f"[Image: {desc}]")
             out.append(dict(m, content="\n".join(p for p in parts if p)))

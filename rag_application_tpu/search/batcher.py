@@ -79,10 +79,19 @@ class MicroBatcher:
             group: List[_Pending] = [first]
             while not self._queue.empty() and len(group) < self.max_batch:
                 group.append(self._queue.get_nowait())
-            # up to max_inflight groups process concurrently (pipelining);
-            # the semaphore backpressures group assembly
-            await sem.acquire()
-            asyncio.ensure_future(self._process(group, sem))
+            # a window can mix precomputed-embedding and embedding=None
+            # submissions; np.stack cannot serve both in one batch, so
+            # they PARTITION into sub-groups instead of poisoning each
+            # other with a ValueError
+            parts = [[p for p in group if p.embedding is None],
+                     [p for p in group if p.embedding is not None]]
+            for part in parts:
+                if not part:
+                    continue
+                # up to max_inflight groups process concurrently
+                # (pipelining); the semaphore backpressures assembly
+                await sem.acquire()
+                asyncio.ensure_future(self._process(part, sem))
 
     async def _process(self, group: List[_Pending],
                        sem: asyncio.Semaphore) -> None:
