@@ -101,18 +101,22 @@ class DeepResearchAgent(BaseAgent):
         return [q for q in out.get("subqueries", []) if q][:6]
 
     async def _process_subquery(self, subquery: str, thread_id: str) -> str:
-        """Search the knowledge base, summarize into a finding, store it."""
+        """Search the knowledge base, summarize into a finding, store it.
+        A failing search records an error finding instead of aborting
+        the whole research run (the gather in ainvoke would otherwise
+        drop every accumulated finding on one bad subquery)."""
         results: Any = []
         if self.toolbox is not None:
             for tool_name in ("hybrid_search", "search_across_spaces"):
                 t = self.toolbox.get(tool_name)
-                if t is not None:
-                    try:
-                        results = await t.call(query=subquery, k=4)
-                    except TypeError:
-                        results = await t.call(query=subquery)
-                    if results:
-                        break
+                if t is None:
+                    continue
+                try:
+                    results = await t.call(query=subquery, k=4)
+                except Exception as e:  # noqa: BLE001 — keep the run alive
+                    results = [{"error": f"{tool_name} failed: {e}"}]
+                if results:
+                    break
         finding = await self.llm.generate_text(
             f"Subquery: {subquery}\nSearch results: "
             f"{json.dumps(results, default=str)[:4000]}\n"
@@ -144,6 +148,17 @@ class DeepResearchAgent(BaseAgent):
                       clarification: Optional[str] = None) -> Dict[str, Any]:
         if self.research_store is None:
             raise ValueError("DeepResearchAgent needs a research_store")
+        if checkpoint_id is not None:
+            # resume: a completed run's checkpoint returns its report
+            # instead of silently re-spending the whole research
+            saved = self.checkpointer.load(thread_id, checkpoint_id)
+            if saved and saved.get("report"):
+                return {"status": "complete",
+                        "content": saved["report"],
+                        "contract": saved.get("contract", []),
+                        "iterations": 0,
+                        "trace": saved.get("trace", []),
+                        "checkpoint_id": checkpoint_id}
         intent = await self._intent(user_input, clarification)
         if (self.clarify and intent.get("needs_clarification")
                 and clarification is None):

@@ -368,7 +368,22 @@ class LLMRouter:
                 # tolerate fenced output
                 if text.startswith("```"):
                     text = re.sub(r"^```(json)?|```$", "", text, flags=re.M).strip()
-                return json.loads(text)
+                parsed = json.loads(text)
+                # top-level TYPE check: json.loads accepting a bare
+                # string/array is not "valid structured output" for an
+                # object schema — callers index into the result, so a
+                # mismatch must retry here, not AttributeError there
+                want = schema.get(
+                    "type", "object" if "properties" in schema else None)
+                py = {"object": dict, "array": list, "string": str,
+                      "integer": int, "number": (int, float),
+                      "boolean": bool}.get(want)
+                if py is not None and not isinstance(parsed, py):
+                    raise ValueError(
+                        f"expected {want}, got {type(parsed).__name__}")
+                if "enum" in schema and parsed not in schema["enum"]:
+                    raise ValueError(f"{parsed!r} not in enum")
+                return parsed
             except (json.JSONDecodeError, ValueError) as e:
                 last_err = e
                 msgs.append(ChatMessage("assistant", resp.content))

@@ -57,8 +57,13 @@ class BrowserAgentLoop:
                     "Choose the next browser action.",
                     ACTION_SCHEMA,
                     system="You operate a web browser step by step.")
-            except ValueError:
-                break
+            except ValueError as e:
+                # distinguish a persistent structured-output failure
+                # from a genuinely exhausted step budget — callers that
+                # retry on `exhausted` with a bigger budget would loop
+                # on an LLM/JSON failure forever
+                return {"answer": "", "steps": trace,
+                        "error": f"action selection failed: {e}"}
             action = decision.get("action", "finish")
             trace.append(decision)
             if action == "finish":

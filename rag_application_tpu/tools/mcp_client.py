@@ -53,28 +53,44 @@ class MCPClient:
         if spec["kind"] == "inprocess":
             resp = await spec["server"].handle(msg, api_key=spec["api_key"])
         else:
-            import httpx
-
             headers = {}
             if spec["api_key"]:
                 headers["x-api-key"] = spec["api_key"]
-            async with httpx.AsyncClient(timeout=60) as client:
-                r = await client.post(spec["url"], json=msg, headers=headers)
-                r.raise_for_status()
-                resp = r.json()
+            r = await self._client().post(spec["url"], json=msg,
+                                          headers=headers)
+            r.raise_for_status()
+            resp = r.json()
         if resp and "error" in resp:
             raise RuntimeError(resp["error"].get("message", "MCP error"))
         return (resp or {}).get("result")
 
     # ---------------------------------------------------------------- API
 
+    def _client(self):
+        """One keep-alive AsyncClient per event loop (a per-RPC client
+        paid a TCP/TLS handshake for every call in a batch)."""
+        import httpx
+
+        loop = asyncio.get_running_loop()
+        if getattr(self, "_client_loop", None) is not loop:
+            self._client_obj = httpx.AsyncClient(timeout=60)
+            self._client_loop = loop
+        return self._client_obj
+
     async def list_tools(self, server: Optional[str] = None) -> Dict[str, List[str]]:
+        """Tool names per server — queried CONCURRENTLY, one failing
+        server reports {"error": ...} instead of hiding the rest."""
         names = [server] if server else list(self._servers)
-        out = {}
-        for n in names:
-            result = await self._rpc(n, "tools/list")
-            out[n] = [t["name"] for t in (result or {}).get("tools", [])]
-        return out
+
+        async def one(n):
+            try:
+                result = await self._rpc(n, "tools/list")
+                return [t["name"] for t in (result or {}).get("tools", [])]
+            except Exception as e:  # noqa: BLE001 — per-server capture
+                return {"error": str(e)}
+
+        results = await asyncio.gather(*(one(n) for n in names))
+        return dict(zip(names, results))
 
     async def call(self, server: str, tool: str,
                    arguments: Optional[Dict[str, Any]] = None) -> Any:
