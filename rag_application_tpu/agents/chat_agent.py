@@ -40,8 +40,14 @@ def agent_as_tool(agent: BaseAgent, *, name: str, description: str) -> Tool:
     """Wrap a whole agent as a single tool (parity: agents_as_tools)."""
 
     async def run(query: str):
-        out = await agent.ainvoke(query,
-                                  thread_id=f"tool-{uuid.uuid4().hex[:8]}")
+        tid = f"tool-{uuid.uuid4().hex}"
+        out = await agent.ainvoke(query, thread_id=tid)
+        # the sub-conversation is scratch: leaving it checkpointed
+        # grows the shared checkpointer by one thread per tool call,
+        # forever, in a long-lived server
+        drop = getattr(agent.checkpointer, "drop_thread", None)
+        if drop is not None:
+            drop(tid)
         return {"answer": out["content"]}
 
     return Tool(name, description,
@@ -61,8 +67,11 @@ class ChatAgent(BaseAgent):
                       "user's knowledge base.")
         super().__init__(llm, **kw)
         if knowledge_toolbox is not None:
+            # self.llm, not the raw parameter: with llm=None the
+            # sub-agent would build a SECOND independent router that
+            # post-construction configuration never reaches
             search_agent = KnowledgeSearchAgent(
-                llm, toolbox=knowledge_toolbox,
+                self.llm, toolbox=knowledge_toolbox,
                 checkpointer=self.checkpointer)
             self.bind_tools([agent_as_tool(
                 search_agent, name="knowledge_search_agent",

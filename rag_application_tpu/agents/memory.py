@@ -99,6 +99,8 @@ class VectorMemoryStore:
                     block_size=4096)),
                 "rows": {},      # key -> row
                 "values": {},    # key -> value dict
+                "vecs": {},      # key -> f32 vector (for compaction)
+                "dead": 0,       # tombstoned rows since last compaction
             }
         return self._spaces[ns]
 
@@ -112,9 +114,32 @@ class VectorMemoryStore:
         old = sp["rows"].get(key)
         if old is not None:
             sp["index"].delete([old])
+            sp["dead"] = sp.get("dead", 0) + 1
         row = int(sp["index"].insert(vec[None, :])[0])
         sp["rows"][key] = row
         sp["values"][key] = dict(value, _key=key, _updated=time.time())
+        sp["vecs"][key] = np.asarray(vec, np.float32)
+        # DenseIndex.delete only tombstones; re-put keys (the 'profile'
+        # key updates EVERY reflected turn) would grow the index without
+        # bound. Rebuild from live vectors once dead rows dominate.
+        if sp["dead"] >= max(64, len(sp["rows"])):
+            self._compact(sp)
+
+    def _compact(self, sp: Dict[str, Any]) -> None:
+        from ..config import IndexConfig
+        from ..index.dense import DenseIndex
+
+        idx = DenseIndex(IndexConfig(dim=self.dim, matryoshka_dims=(),
+                                     initial_capacity=256, block_size=4096))
+        keys = list(sp["rows"])
+        if keys:
+            mat = np.stack([sp["vecs"][k] for k in keys])
+            new_rows = idx.insert(mat)
+            sp["rows"] = {k: int(r) for k, r in zip(keys, new_rows)}
+        else:
+            sp["rows"] = {}
+        sp["index"] = idx
+        sp["dead"] = 0
 
     def get(self, namespace: Sequence[str], key: str) -> Optional[Dict[str, Any]]:
         sp = self._spaces.get(tuple(namespace))
@@ -125,6 +150,8 @@ class VectorMemoryStore:
         if sp and key in sp["rows"]:
             sp["index"].delete([sp["rows"].pop(key)])
             sp["values"].pop(key, None)
+            sp["vecs"].pop(key, None)
+            sp["dead"] = sp.get("dead", 0) + 1
 
     def list(self, namespace: Sequence[str]) -> List[Dict[str, Any]]:
         sp = self._spaces.get(tuple(namespace))
@@ -144,7 +171,12 @@ class VectorMemoryStore:
         for score, row in zip(np.asarray(vals)[0], np.asarray(ids)[0]):
             key = row_to_key.get(int(row))
             if key is not None and np.isfinite(score):
-                out.append({"score": float(score), **sp["values"][key]})
+                # score LAST so a stored value's own "score" field can
+                # never mask the retrieval similarity; internal fields
+                # stay out of results (they leak into system prompts)
+                v = {k2: v2 for k2, v2 in sp["values"][key].items()
+                     if not k2.startswith("_")}
+                out.append({**v, "_key": key, "score": float(score)})
         return out
 
 
@@ -155,11 +187,16 @@ class ThreadCheckpointer:
     checkpoint_id. Durable-to-disk when a directory is given; in-memory
     otherwise."""
 
-    def __init__(self, directory: Optional[str] = None):
+    def __init__(self, directory: Optional[str] = None, *,
+                 max_history: int = 20):
         self.directory = directory
         if directory:
             os.makedirs(directory, exist_ok=True)
         self._mem: Dict[str, List[Dict[str, Any]]] = {}
+        # each snapshot holds the WHOLE conversation to date, so an
+        # unbounded history is O(turns^2) space and every save rewrites
+        # it all; recent checkpoints are what resume actually uses
+        self.max_history = max_history
 
     def _path(self, thread_id: str) -> str:
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in thread_id)
@@ -174,6 +211,8 @@ class ThreadCheckpointer:
                  "state": copy.deepcopy(state)}
         history = self._load_history(thread_id)
         history.append(entry)
+        if len(history) > self.max_history:
+            history = history[-self.max_history:]
         if self.directory:
             tmp = self._path(thread_id) + ".tmp"
             with open(tmp, "w") as f:
@@ -191,6 +230,16 @@ class ThreadCheckpointer:
                     return json.load(f)
             return []
         return list(self._mem.get(thread_id, []))
+
+    def drop_thread(self, thread_id: str) -> None:
+        """Remove a thread's whole history (scratch sub-conversations —
+        see chat_agent.agent_as_tool)."""
+        self._mem.pop(thread_id, None)
+        if self.directory:
+            try:
+                os.unlink(self._path(thread_id))
+            except FileNotFoundError:
+                pass
 
     def load(self, thread_id: str,
              checkpoint_id: Optional[str] = None) -> Optional[Dict[str, Any]]:

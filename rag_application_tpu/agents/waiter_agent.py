@@ -59,7 +59,9 @@ class WaiterAgent(BaseAgent):
         def browse_menu(category: str = "", vegetarian_only: bool = False):
             out = []
             for name, item in self.menu.items():
-                if category and item["category"] != category:
+                # case-insensitive like the dish lookup — the model
+                # naturally capitalizes ('Mains') and got an empty menu
+                if category and item["category"] != category.lower():
                     continue
                 if vegetarian_only and not item["vegetarian"]:
                     continue
@@ -76,13 +78,17 @@ class WaiterAgent(BaseAgent):
             return {"added": dish, "quantity": quantity}
 
         def remove_from_order(table: str, dish: str):
-            order = self._order(table)
+            # read path: .get, not _order's setdefault — queries for
+            # unknown/typo'd tables must not create phantom orders
+            order = self.orders.get(table)
+            if order is None:
+                return {"removed": 0}
             before = len(order.items)
             order.items = [i for i in order.items if i["dish"] != dish.lower()]
             return {"removed": before - len(order.items)}
 
         def get_order(table: str):
-            order = self._order(table)
+            order = self.orders.get(table) or OrderState()
             return {"items": order.items, "total": order.total()}
 
         def checkout(table: str):
