@@ -139,7 +139,19 @@ def load_hf_encoder(model_dir_or_state: Any, config: Optional[Dict] = None):
         with open(os.path.join(model_dir_or_state, "config.json")) as f:
             config = json.load(f)
         weights = os.path.join(model_dir_or_state, "pytorch_model.bin")
-        state = torch.load(weights, map_location="cpu")
+        st_path = os.path.join(model_dir_or_state, "model.safetensors")
+        if os.path.exists(weights):
+            state = torch.load(weights, map_location="cpu")
+        elif os.path.exists(st_path):
+            # modern checkpoints ship safetensors only (the transformers
+            # default save format since 4.35)
+            from safetensors.torch import load_file
+
+            state = load_file(st_path)
+        else:
+            raise FileNotFoundError(
+                f"no pytorch_model.bin or model.safetensors in "
+                f"{model_dir_or_state}")
     else:
         state = model_dir_or_state
         assert config is not None

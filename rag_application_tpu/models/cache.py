@@ -49,7 +49,9 @@ class EmbeddingCache:
 
     def put(self, text: str, vec: np.ndarray) -> None:
         k = self.key(text)
-        self._store[k] = (time.monotonic(), np.asarray(vec))
+        # copy: callers pass views into whole batch arrays — asarray
+        # would pin the full (batch, dim) parent per cached row
+        self._store[k] = (time.monotonic(), np.array(vec, copy=True))
         self._store.move_to_end(k)
         while len(self._store) > self.capacity:
             self._store.popitem(last=False)

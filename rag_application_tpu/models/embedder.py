@@ -111,6 +111,10 @@ class Embedder:
                 f"{model.audio_mels}); got {feats.shape}")
         n = feats.shape[0]
         batch_texts = list(texts) if texts is not None else [""] * n
+        if len(batch_texts) != n:
+            raise ValueError(
+                f"texts must match the feature batch: got {len(batch_texts)}"
+                f" captions for {n} audio clips")
         ids, mask = self.tokenizer.encode_batch(batch_texts, self.max_len)
         if texts is None:
             mask = np.zeros_like(mask)  # audio-only: no text tokens attend

@@ -180,7 +180,13 @@ class WordPieceTokenizer:
         WordPiece round-trip (lowercasing, accent stripping)."""
         if not hasattr(self, "_inv_vocab"):
             self._inv_vocab = {i: t for t, i in self.vocab.items()}
-        special = {self.pad_id, self.cls_id, self.sep_id}
+        # only skip ids whose special token actually EXISTS: pad_id
+        # defaults to 0 when the vocab has no [PAD], and skipping it
+        # would silently drop the real token with id 0 from every decode
+        special = {tid for name, tid in
+                   ((_PAD, self.pad_id), (_CLS, self.cls_id),
+                    (_SEP, self.sep_id))
+                   if name in self.vocab and tid is not None}
         out: List[str] = []
         for i in ids:
             if skip_special and i in special:
@@ -201,21 +207,34 @@ class WordPieceTokenizer:
 
         Uses the native C fast path (native/wordpiece.c) when built:
         ASCII rows encode in C, anything else falls back to this python
-        implementation row by row — identical output either way."""
+        implementation row by row — identical output either way.
+
+        The width is the batch's natural max length BUCKETED to a power
+        of two (capped at max_len): the encoder jit compiles one variant
+        per distinct width, and a per-batch exact width would recompile
+        near-continuously on mixed-length ingest (remote compiles cost
+        seconds on this backend and the cache does not populate)."""
         max_len = max_len or self.max_len
+
+        def bucket(natural: int) -> int:
+            w = 1
+            while w < natural:
+                w <<= 1
+            return min(w, max_len)
+
         if self._native is not None and texts:
             ids, lens, fallback = self._native.encode_batch(texts, max_len)
             for i in fallback:
                 r = self.encode(texts[i], max_len)
                 ids[i, : len(r)] = r
                 lens[i] = len(r)
-            width = max(1, int(lens.max()))
+            width = bucket(max(1, int(lens.max())))
             ids = ids[:, :width]
             mask = np.arange(width)[None, :] < lens[:, None]
             np.putmask(ids, ~mask, self.pad_id)
             return ids.astype(np.int32), mask
         rows = [self.encode(t, max_len) for t in texts]
-        width = max(1, max((len(r) for r in rows), default=1))
+        width = bucket(max(1, max((len(r) for r in rows), default=1)))
         ids = np.full((len(rows), width), self.pad_id, dtype=np.int32)
         mask = np.zeros((len(rows), width), dtype=bool)
         for i, r in enumerate(rows):
