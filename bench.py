@@ -424,6 +424,79 @@ def run():
             "ann_qps": round(batch / ann_dt, 1),
         })
 
+    # ---------------- decoder serving leg (subprocess-isolated) --------
+    # The r2 serving features (int8 KV cache, prompt-lookup speculation)
+    # have CPU-proof tests but need on-chip numbers; drive the
+    # examples/tune_*.py harnesses as CHILD processes so a relay wedge
+    # kills the child on timeout and the core metric above survives.
+    # BENCH_DECODER: "0" off, "1" (default on full runs) = kv-quant
+    # decode + speculative, "full" adds the continuous batcher.
+    dec_mode = os.environ.get("BENCH_DECODER", "0" if small else "1")
+    dec_extras = {}
+    if dec_mode != "0":
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def child(script, env_extra, fields, timeout_s=900):
+            """Run an examples/ harness; map its JSON line into bench
+            fields ({bench_key: child_key}). Fail-soft on any error.
+            env_extra keys starting with "?" are defaults (a TUNE_* var
+            already in the environment wins — lets smoke runs shrink
+            the shapes); the rest are forced feature flags."""
+            env = dict(os.environ)
+            for k, v in env_extra.items():
+                if k.startswith("?"):
+                    env.setdefault(k[1:], v)
+                else:
+                    env[k] = v
+            if os.environ.get("BENCH_PLATFORM"):
+                env["TUNE_PLATFORM"] = os.environ["BENCH_PLATFORM"]
+            try:
+                t0 = time.time()
+                p = subprocess.run(
+                    [sys.executable, os.path.join(here, "examples", script)],
+                    capture_output=True, text=True, timeout=timeout_s,
+                    env=env)
+                lines = [ln for ln in p.stdout.strip().splitlines()
+                         if ln.startswith("{")]
+                if not lines:
+                    log(f"[bench] {script} produced no JSON "
+                        f"(rc={p.returncode}) — continuing; stderr tail: "
+                        f"{p.stderr.strip()[-300:]}")
+                    return {}
+                rec = json.loads(lines[-1])
+                got = {bk: rec[ck] for bk, ck in fields.items() if ck in rec}
+                log(f"[bench] {script}: {got} ({time.time()-t0:.0f}s)")
+                return got
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] {script} leg failed ({type(e).__name__}) "
+                    "— continuing")
+                return {}
+
+        shapes = {"?TUNE_BATCH": "64", "?TUNE_PROMPT": "128",
+                  "?TUNE_NEW": "128"}
+        dec_extras.update(child(
+            "tune_decoder.py", {**shapes, "TUNE_KV_QUANT": "1"},
+            {"dec_kvq_decode_tok_s": "decode_tok_s",
+             "dec_kvq_ms_per_token": "decode_ms_per_token",
+             "dec_kvq_prefill_tok_s": "prefill_tok_s"}))
+        dec_extras.update(child(
+            "tune_speculative.py", {},
+            {"spec_speedup": "speedup",
+             "spec_tokens_per_step": "tokens_per_step",
+             "spec_identical": "identical"}))
+        if dec_mode == "full":
+            dec_extras.update(child(
+                "tune_decoder.py", shapes,
+                {"dec_decode_tok_s": "decode_tok_s",
+                 "dec_prefill_tok_s": "prefill_tok_s"}))
+            dec_extras.update(child(
+                "tune_batcher.py",
+                {"TUNE_SPEC_K": "4", "TUNE_KV_QUANT": "1"},
+                {"batcher_tok_s": "batched_tok_s",
+                 "batcher_speedup": "speedup"}, timeout_s=1800))
+
     if small:
         metric = "hybrid_qps_small"
     elif n == 1_000_000 and d == 768:
@@ -433,6 +506,7 @@ def run():
     result = {
         "metric": metric,
         **ann_extras,
+        **dec_extras,
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 50_000.0, 3),

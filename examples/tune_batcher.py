@@ -41,9 +41,13 @@ def log(*a):
 
 
 def main() -> None:
+    # off-TPU smoke runs: pre-import env skips the axon plugin's
+    # import-time discovery (which wedges on a dead relay)
+    if os.environ.get("TUNE_PLATFORM"):
+        os.environ["JAX_PLATFORMS"] = os.environ["TUNE_PLATFORM"]
     import jax
 
-    if os.environ.get("TUNE_PLATFORM"):  # off-TPU smoke runs
+    if os.environ.get("TUNE_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["TUNE_PLATFORM"])
     import jax.numpy as jnp
 

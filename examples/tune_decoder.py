@@ -37,8 +37,16 @@ def log(*a):
 
 
 def main() -> None:
+    # TUNE_PLATFORM=cpu: off-TPU smoke runs. Pre-import env skips the
+    # axon plugin's import-time discovery (wedges on a dead relay); the
+    # config update overrides sitecustomize's programmatic platform.
+    if os.environ.get("TUNE_PLATFORM"):
+        os.environ["JAX_PLATFORMS"] = os.environ["TUNE_PLATFORM"]
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("TUNE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["TUNE_PLATFORM"])
 
     from rag_application_tpu.models.decoder import (
         DecoderConfig,
@@ -111,8 +119,11 @@ def main() -> None:
         float(jnp.sum(out))
         times.append(time.time() - t0)
     gen_s = min(times)
-    # generate includes the prefill; decode-only rate subtracts it
-    decode_s = max(gen_s - prefill_s, 1e-9)
+    # generate includes the prefill; decode-only rate subtracts it.
+    # Below ~5% of the dispatch the subtraction is measurement noise
+    # (tiny smoke shapes) — report the conservative whole-dispatch rate
+    # instead of a nonsense spike.
+    decode_s = max(gen_s - prefill_s, 0.05 * gen_s)
     print(json.dumps({
         "params_m": round(n_params / 1e6, 1),
         "quant": quant, "kv_quant": cfg.kv_quant,

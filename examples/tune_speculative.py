@@ -32,8 +32,15 @@ def log(*a):
 
 
 def main() -> None:
+    # TUNE_PLATFORM=cpu: off-TPU smoke runs (pre-import env skips the
+    # axon plugin's import-time discovery, which wedges on a dead relay)
+    if os.environ.get("TUNE_PLATFORM"):
+        os.environ["JAX_PLATFORMS"] = os.environ["TUNE_PLATFORM"]
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("TUNE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["TUNE_PLATFORM"])
 
     from rag_application_tpu.models.decoder import (
         DecoderConfig,
