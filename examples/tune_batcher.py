@@ -18,7 +18,8 @@ Env: TUNE_HIDDEN (512), TUNE_LAYERS (8), TUNE_HEADS (8), TUNE_KV (4),
      (8), TUNE_PROMPT (64), TUNE_NEW (128), TUNE_CHUNK (16),
      TUNE_HORIZON (256), TUNE_QUANT (0), TUNE_SPEC_K (0),
      TUNE_KV_QUANT (0), TUNE_SERIAL (1; 0 skips the
-     serialized baseline).
+     serialized baseline), TUNE_LOOKAHEAD (2; chunks dispatched ahead
+     of the oldest unread output — hides the relay RTT per chunk).
 """
 
 from __future__ import annotations
@@ -77,6 +78,7 @@ def main() -> None:
     CHUNK = int(os.environ.get("TUNE_CHUNK", 16))
     HORIZON = int(os.environ.get("TUNE_HORIZON", 256))
     SPEC_K = int(os.environ.get("TUNE_SPEC_K", 0))
+    LOOKAHEAD = int(os.environ.get("TUNE_LOOKAHEAD", 2))
     KVQ = os.environ.get("TUNE_KV_QUANT", "0") == "1"
     log(f"cfg={cfg}")
     log(f"R={R} slots={SLOTS} prompt={T} new={NEW} chunk={CHUNK} "
@@ -116,7 +118,7 @@ def main() -> None:
     async def run_batched():
         b = ContinuousBatcher(params, cfg, slots=SLOTS, prompt_pad=T,
                               horizon=HORIZON, chunk=CHUNK,
-                              spec_k=SPEC_K)
+                              spec_k=SPEC_K, lookahead=LOOKAHEAD)
         # compile pass: one request end-to-end (prefill_row+chunk+compact
         # all get compiled here so the timed run is compile-free)
         await b.submit(prompts[0], max_new=NEW)
@@ -137,7 +139,7 @@ def main() -> None:
         "params_m": round(n_params / 1e6, 1), "quant": quant,
         "reqs": R, "slots": SLOTS, "prompt": T, "new": NEW,
         "chunk": CHUNK, "horizon": HORIZON, "spec_k": SPEC_K,
-        "kv_quant": KVQ,
+        "kv_quant": KVQ, "lookahead": LOOKAHEAD,
         "batched_s": round(batch_s, 2),
         "batched_tok_s": round(n_tok / batch_s),
         "compactions": compactions,

@@ -322,7 +322,8 @@ class ContinuousBatcher:
                  horizon: int = 512, chunk: int = 8,
                  temperature: float = 0.0, top_k: int = 64,
                  top_p: float = 1.0, seed: int = 0, spec_k: int = 0,
-                 spec_min_tps: float = 0.0, spec_cooldown: int = 16):
+                 spec_min_tps: float = 0.0, spec_cooldown: int = 16,
+                 lookahead: int = 2):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
         # spec_k works for greedy (argmax-agreement acceptance, token-
@@ -347,6 +348,18 @@ class ContinuousBatcher:
         self.spec_min_tps = float(spec_min_tps)
         self.spec_cooldown = int(spec_cooldown)
         self._cooldown = 0
+        # lookahead: chunks dispatched ahead of the oldest unread chunk
+        # OUTPUT. Dispatch is async (the jit returns array futures), so
+        # with lookahead > 0 the host<->device readback of chunk k
+        # overlaps the device compute of chunks k+1..k+L — through a
+        # high-RTT transport (the axon relay) this turns the per-chunk
+        # cost from compute+RTT into max(compute, RTT/L). Safety: a
+        # chunk's output is delivered against a (row, request_id)
+        # snapshot taken at dispatch, so a row retired + re-admitted
+        # while its old chunk was in flight never leaks tokens to the
+        # new request. lookahead=0 reads each chunk back before
+        # dispatching the next (the pre-pipelining behavior).
+        self.lookahead = max(0, int(lookahead))
         self.spec_dispatches = 0
         self.plain_dispatches = 0
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
@@ -563,103 +576,166 @@ class ContinuousBatcher:
             logging.getLogger(__name__).exception("batcher loop failed")
             self._reset_device_state()
 
+    def _process(self, entry) -> None:
+        """Deliver one read-back chunk output. `entry` is the dispatch-
+        time snapshot (readback future done, busy (row, rid) pairs,
+        use_k). Runs on the event-loop thread."""
+        emitted, busy, use_k = entry
+        if self.spec_k:
+            if use_k > 0:
+                if self.spec_min_tps > 0 and busy:
+                    rows = [i for i, _ in busy]
+                    rate = float((emitted[:, rows, :] >= 0).sum()) / (
+                        self.chunk * len(rows))
+                    if rate < self.spec_min_tps:
+                        self._cooldown = self.spec_cooldown
+        for i, rid in busy:
+            s = self._slots[i]
+            if s.queue is None or s.request_id != rid:
+                continue  # retired (and possibly re-admitted) meanwhile
+            for j in range(self.chunk):
+                if s.remaining == 0:
+                    break
+                for w in range(emitted.shape[2]):
+                    t = int(emitted[j, i, w])
+                    if t < 0 or s.remaining == 0:
+                        # -1 ends this BLOCK's run, not the row:
+                        # later steps in the chunk may emit more
+                        break
+                    s.queue.put_nowait(t)
+                    s.remaining -= 1
+                    self.tokens_out += 1
+            # row death is derived from the output itself (the live
+            # device `active` may already reflect LATER in-flight
+            # chunks): a row alive through the chunk's last step emits
+            # a real id at (last, 0) in both plain and spec modes, so
+            # -1 there means the row was dead (or died consuming eos)
+            # by the end of THIS chunk. A row that dies by SAMPLING eos
+            # at the last step shows up one chunk later — one wasted
+            # dispatch, never a wrong token.
+            if s.remaining == 0 or int(emitted[-1, i, 0]) < 0:
+                self._retire(i)
+        from ..utils.observability import METRICS
+
+        METRICS.inc("decode_steps", self.chunk)
+        METRICS.set_gauge("decode_tokens_per_step",
+                          self.tokens_out / max(self.steps, 1))
+        METRICS.set_gauge("decode_active_rows", len(busy))
+
     async def _serve(self) -> None:
         loop = asyncio.get_running_loop()
-        while True:
-            # admit as many pending requests as there are free rows
-            admitted = False
-            for row in self._free_rows():
-                try:
-                    rid, ids, max_new, eos_id, q = self._pending.get_nowait()
-                except asyncio.QueueEmpty:
-                    break
-                first = await loop.run_in_executor(
-                    None, self._admit, row, rid, ids)
-                self._finish_admit(row, rid, max_new, eos_id, q, first)
-                admitted = True
-            busy = [i for i, s in enumerate(self._slots) if s.queue is not None]
-            if not busy:
-                if admitted:
-                    continue
-                return  # nothing in flight; next submit restarts the loop
-            # adaptive speculation: during a cooldown run K=0 spec
-            # chunks (same emission convention, 1 slot/step) and
-            # re-probe speculation when it expires
-            use_k = self.spec_k
-            if use_k and self.spec_min_tps > 0 and self._cooldown > 0:
-                use_k = 0
-                self._cooldown -= 1
-            burn = self.chunk * (use_k + 1)  # physical slots per dispatch
-            if self.head + burn > self.S:
-                (self.ck, self.cv, self.slot_pos,
-                 head) = await loop.run_in_executor(
-                    None, lambda: _compact(self.ck, self.cv,
-                                           self.slot_pos))
-                self.head = int(head)
-                self.compactions += 1
-                if self.head + burn > self.S:
-                    raise RuntimeError(
-                        "cache full after compaction: concurrent live "
-                        "tokens exceed prompt_pad+horizon; raise horizon "
-                        "or lower max_new")
-            eos_vec = np.full((self.B,), -2, np.int32)
-            for i in busy:
-                eos_vec[i] = self._slots[i].eos_id
+        # in-flight chunk outputs: (readback future -> np (chunk,B,W),
+        # busy snapshot [(row, rid)], use_k), oldest first
+        inflight: List[Tuple[asyncio.Future, List[Tuple[int, int]], int]] = []
 
-            def _step():
-                if self.spec_k:
-                    (self.tok, self.pos, self.active, self.slot_pos,
-                     self.hist, self.ck, self.cv, out) = _decode_chunk_spec(
-                        self.params, self.cfg, self.chunk, use_k,
-                        self.tok, self.pos, self.active, self.slot_pos,
-                        self.hist, np.int32(self.head),
-                        jnp.asarray(eos_vec), self.ck, self.cv,
-                        self.temperature, self.top_k, self.top_p,
-                        self.rng, np.int32(self.steps))
-                    return out  # (chunk, B, use_k+1)
-                (self.tok, self.pos, self.active, self.slot_pos,
-                 self.ck, self.cv, out) = _decode_chunk(
-                    self.params, self.cfg, self.chunk, self.tok, self.pos,
-                    self.active, self.slot_pos, np.int32(self.head),
-                    np.int32(self.steps),
-                    self.temperature, self.top_k, self.top_p,
-                    jnp.asarray(eos_vec), self.rng, self.ck, self.cv)
-                return out[:, :, None]  # (chunk, B, 1)
+        async def _pop_oldest():
+            fut, busy, use_k = inflight.pop(0)
+            self._process((await fut, busy, use_k))
 
-            out = await loop.run_in_executor(None, _step)
-            self.head += burn
-            self.steps += self.chunk
-            emitted = np.asarray(out)  # (chunk, B, use_k+1)
-            if self.spec_k:
-                if use_k > 0:
-                    self.spec_dispatches += 1
-                    if self.spec_min_tps > 0:
-                        rate = float((emitted[:, busy, :] >= 0).sum()) / (
-                            self.chunk * len(busy))
-                        if rate < self.spec_min_tps:
-                            self._cooldown = self.spec_cooldown
-                else:
-                    self.plain_dispatches += 1
-            alive = np.asarray(self.active)
-            for i in busy:
-                s = self._slots[i]
-                for j in range(self.chunk):
-                    if s.remaining == 0:
+        try:
+            while True:
+                # admit as many pending requests as there are free rows
+                admitted = False
+                for row in self._free_rows():
+                    try:
+                        (rid, ids, max_new,
+                         eos_id, q) = self._pending.get_nowait()
+                    except asyncio.QueueEmpty:
                         break
-                    for w in range(emitted.shape[2]):
-                        t = int(emitted[j, i, w])
-                        if t < 0 or s.remaining == 0:
-                            # -1 ends this BLOCK's run, not the row:
-                            # later steps in the chunk may emit more
-                            break
-                        s.queue.put_nowait(t)
-                        s.remaining -= 1
-                        self.tokens_out += 1
-                if s.remaining == 0 or not alive[i]:
-                    self._retire(i)
-            from ..utils.observability import METRICS
+                    first = await loop.run_in_executor(
+                        None, self._admit, row, rid, ids)
+                    self._finish_admit(row, rid, max_new, eos_id, q, first)
+                    admitted = True
+                busy = [(i, s.request_id) for i, s in enumerate(self._slots)
+                        if s.queue is not None]
+                if not busy:
+                    if inflight:
+                        await _pop_oldest()
+                        continue
+                    if admitted:
+                        continue
+                    return  # nothing in flight; next submit restarts
+                # adaptive speculation: during a cooldown run K=0 spec
+                # chunks (same emission convention, 1 slot/step) and
+                # re-probe speculation when it expires
+                use_k = self.spec_k
+                if use_k and self.spec_min_tps > 0 and self._cooldown > 0:
+                    use_k = 0
+                    self._cooldown -= 1
+                burn = self.chunk * (use_k + 1)  # slots per dispatch
+                if self.head + burn > self.S:
+                    # process every in-flight output first: rows that
+                    # died in those chunks retire HERE, clearing their
+                    # slot_pos lanes so compaction actually reclaims
+                    # them (and reading _compact's host-value head
+                    # drains the device pipeline anyway)
+                    while inflight:
+                        await _pop_oldest()
+                    busy = [(i, s.request_id)
+                            for i, s in enumerate(self._slots)
+                            if s.queue is not None]
+                    if not busy:
+                        continue  # drain retired every row
+                    (self.ck, self.cv, self.slot_pos,
+                     head) = await loop.run_in_executor(
+                        None, lambda: _compact(self.ck, self.cv,
+                                               self.slot_pos))
+                    self.head = int(head)
+                    self.compactions += 1
+                    if self.head + burn > self.S:
+                        raise RuntimeError(
+                            "cache full after compaction: concurrent live "
+                            "tokens exceed prompt_pad+horizon; raise "
+                            "horizon or lower max_new")
+                eos_vec = np.full((self.B,), -2, np.int32)
+                for i, _ in busy:
+                    eos_vec[i] = self._slots[i].eos_id
 
-            METRICS.inc("decode_steps", self.chunk)
-            METRICS.set_gauge("decode_tokens_per_step",
-                              self.tokens_out / max(self.steps, 1))
-            METRICS.set_gauge("decode_active_rows", len(busy))
+                def _step():
+                    if self.spec_k:
+                        (self.tok, self.pos, self.active, self.slot_pos,
+                         self.hist, self.ck, self.cv,
+                         out) = _decode_chunk_spec(
+                            self.params, self.cfg, self.chunk, use_k,
+                            self.tok, self.pos, self.active, self.slot_pos,
+                            self.hist, np.int32(self.head),
+                            jnp.asarray(eos_vec), self.ck, self.cv,
+                            self.temperature, self.top_k, self.top_p,
+                            self.rng, np.int32(self.steps))
+                        return out  # (chunk, B, use_k+1)
+                    (self.tok, self.pos, self.active, self.slot_pos,
+                     self.ck, self.cv, out) = _decode_chunk(
+                        self.params, self.cfg, self.chunk, self.tok,
+                        self.pos, self.active, self.slot_pos,
+                        np.int32(self.head), np.int32(self.steps),
+                        self.temperature, self.top_k, self.top_p,
+                        jnp.asarray(eos_vec), self.rng, self.ck, self.cv)
+                    return out[:, :, None]  # (chunk, B, 1)
+
+                # `_step` issues the chunk and returns the OUTPUT ref
+                # without waiting for execution (async dispatch); `out`
+                # is a fresh jit output no later call donates, so its
+                # device->host read can float in its own executor thread
+                # while further chunks dispatch.
+                out = await loop.run_in_executor(None, _step)
+                self.head += burn
+                self.steps += self.chunk
+                if self.spec_k:
+                    if use_k > 0:
+                        self.spec_dispatches += 1
+                    else:
+                        self.plain_dispatches += 1
+                inflight.append((loop.run_in_executor(None, np.asarray, out),
+                                 busy, use_k))
+                while len(inflight) > self.lookahead:
+                    await _pop_oldest()
+        finally:
+            # surface in-flight readbacks before the loop exits (error
+            # path: _run resets device state; an unawaited future that
+            # fails later would be dumped as "exception never retrieved")
+            for fut, _, _ in inflight:
+                fut.cancel()
+                try:
+                    await fut
+                except (Exception, asyncio.CancelledError):
+                    pass

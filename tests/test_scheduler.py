@@ -575,3 +575,59 @@ def test_sampled_mode_runs():
     for toks in got:
         assert len(toks) == 6
         assert all(0 <= t < CFG.vocab_size for t in toks)
+
+
+def test_lookahead_row_reuse_safety():
+    """With lookahead > 0 a chunk's output can land AFTER its row was
+    retired and re-admitted to a new request; the (row, request_id)
+    snapshot must drop those tokens instead of leaking them. Heavy
+    churn (8 requests over 2 rows, varied budgets, deep lookahead)
+    stays token-identical to solo."""
+    rng = np.random.default_rng(7)
+    prompts = _prompts(8, rng)
+    news = [3, 11, 6, 1, 9, 4, 12, 2]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=48, chunk=2, lookahead=4)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=n) for p, n in zip(prompts, news)])
+
+    got = asyncio.run(run())
+    for p, n, toks in zip(prompts, news, got):
+        assert toks == _solo(p, n, 16), (p, n)
+
+
+def test_lookahead_zero_matches_pipelined():
+    """lookahead=0 (read every chunk before dispatching the next) and
+    deep lookahead produce identical streams — pipelining is a dispatch
+    overlap, not a scheduling change."""
+    rng = np.random.default_rng(8)
+    prompts = _prompts(3, rng)
+
+    async def run(la):
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16,
+                              horizon=32, chunk=4, lookahead=la)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=8) for p in prompts])
+
+    assert asyncio.run(run(0)) == asyncio.run(run(5))
+
+
+def test_lookahead_spec_compaction_identity():
+    """Speculative chunks + compaction + lookahead compose: emitted
+    tokens still match solo greedy decode."""
+    rng = np.random.default_rng(9)
+    prompts = _prompts(3, rng)
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=8,
+                              horizon=24, chunk=2, spec_k=2, lookahead=3)
+        outs = await asyncio.gather(*[
+            b.submit(p[:6], max_new=10) for p in prompts])
+        return outs, b.compactions
+
+    got, compactions = asyncio.run(run())
+    assert compactions > 0
+    for p, toks in zip(prompts, got):
+        assert toks == _solo(p[:6], 10, 8), p
