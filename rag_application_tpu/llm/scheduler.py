@@ -657,11 +657,18 @@ class ContinuousBatcher:
                     return  # nothing in flight; next submit restarts
                 # adaptive speculation: during a cooldown run K=0 spec
                 # chunks (same emission convention, 1 slot/step) and
-                # re-probe speculation when it expires
+                # re-probe speculation when it expires. With lookahead
+                # pipelining the low-rate signal arrives up to
+                # `lookahead` dispatches late (the rate is only known
+                # at readback), so a cooldown cycle wastes up to
+                # lookahead+1 speculative chunks instead of exactly 1 —
+                # set lookahead=0 if strict throttling matters more
+                # than pipelining.
                 use_k = self.spec_k
-                if use_k and self.spec_min_tps > 0 and self._cooldown > 0:
+                throttled = (use_k and self.spec_min_tps > 0
+                             and self._cooldown > 0)
+                if throttled:
                     use_k = 0
-                    self._cooldown -= 1
                 burn = self.chunk * (use_k + 1)  # slots per dispatch
                 if self.head + burn > self.S:
                     # process every in-flight output first: rows that
@@ -671,11 +678,23 @@ class ContinuousBatcher:
                     # drains the device pipeline anyway)
                     while inflight:
                         await _pop_oldest()
+                    # the output-derived retire misses one case: a row
+                    # whose chunk sampled eos at its LAST step is dead
+                    # on device but host-busy, and its un-cleared lane
+                    # would survive compaction (spuriously "cache
+                    # full"). We are at a sync point anyway — read the
+                    # live active vector and retire device-dead rows
+                    # before re-packing.
+                    alive = await loop.run_in_executor(
+                        None, np.asarray, self.active)
+                    for i, s in enumerate(self._slots):
+                        if s.queue is not None and not alive[i]:
+                            self._retire(i)
                     busy = [(i, s.request_id)
                             for i, s in enumerate(self._slots)
                             if s.queue is not None]
                     if not busy:
-                        continue  # drain retired every row
+                        continue  # drain/retire freed every row
                     (self.ck, self.cv, self.slot_pos,
                      head) = await loop.run_in_executor(
                         None, lambda: _compact(self.ck, self.cv,
@@ -687,6 +706,10 @@ class ContinuousBatcher:
                             "cache full after compaction: concurrent live "
                             "tokens exceed prompt_pad+horizon; raise "
                             "horizon or lower max_new")
+                if throttled:
+                    # decrement only when the K=0 probe chunk actually
+                    # dispatches (the compaction branch may `continue`)
+                    self._cooldown -= 1
                 eos_vec = np.full((self.B,), -2, np.int32)
                 for i, _ in busy:
                     eos_vec[i] = self._slots[i].eos_id

@@ -631,3 +631,36 @@ def test_lookahead_spec_compaction_identity():
     assert compactions > 0
     for p, toks in zip(prompts, got):
         assert toks == _solo(p[:6], 10, 8), p
+
+
+def test_eos_at_chunk_last_step_zombie_row():
+    """A row that SAMPLES eos at its chunk's last step is dead on
+    device but looks alive to the host (its last emitted id is a real
+    token). With slots=1 and a tight cache the next request forces
+    compaction; the zombie's lane must be reclaimed (via the live
+    active-vector read at the compaction sync point) instead of
+    raising 'cache full after compaction'. Sweeping the eos position
+    across a whole chunk guarantees one case lands on the boundary."""
+    rng = np.random.default_rng(11)
+    prompt = _prompts(1, rng)[0][:6]
+    ref = _solo(prompt, 24, 8)
+
+    async def run(eos):
+        b = ContinuousBatcher(PARAMS, CFG, slots=1, prompt_pad=8,
+                              horizon=16, chunk=8, lookahead=2)
+        first = await b.submit(prompt, max_new=18, eos_id=eos)
+        second = await b.submit(prompt, max_new=18, eos_id=eos)
+        return first, second
+
+    # chunk 2 ends at global step 15 and fills the 24-slot cache; eos
+    # SAMPLED there (= stream index 16, delivered 16 < max_new 18) is
+    # the zombie: dead on device, last emitted id real, budget left.
+    # m > 16 would genuinely exceed capacity (22 live + 8 burn > 24) —
+    # not this test's subject.
+    for m in (14, 15, 16):
+        eos = ref[m]
+        assert eos not in ref[:m], "pick a prompt whose ref[m] is fresh"
+        want = ref[:m]
+        first, second = asyncio.run(run(eos))
+        assert first == want, m
+        assert second == want, m
