@@ -491,9 +491,14 @@ def run():
                 "tune_decoder.py", shapes,
                 {"dec_decode_tok_s": "decode_tok_s",
                  "dec_prefill_tok_s": "prefill_tok_s"}))
+            # deployment-shaped: plain batcher, big chunks + lookahead
+            # pipelining (speculation in the batcher burns K+1 slots
+            # per step -> 10x the compactions; through the relay that
+            # costs more than the 1.65 tokens/step buys — the solo
+            # spec_speedup above reports the mechanism's win)
             dec_extras.update(child(
                 "tune_batcher.py",
-                {"TUNE_SPEC_K": "4", "TUNE_KV_QUANT": "1"},
+                {"?TUNE_CHUNK": "64", "?TUNE_LOOKAHEAD": "2"},
                 {"batcher_tok_s": "batched_tok_s",
                  "batcher_speedup": "speedup"}, timeout_s=1800))
 
