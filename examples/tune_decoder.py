@@ -67,6 +67,7 @@ def main() -> None:
         max_len=int(os.environ.get("TUNE_MAXLEN", 1024)),
         dtype=os.environ.get("TUNE_DTYPE", "bfloat16"),
         kv_quant=os.environ.get("TUNE_KV_QUANT", "0") == "1",
+        decode_unroll=os.environ.get("TUNE_UNROLL", "1") == "1",
     )
     B = int(os.environ.get("TUNE_BATCH", 8))
     T = int(os.environ.get("TUNE_PROMPT", 128))
@@ -104,9 +105,11 @@ def main() -> None:
     log(f"prefill: {prefill_s*1e3:.1f} ms -> {prefill_tps:,.0f} tok/s")
 
     # ---- fused generate timing (one dispatch generates B*NEW tokens)
+    # TUNE_TEMP=0 isolates the sampling term (argmax path, no top-k).
+    temp = float(os.environ.get("TUNE_TEMP", "1.0"))
     t0 = time.time()
     out, n = generate(params, cfg, ids, plen, NEW, eos, 0, key,
-                      1.0, 64, 0.9)
+                      temp, 64, 0.9)
     float(jnp.sum(out))
     log(f"generate compile+run {time.time()-t0:.1f}s "
         f"(n per row: {int(np.asarray(n)[0])})")
@@ -115,7 +118,7 @@ def main() -> None:
     for r in range(3):
         t0 = time.time()
         out, _ = generate(params, cfg, ids, plen, NEW, eos, 0,
-                          jax.random.fold_in(key, r), 1.0, 64, 0.9)
+                          jax.random.fold_in(key, r), temp, 64, 0.9)
         float(jnp.sum(out))
         times.append(time.time() - t0)
     gen_s = min(times)

@@ -603,3 +603,44 @@ def test_lm_training_sharded_matches_single_device():
                     jax.tree.leaves(base_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_decode_unroll_matches_scan_path():
+    """The unrolled decode layer loop (static cache views, the serving
+    default) computes the same function as the lax.scan path (dynamic
+    slices). f32: near-exact on hidden + caches; generate: identical
+    token ids for both kv_quant settings."""
+    import dataclasses
+
+    from rag_application_tpu.models.decoder import forward
+
+    for kvq in (False, True):
+        cfg_u = dataclasses.replace(CFG, kv_quant=kvq, decode_unroll=True)
+        cfg_s = dataclasses.replace(cfg_u, decode_unroll=False)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg_u)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(_prompt(rng, 2, 8))
+        plen = jnp.full((2,), 8, jnp.int32)
+        key = jax.random.PRNGKey(1)
+        out_u, n_u = generate(params, cfg_u, ids, plen, 12,
+                              CFG.vocab_size - 1, 0, key, 1.0, 8, 0.9)
+        out_s, n_s = generate(params, cfg_s, ids, plen, 12,
+                              CFG.vocab_size - 1, 0, key, 1.0, 8, 0.9)
+        assert np.array_equal(np.asarray(out_u), np.asarray(out_s))
+        assert np.array_equal(np.asarray(n_u), np.asarray(n_s))
+        # T>1 decode (the speculative verify-block shape) on raw forward
+        ck, cv = init_kv_cache(cfg_u, 2)
+        pos = jnp.arange(3)[None].repeat(2, 0) + 8
+        sp = jnp.arange(CFG.max_len)[None].repeat(2, 0)
+        x_u, k_u, v_u = forward(params, cfg_u, ids[:, :3], pos, ck, cv,
+                                write_slot=jnp.int32(8), slot_positions=sp)
+        x_s, k_s, v_s = forward(params, cfg_s, ids[:, :3], pos, ck, cv,
+                                write_slot=jnp.int32(8), slot_positions=sp)
+        np.testing.assert_allclose(np.asarray(x_u, np.float32),
+                                   np.asarray(x_s, np.float32),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves((k_u, v_u)),
+                        jax.tree.leaves((k_s, v_s))):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-4, atol=1e-5)
