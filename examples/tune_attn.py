@@ -126,9 +126,48 @@ def main() -> None:
                                   p.astype(jnp.bfloat16), vh))
         return jnp.stack(out, axis=1)
 
+    def mixed_int8(q, k8, ksc, v8, vsc, mask):
+        """No astype: let XLA do the mixed bf16 x s8 contraction (the
+        convert should fuse into the dot's VMEM load, halving HBM
+        traffic vs a materialized bf16 dequant)."""
+        scores = jnp.einsum("bkgh,bskh->bkgs", q, k8,
+                            preferred_element_type=jnp.float32)
+        scores = scores * ksc.transpose(0, 2, 1)[:, :, None, :]
+        scores = scores / np.sqrt(HD)
+        scores = jnp.where(mask[:, None, None, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = probs * vsc.transpose(0, 2, 1)[:, :, None, :]
+        return jnp.einsum("bkgs,bskh->bkgh", probs.astype(jnp.bfloat16), v8)
+
+    def qq_int8(q8, qsc, k8, ksc, v8, vsc, mask):
+        """s8 x s8 scores (query quantized per (b,head,g) row too)."""
+        scores = jnp.einsum("bkgh,bskh->bkgs", q8, k8,
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32)
+        scores = scores * qsc[..., None] * ksc.transpose(0, 2, 1)[:, :, None, :]
+        scores = scores / np.sqrt(HD)
+        scores = jnp.where(mask[:, None, None, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = probs * vsc.transpose(0, 2, 1)[:, :, None, :]
+        return jnp.einsum("bkgs,bskh->bkgh", probs.astype(jnp.bfloat16),
+                          v8.astype(jnp.bfloat16))
+
+    qq, qs = quant(q)
+
+    from rag_application_tpu.ops.decode_attn import decode_attend_int8
+
+    def kernel_int8(q, k8, ksc, v8, vsc, mask):
+        """The fused Pallas flash-decode kernel (ops/decode_attn.py)."""
+        ck = {"q": k8, "s": ksc}
+        cv = {"q": v8, "s": vsc}
+        return decode_attend_int8(q[:, None], ck, cv, mask)[:, 0]
+
     variants = {
         "base_bf16": (base_bf16, (q, k, v, mask)),
         "base_int8": (base_int8, (q, kq, ks, vq, vs, mask)),
+        "kernel_int8": (kernel_int8, (q, kq, ks, vq, vs, mask)),
+        "mixed_int8": (mixed_int8, (q, kq, ks, vq, vs, mask)),
+        "qq_int8": (qq_int8, (qq, qs, kq, ks, vq, vs, mask)),
         "kmaj_bf16": (kmaj_bf16, (q, k.transpose(0, 2, 1, 3),
                                   v.transpose(0, 2, 1, 3), mask)),
         "smin_bf16": (smin_bf16, (q, k.transpose(0, 2, 3, 1),

@@ -68,6 +68,7 @@ def main() -> None:
         dtype=os.environ.get("TUNE_DTYPE", "bfloat16"),
         kv_quant=os.environ.get("TUNE_KV_QUANT", "0") == "1",
         decode_unroll=os.environ.get("TUNE_UNROLL", "1") == "1",
+        attn_kernel=os.environ.get("TUNE_ATTN_KERNEL", "0") == "1",
     )
     B = int(os.environ.get("TUNE_BATCH", 8))
     T = int(os.environ.get("TUNE_PROMPT", 128))

@@ -85,6 +85,14 @@ class DecoderConfig:
     # the measured win at serving shapes; scan keeps HLO size constant
     # in depth for very deep models where compile time dominates.
     decode_unroll: bool = True
+    # Fused Pallas flash-decode attention for int8 KV caches (T=1 steps
+    # with a kernel-tileable geometry; anything else falls back to the
+    # XLA einsums). ops/decode_attn.py for why XLA can't do this.
+    # OPT-IN for now: measured on v5e-1 the kernel is per-program-
+    # overhead bound at the b64/S896 serving shape (~2.7 us x 448
+    # programs/layer-set ~= the whole einsum attention term) — it does
+    # not yet beat the XLA path there.
+    attn_kernel: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -262,6 +270,13 @@ def cache_len(cache: Any) -> int:
 # ----------------------------------------------------------------- forward
 
 
+def _attn_kernel_ok(cfg: DecoderConfig, seq_len: int) -> bool:
+    from ..ops.decode_attn import supported
+
+    return supported(seq_len=seq_len, kv_heads=cfg.kv_heads,
+                     head_dim=cfg.head_dim)
+
+
 def _rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
@@ -364,6 +379,21 @@ def forward(
         q = _apply_rope(q, cos, sin)
         # grouped-query attention without materializing repeated K/V
         qg = q.reshape(B, T, cfg.kv_heads, cfg.q_groups, cfg.head_dim)
+        if (cfg.kv_quant and cfg.attn_kernel and T == 1
+                and _attn_kernel_ok(cfg, S)):
+            # fused Pallas flash-decode over the int8 cache: the XLA
+            # einsum below dequants at bf16 width (tune_attn: int8 runs
+            # at bf16 time); the kernel reads the int8 bytes once.
+            from ..ops.decode_attn import decode_attend_int8
+
+            out = decode_attend_int8(qg.astype(jnp.bfloat16), ck, cv,
+                                     mask[:, 0, :])
+            x = x + _mm(out.astype(cfg_dt).reshape(
+                B, T, cfg.heads * cfg.head_dim), lp["wo"])
+            h = _rmsnorm(x, lp["ffn_norm"], cfg.eps)
+            return x + _mm(
+                jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
+                lp["w_down"])
         kv = (lambda c: c["q"].astype(cfg_dt)) if cfg.kv_quant else (
             lambda c: c)
         scores = jnp.einsum("btkgh,bskh->bkgts", qg, kv(ck),
@@ -531,6 +561,19 @@ def score_continuations(params: Dict[str, Any], cfg: DecoderConfig,
 # ---------------------------------------------------------------- sampling
 
 
+def topk_logits(logits: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array]:
+    """Sampling candidate set: top-k (values, indices), sorted desc.
+
+    One definition shared by `sample_logits` and the speculative
+    verifier's `_filtered_probs` so the drafted and plain paths draw
+    from the SAME truncated distribution. Large vocabularies use
+    `approx_max_k` — see `sample_logits`."""
+    k = min(top_k, logits.shape[-1])
+    if logits.shape[-1] >= 4096:
+        return jax.lax.approx_max_k(logits, k, recall_target=0.99)
+    return jax.lax.top_k(logits, k)
+
+
 def sample_logits(logits: jax.Array, rng: jax.Array, *,
                   temperature: float, top_k: int, top_p: float) -> jax.Array:
     """Temperature -> top-k -> nucleus within the top-k -> categorical.
@@ -538,11 +581,17 @@ def sample_logits(logits: jax.Array, rng: jax.Array, *,
     top-k first keeps the nucleus sort to a static-k slice instead of a
     full-vocab sort (vocab-sized sorts are hostile to the TPU; `k` is
     static so this is one small `lax.top_k`). temperature==0 is argmax.
+
+    Large vocabularies use `approx_max_k` (the TPU-native tiled
+    reduction): exact top-k over a 32k vocab costs ~0.6 ms/step at
+    batch 64 — a quarter of the whole decode step — while the approx
+    pass (recall_target 0.99, then exact-sorted within the candidate
+    set) is near-free. Any true top-k member it misses is deep in the
+    tail the top-p cut discards anyway.
     """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    k = min(top_k, logits.shape[-1])
-    vals, idx = jax.lax.top_k(logits / temperature, k)  # sorted desc
+    vals, idx = topk_logits(logits / temperature, top_k)  # sorted desc
     if top_p < 1.0:
         probs = jax.nn.softmax(vals, axis=-1)
         csum = jnp.cumsum(probs, axis=-1)
@@ -578,6 +627,15 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
     # slot's true per-row position for the visibility mask — prompt pad
     # slots get 2**30 so no query ever attends them.
     S = T + max_new
+    if cfg.kv_quant and cfg.attn_kernel:
+        # round the slot axis up so the fused decode kernel tiles it
+        # exactly; the extra slots carry slot_pos > every query position
+        # (slot T+j has position pl+j, and queries stop at pl+max_new-1)
+        # so they are never visible and never written.
+        from ..ops.decode_attn import pick_block
+
+        if pick_block(S) is None:
+            S = -(-S // 256) * 256
     cache_k, cache_v = init_kv_cache(cfg, B, S)
     s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
     pl = prompt_len.astype(jnp.int32)[:, None]

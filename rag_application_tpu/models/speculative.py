@@ -54,6 +54,7 @@ from .decoder import (
     init_kv_cache,
     prefill,
     sample_logits,
+    topk_logits,
 )
 
 DEAD = 2 ** 30  # slot_positions sentinel (matches llm/scheduler.py)
@@ -65,8 +66,7 @@ def _filtered_probs(logits: jax.Array, *, temperature: float, top_k: int,
     from: temperature -> top-k -> nucleus within the top-k, renormalized
     (everything outside gets probability 0)."""
     V = logits.shape[-1]
-    k = min(top_k, V)
-    vals, idx = jax.lax.top_k(logits / temperature, k)  # sorted desc
+    vals, idx = topk_logits(logits / temperature, top_k)  # sorted desc
     if top_p < 1.0:
         probs = jax.nn.softmax(vals)
         csum = jnp.cumsum(probs)

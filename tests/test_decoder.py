@@ -644,3 +644,48 @@ def test_decode_unroll_matches_scan_path():
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_attn_kernel_matches_einsum_path():
+    """The fused Pallas flash-decode kernel (ops/decode_attn.py,
+    interpret mode on CPU) computes exactly the einsum path's kv_quant
+    attention: per-step decode logits match to f32 rounding, through
+    ragged slot positions and the fused generate."""
+    import dataclasses
+
+    from rag_application_tpu.models.decoder import decode_step
+
+    cfg_k = dataclasses.replace(
+        CFG, hidden=128, heads=4, kv_heads=2, max_len=64,
+        kv_quant=True, attn_kernel=True)
+    cfg_e = dataclasses.replace(cfg_k, attn_kernel=False)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg_k)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (3, 16)), jnp.int32)
+    plen = jnp.asarray([16, 11, 7], jnp.int32)
+    s_idx = jnp.arange(64, dtype=jnp.int32)[None, :]
+    slot_pos = jnp.where(s_idx < 16,
+                         jnp.where(s_idx < plen[:, None], s_idx,
+                                   jnp.int32(2 ** 30)),
+                         plen[:, None] + (s_idx - 16))
+    outs = {}
+    for tag, cfg in (("kernel", cfg_k), ("einsum", cfg_e)):
+        ck, cv = init_kv_cache(cfg, 3, 64)
+        lg, ck, cv = prefill(params, cfg, ids, plen, ck, cv)
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+        pos = plen
+        acc = []
+        for step in range(4):
+            lg, ck, cv = decode_step(params, cfg, tok, pos, 16 + step,
+                                     ck, cv, slot_positions=slot_pos)
+            acc.append(np.asarray(lg, np.float32))
+            tok = jnp.argmax(lg, -1).astype(jnp.int32)
+            pos = pos + 1
+        outs[tag] = acc
+    for a, b in zip(outs["kernel"], outs["einsum"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-4)
+    out, n = generate(params, cfg_k, ids, plen, 12, CFG.vocab_size - 1,
+                      0, jax.random.PRNGKey(5), 1.0, 8, 0.9)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o < CFG.vocab_size).all()
+    assert int(np.asarray(n).min()) > 0
