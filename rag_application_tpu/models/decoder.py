@@ -87,11 +87,9 @@ class DecoderConfig:
     decode_unroll: bool = True
     # Fused Pallas flash-decode attention for int8 KV caches (T=1 steps
     # with a kernel-tileable geometry; anything else falls back to the
-    # XLA einsums). ops/decode_attn.py for why XLA can't do this.
-    # OPT-IN for now: measured on v5e-1 the kernel is per-program-
-    # overhead bound at the b64/S896 serving shape (~2.7 us x 448
-    # programs/layer-set ~= the whole einsum attention term) — it does
-    # not yet beat the XLA path there.
+    # XLA einsums). OPT-IN: at GQA C=8 the decode attention is MXU
+    # thin-pass bound and the kernel only matches XLA (see
+    # ops/decode_attn.py STATUS); worth enabling at C>=32 geometries.
     attn_kernel: bool = False
 
     @property
@@ -381,9 +379,8 @@ def forward(
         qg = q.reshape(B, T, cfg.kv_heads, cfg.q_groups, cfg.head_dim)
         if (cfg.kv_quant and cfg.attn_kernel and T == 1
                 and _attn_kernel_ok(cfg, S)):
-            # fused Pallas flash-decode over the int8 cache: the XLA
-            # einsum below dequants at bf16 width (tune_attn: int8 runs
-            # at bf16 time); the kernel reads the int8 bytes once.
+            # fused Pallas flash-decode over the int8 cache (opt-in;
+            # see ops/decode_attn.py STATUS for when it pays)
             from ..ops.decode_attn import decode_attend_int8
 
             out = decode_attend_int8(qg.astype(jnp.bfloat16), ck, cv,

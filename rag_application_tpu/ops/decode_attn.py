@@ -1,10 +1,25 @@
 """Pallas fused decode attention over the int8 KV cache (T=1 GQA step).
 
-XLA cannot make int8 KV attention bandwidth-proportional: every einsum
-variant measured on-chip (`examples/tune_attn.py`) runs the int8 cache
-at bf16 time (~0.75 ms at b64/S896/L8) because the s8->bf16 dequant is
-materialized at bf16 width before the contraction. This kernel reads
-the int8 bytes exactly once:
+STATUS (measured, v5e-1, b64/S1024/L8 = 512 folded rows): OPT-IN. The
+kernel matches XLA but does not beat it, and the stage-isolation probe
+says why — the score dot ALONE costs 0.79 of the 0.85 ms total. At
+C = heads = 8 output channels per row, every MXU pass computes 128
+rows to use 8; the kernel, XLA's bf16 einsum (0.80), and XLA's int8
+einsum (0.80) are ALL bound by the same thin-GEMM pass count, which is
+why int8 vs bf16 cache bytes never changed the time (tune_attn). On
+this geometry int8 KV buys CAPACITY (2x tokens in HBM), not speed.
+The kernel becomes the right tool at fatter geometries (hd=128/KVH=8
+gives C=32 -> 4x the MXU row utilization, and the thin-pass floor
+scales with S while its overheads don't).
+
+Things tried that did NOT move the floor (kept for the record):
+fewer/bigger programs (448 -> 64), mixed s8 x bf16 dots vs astype
+(the astype relayout DID cost ~0.3 ms — avoid it anyway), s8 x s8
+with quantized probs, and the (Bb, C, S)-lanes layout below (the
+first (Bb, S, C) cut ran the softmax chain at 6% lane occupancy —
+also worth avoiding, just not the dominant term).
+
+This kernel reads the int8 bytes exactly once:
 
     grid (B/B_blk, S/S_blk); each program streams contiguous
     (B_blk, S_blk, KVH*hd) int8 cache tiles through VMEM, converts
@@ -54,14 +69,28 @@ NEG = -1.0e30
 # per-plane int8 VMEM budget for one (B_blk, S_blk, P) cache tile; the
 # bf16 converts roughly triple it and double-buffering adds the next
 # tile, keeping the total well under the ~16 MB scoped default.
-_TILE_BYTES = 1 << 21
+_TILE_BYTES = 1 << 22
 
 
 def _kernel(k8_ref, ks_ref, v8_ref, vs_ref, qbd_ref, mask_ref, out_ref,
             acc_ref, m_ref, l_ref, *, n_blocks: int, kv_heads: int,
             q_groups: int, inv_sqrt_hd: float):
+    """One (batch-tile, S-block) step. Layout rules this obeys:
+
+    * scores/softmax tensors are (Bb, C, S_blk) — S ON LANES. The first
+      cut used (Bb, S_blk, C) and its whole elementwise chain ran at
+      C/128 = 6% lane occupancy, which (not the dots, not the DMA) was
+      the kernel's floor.
+    * the int8 tiles feed the MXU via mixed s8 x bf16 dots — an
+      explicit astype(bf16) forces a (32,128)->(16,128) tile relayout
+      of the whole cache block.
+    * per-(slot, kv-head) scales arrive pre-transposed (Bb, KVH, S_blk)
+      and spread over the G query groups by a FREE leading-dim reshape
+      of the score tile, not a lane relayout.
+    """
     sb = pl.program_id(1)
     C = kv_heads * q_groups
+    Bb = acc_ref.shape[0]
 
     @pl.when(sb == 0)
     def _init():
@@ -69,42 +98,37 @@ def _kernel(k8_ref, ks_ref, v8_ref, vs_ref, qbd_ref, mask_ref, out_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    # mixed s8 x bf16 dot: the int8 tile feeds the MXU directly — an
-    # explicit astype(bf16) forces a (32,128)->(16,128) tile relayout
-    # of the whole cache block, which dominated the first cut's time.
-    raw = jax.lax.dot_general(                       # (Bb, S_blk, C)
-        k8_ref[...], qbd_ref[...], (((2,), (1,)), ((0,), (0,))),
+    s_blk = k8_ref.shape[1]
+    raw = jax.lax.dot_general(                       # (Bb, C, S_blk)
+        qbd_ref[...], k8_ref[...], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    # expand (Bb, S_blk, KVH) scales to score columns: E[k,c] = [c//G==k]
-    row = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, C), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, C), 1)
-    expand = (col // q_groups == row).astype(jnp.float32)
-    ks_e = jax.lax.dot_general(ks_ref[...], expand, (((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    vis = mask_ref[...]                              # (Bb, S_blk, 1)
-    scores = raw * ks_e * inv_sqrt_hd
+    # (Bb, C, S) -> (Bb, KVH, G, S) is a leading-dim reshape (free);
+    # the (Bb, KVH, 1, S) scale broadcast covers every query group.
+    ks_t = ks_ref[...][:, :, None, :]                # (Bb, KVH, 1, S)
+    scores = raw.reshape(Bb, kv_heads, q_groups, s_blk) * ks_t
+    scores = (scores * inv_sqrt_hd).reshape(Bb, C, s_blk)
+    vis = mask_ref[...]                              # (Bb, 1, S_blk)
     scores = jnp.where(vis > 0.0, scores, NEG)
 
-    m_old = m_ref[...]                               # (Bb, C)
-    m_new = jnp.maximum(m_old, jnp.max(scores, axis=1))
-    alpha = jnp.exp(m_old - m_new)                   # (Bb, C)
+    m_old = m_ref[...]                               # (Bb, C, 1)
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=2, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)                   # (Bb, C, 1)
     # vis guard: a fully-masked prefix keeps m at NEG, where exp(0)=1
     # would resurrect masked slots — multiply them away explicitly.
-    p = jnp.exp(scores - m_new[:, None, :]) * vis    # (Bb, S_blk, C)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1)
+    p = jnp.exp(scores - m_new) * vis                # (Bb, C, S_blk)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
     m_ref[...] = m_new
-    vs_e = jax.lax.dot_general(vs_ref[...], expand, (((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    pv = (p * vs_e).astype(jnp.bfloat16)
+    vs_t = vs_ref[...][:, :, None, :]                # (Bb, KVH, 1, S)
+    pv = (p.reshape(Bb, kv_heads, q_groups, s_blk) * vs_t
+          ).reshape(Bb, C, s_blk).astype(jnp.bfloat16)
     pvv = jax.lax.dot_general(                       # (Bb, C, P)
-        pv, v8_ref[...], (((1,), (1,)), ((0,), (0,))),
+        pv, v8_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    acc_ref[...] = acc_ref[...] * alpha[:, :, None] + pvv
+    acc_ref[...] = acc_ref[...] * alpha + pvv
 
     @pl.when(sb == n_blocks - 1)
     def _flush():
-        out_ref[...] = acc_ref[...] / jnp.maximum(
-            l_ref[...], 1e-30)[:, :, None]
+        out_ref[...] = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
 
 
 def pick_block(s: int) -> Optional[int]:
@@ -120,7 +144,7 @@ def _pick_tiles(batch: int, seq_len: int, packed: int
     s_blk = pick_block(seq_len)
     if s_blk is None:
         return None
-    for b_blk in (8, 4, 2, 1):
+    for b_blk in (16, 8, 4, 2, 1):
         if batch % b_blk == 0 and b_blk * s_blk * packed <= _TILE_BYTES:
             return b_blk, s_blk
     return None
@@ -152,10 +176,14 @@ def decode_attend_int8(qg: jax.Array, ck: dict, cv: dict,
 
     # block-diagonal query: rows (k, d), cols (j, g), nonzero iff k == j
     eye = jnp.eye(KVH, dtype=qg.dtype)
-    qbd = jnp.einsum("bkgd,kj->bkdjg", qg[:, 0], eye).reshape(B, P, C)
+    qbd = jnp.einsum("bkgd,kj->bkjgd", qg[:, 0], eye).reshape(B, C, P)
     k8 = ck["q"].reshape(B, S, P)
     v8 = cv["q"].reshape(B, S, P)
-    vis = mask.astype(jnp.float32)[:, :, None]       # (B, S, 1)
+    # scales and mask pre-transposed so the kernel's score tile keeps
+    # S on the lane dim end to end (see _kernel docstring)
+    ks_t = ck["s"].transpose(0, 2, 1)                # (B, KVH, S)
+    vs_t = cv["s"].transpose(0, 2, 1)
+    vis = mask.astype(jnp.float32)[:, None, :]       # (B, 1, S)
 
     out_full = pl.pallas_call(
         functools.partial(_kernel, n_blocks=n_blocks, kv_heads=KVH,
@@ -163,18 +191,18 @@ def decode_attend_int8(qg: jax.Array, ck: dict, cv: dict,
         grid=(B // b_blk, n_blocks),
         in_specs=[
             pl.BlockSpec((b_blk, s_blk, P), lambda b, s: (b, s, 0)),
-            pl.BlockSpec((b_blk, s_blk, KVH), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((b_blk, KVH, s_blk), lambda b, s: (b, 0, s)),
             pl.BlockSpec((b_blk, s_blk, P), lambda b, s: (b, s, 0)),
-            pl.BlockSpec((b_blk, s_blk, KVH), lambda b, s: (b, s, 0)),
-            pl.BlockSpec((b_blk, P, C), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((b_blk, s_blk, 1), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((b_blk, KVH, s_blk), lambda b, s: (b, 0, s)),
+            pl.BlockSpec((b_blk, C, P), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((b_blk, 1, s_blk), lambda b, s: (b, 0, s)),
         ],
         out_specs=pl.BlockSpec((b_blk, C, P), lambda b, s: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, C, P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((b_blk, C, P), jnp.float32),
-            pltpu.VMEM((b_blk, C), jnp.float32),
-            pltpu.VMEM((b_blk, C), jnp.float32),
+            pltpu.VMEM((b_blk, C, 1), jnp.float32),
+            pltpu.VMEM((b_blk, C, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # the bf16 converts of the int8 tiles + the f32 score tile
@@ -182,7 +210,7 @@ def decode_attend_int8(qg: jax.Array, ck: dict, cv: dict,
             # (b_blk=8, s_blk=512) tiling; v5e has 128 MB of VMEM.
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=use_interpret(),
-    )(k8, ck["s"], v8, cv["s"], qbd, vis)
+    )(k8, ks_t, v8, vs_t, qbd, vis)
 
     # row (k, g) of out_full holds its head's output in lane band k
     of = out_full.reshape(B, KVH, G, KVH, hd)
