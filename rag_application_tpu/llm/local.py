@@ -68,6 +68,11 @@ class LocalLLM:
         self.model_name = model_name
         self._step = None  # lazy jitted streaming step
         self._batcher = None  # optional continuous batcher (enable_batching)
+        # multi-LoRA serving state (register_lora): stacked banks +
+        # name -> bank index (0 = base model)
+        self._lora_trees: list = []
+        self._lora_names: Dict[str, int] = {}
+        self._lora_banks = None
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
@@ -148,7 +153,7 @@ class LocalLLM:
             self.params, self.cfg, slots=slots, prompt_pad=prompt_pad,
             horizon=horizon, chunk=chunk, temperature=temperature,
             top_k=top_k, top_p=top_p, seed=seed, spec_k=spec_k,
-            **batcher_kw)
+            lora_banks=self._lora_banks, **batcher_kw)
         return self._batcher
 
     def register_prefix_text(self, text: str) -> int:
@@ -165,6 +170,58 @@ class LocalLLM:
             ids = ids[:-1]
         self._batcher.register_prefix(ids)
         return len(ids)
+
+    def register_lora(self, name: str, adapters_or_path,
+                      *, alpha: float = 16.0) -> int:
+        """Register a LoRA adapter for per-request serving. `name` is
+        what chat requests select with params={"adapter": name};
+        `adapters_or_path` is a `save_adapters` npz path or an
+        already-loaded adapter tree. All registered adapters share the
+        frozen base — concurrent requests with different adapters
+        decode in ONE batch (models/lora.py::lora_banks,
+        decoder.forward lora=). Returns the adapter's bank index.
+
+        Unlike `lora_path` (merge-at-load: one adapter baked into the
+        weights), registered adapters are selectable per request."""
+        from ..models.lora import load_adapters, lora_banks
+
+        tree = (load_adapters(adapters_or_path)
+                if isinstance(adapters_or_path, str) else adapters_or_path)
+        self._lora_trees.append((tree, alpha))
+        # rebuild the stacked banks (index i+1 = i-th registered)
+        trees = [t for t, _ in self._lora_trees]
+        alphas = {a for _, a in self._lora_trees}
+        if len(alphas) > 1:
+            # lora_banks takes one alpha fallback; embedded "s" scales
+            # win, so mixed alphas only matter for scale-less artifacts
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "register_lora: mixed alpha fallbacks %s — artifacts "
+                "without embedded scales use the LAST alpha", alphas)
+        self._lora_banks = lora_banks(trees, alpha=alpha,
+                                      dtype=jnp.dtype(self.cfg.dtype))
+        idx = len(self._lora_trees)
+        self._lora_names[name] = idx
+        if self._batcher is not None:
+            self._batcher._banks = self._lora_banks
+        return idx
+
+    def _lora_for(self, adapter, batch: int = 1):
+        """(aid array, lora dict) for a named adapter (None = base)."""
+        if self._lora_banks is None:
+            if adapter:
+                raise ValueError(f"unknown adapter {adapter!r} "
+                                 "(none registered)")
+            return None
+        if adapter:
+            if adapter not in self._lora_names:
+                raise ValueError(f"unknown adapter {adapter!r}")
+            idx = self._lora_names[adapter]
+        else:
+            idx = 0
+        return {"aid": jnp.full((batch,), idx, jnp.int32),
+                "banks": self._lora_banks}
 
     # ------------------------------------------------------------- prompt
 
@@ -207,7 +264,8 @@ class LocalLLM:
     def generate_ids(self, prompt_ids: Sequence[int], *,
                      max_new: int = 128, temperature: float = 0.0,
                      top_k: int = 64, top_p: float = 1.0,
-                     seed: int = 0, speculative: bool = False) -> List[int]:
+                     seed: int = 0, speculative: bool = False,
+                     lora=None) -> List[int]:
         """Blocking fused generation for one prompt. Pads the prompt to
         a power-of-two bucket so repeated lengths reuse the compiled
         while_loop (search/params.py convention).
@@ -225,7 +283,7 @@ class LocalLLM:
         bucket = min(bucket, self.cfg.max_len - 1)
         ids = np.full((1, bucket), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids
-        if speculative:
+        if speculative and lora is None:
             from ..models.speculative import generate_lookup
 
             out, count = generate_lookup(
@@ -234,10 +292,12 @@ class LocalLLM:
                 jax.random.PRNGKey(seed), 4, float(temperature),
                 int(top_k), float(top_p))
         else:
+            # adapter requests take the plain fused loop (the lookup
+            # path does not thread per-row adapters)
             out, count = generate(
                 self.params, self.cfg, ids, np.asarray([n], np.int32),
                 max_new, self.eos_id, self.pad_id, jax.random.PRNGKey(seed),
-                float(temperature), int(top_k), float(top_p))
+                float(temperature), int(top_k), float(top_p), lora)
         out = np.asarray(out)[0]
         return [int(t) for t in out if int(t) != self.pad_id
                 and int(t) != self.eos_id]
@@ -322,6 +382,7 @@ class LocalLLM:
                              self.cfg.max_len - len(prompt)))
         temperature = float(params.get("temperature") or 0.0)
         top_p = float(params.get("top_p") or 1.0)
+        adapter = params.get("adapter") or None
         lp_out = None
         loop = asyncio.get_running_loop()
         if params.get("logprobs"):
@@ -334,15 +395,17 @@ class LocalLLM:
             lp_out = [{"token": self.tokenizer.decode([t]),
                        "logprob": l} for t, l in zip(out_ids, lps)]
         elif self._batch_eligible(prompt, max_new, params, temperature,
-                                  top_p):
-            out_ids = await self._batcher.submit(prompt, max_new=max_new,
-                                                 eos_id=self.eos_id)
+                                  top_p, adapter=adapter):
+            out_ids = await self._batcher.submit(
+                prompt, max_new=max_new, eos_id=self.eos_id,
+                adapter_id=(self._lora_names[adapter] if adapter else 0))
         else:
             out_ids = await loop.run_in_executor(
                 None, lambda: self.generate_ids(
                     prompt, max_new=max_new, temperature=temperature,
                     top_p=top_p, seed=int(params.get("seed") or 0),
-                    speculative=self.speculative))
+                    speculative=self.speculative,
+                    lora=self._lora_for(adapter)))
         text = self._apply_stop(self._decode(out_ids), params.get("stop"))
         return LLMResponse(content=text,
                            usage={"prompt_tokens": len(prompt),
@@ -351,7 +414,7 @@ class LocalLLM:
                            logprobs=lp_out)
 
     def _batch_eligible(self, prompt, max_new, params, temperature,
-                        top_p) -> bool:
+                        top_p, adapter=None) -> bool:
         """A request rides the shared batch only when every sampling
         knob matches the batcher's fixed compile AND the prompt fits
         prompt_pad (submit clips to the LAST prompt_pad tokens — a
@@ -360,6 +423,11 @@ class LocalLLM:
         b = self._batcher
         if b is None:
             return False
+        if adapter:
+            if adapter not in self._lora_names:
+                raise ValueError(f"unknown adapter {adapter!r}")
+            if b._banks is None:
+                return False  # batcher predates registration; solo path
         if temperature != b.temperature or top_p != b.top_p:
             return False
         if int(params.get("top_k") or b.top_k) != b.top_k:

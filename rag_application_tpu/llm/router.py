@@ -182,7 +182,7 @@ class LLMRouter:
         Provider.GOOGLE: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.BEDROCK: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.LOCAL: {"temperature", "max_tokens", "top_p", "stop",
-                         "seed", "logprobs"},
+                         "seed", "logprobs", "adapter"},
         Provider.STUB: set(),
     }
 

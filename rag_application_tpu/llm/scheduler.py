@@ -92,13 +92,14 @@ def _commit_row(logits, plen_total, rck, rcv, row, ck, cv, slot_pos,
          donate_argnums=(5, 6, 7, 8, 9, 10))
 def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
                  ck, cv, slot_pos, pos, tok, active,
-                 temperature: float, top_k: int, top_p: float, rng):
+                 temperature: float, top_k: int, top_p: float, rng,
+                 lora=None):
     """Admit one request into batch row `row`: run its prompt (B=1),
     write the prompt K/V into the row's leading slots, reset the row's
     slot_pos/pos/token/active state. Returns updated device state."""
     T = ids.shape[1]
     rck, rcv = init_kv_cache(cfg, 1, T)
-    logits, rck, rcv = prefill(params, cfg, ids, plen, rck, rcv)
+    logits, rck, rcv = prefill(params, cfg, ids, plen, rck, rcv, lora=lora)
     return _commit_row(logits, plen[0], rck, rcv, row, ck, cv, slot_pos,
                        pos, tok, active, temperature, top_k, top_p, rng)
 
@@ -107,7 +108,8 @@ def _prefill_row(params, cfg: DecoderConfig, ids, plen, row,
          donate_argnums=(7, 8, 9, 10, 11, 12))
 def _prefill_row_prefix(params, cfg: DecoderConfig, pck, pcv, suffix,
                         slen, row, ck, cv, slot_pos, pos, tok, active,
-                        temperature: float, top_k: int, top_p: float, rng):
+                        temperature: float, top_k: int, top_p: float, rng,
+                        lora=None):
     """Admit a request whose prompt starts with a REGISTERED prefix:
     the prefix's K/V (pck/pcv, (L,1,p0,KVH,hd)) was computed once at
     registration, so only the suffix runs through the model. The row
@@ -122,7 +124,8 @@ def _prefill_row_prefix(params, cfg: DecoderConfig, pck, pcv, suffix,
     rck, rcv = paste(rck, pck), paste(rcv, pcv)
     positions = (p0 + jnp.arange(Ts, dtype=jnp.int32))[None, :]
     hidden, rck, rcv = forward(params, cfg, suffix, positions, rck, rcv,
-                               write_slot=jnp.asarray(p0, jnp.int32))
+                               write_slot=jnp.asarray(p0, jnp.int32),
+                               lora=lora)
     last = jnp.take_along_axis(
         hidden, (slen - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     logits = _project(params, cfg, last)
@@ -149,7 +152,7 @@ def _decode_chunk_spec(params, cfg: DecoderConfig, chunk: int, K: int,
                        tok, pos, active, slot_pos, hist, base_slot,
                        eos, ck, cv, temperature: float = 0.0,
                        top_k: int = 64, top_p: float = 1.0,
-                       rng=None, step0=None):
+                       rng=None, step0=None, lora=None):
     """`chunk` speculative block steps in ONE dispatch.
 
     Each step drafts K tokens per row from the row's own history
@@ -189,7 +192,8 @@ def _decode_chunk_spec(params, cfg: DecoderConfig, chunk: int, K: int,
                         jnp.asarray(DEAD, jnp.int32))
         slot_pos = jax.lax.dynamic_update_slice(slot_pos, col, (0, head))
         hidden, ck, cv = forward(params, cfg, x, positions, ck, cv,
-                                 write_slot=head, slot_positions=slot_pos)
+                                 write_slot=head, slot_positions=slot_pos,
+                                 lora=lora)
         blk = _project(params, cfg, hidden)                      # (B,K+1,V)
         if temperature > 0.0:
             # sampled speculation: accept each draft with its target
@@ -252,7 +256,7 @@ def _decode_chunk_spec(params, cfg: DecoderConfig, chunk: int, K: int,
 def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
                   tok, pos, active, slot_pos, base_slot, step0,
                   temperature: float, top_k: int, top_p: float,
-                  eos, rng, ck, cv):
+                  eos, rng, ck, cv, lora=None):
     """Run `chunk` decode steps for all rows in ONE dispatch.
 
     Step j writes every row's K/V at physical slot base_slot + j and
@@ -274,7 +278,7 @@ def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
             slot_pos, col[:, None], (0, base_slot + j))
         logits, ck, cv = decode_step(params, cfg, tok, pos,
                                      base_slot + j, ck, cv,
-                                     slot_positions=slot_pos)
+                                     slot_positions=slot_pos, lora=lora)
         nxt = sample_logits(logits, jax.random.fold_in(rng, step0 + j),
                             temperature=temperature, top_k=top_k,
                             top_p=top_p)
@@ -323,13 +327,19 @@ class ContinuousBatcher:
                  temperature: float = 0.0, top_k: int = 64,
                  top_p: float = 1.0, seed: int = 0, spec_k: int = 0,
                  spec_min_tps: float = 0.0, spec_cooldown: int = 16,
-                 lookahead: int = 2):
+                 lookahead: int = 2, lora_banks=None):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
         # spec_k works for greedy (argmax-agreement acceptance, token-
         # identical) AND sampled batchers (rejection-sampled acceptance
         # preserving the filtered distribution exactly)
         self.params, self.cfg = params, cfg
+        # multi-LoRA serving: stacked adapter banks
+        # (models/lora.py::lora_banks; index 0 = base). Per-row adapter
+        # ids ride host state and reach every decode/prefill jit as the
+        # `lora` pytree — N fine-tunes share this one batch.
+        self._banks = lora_banks
+        self._aid = np.zeros((slots,), np.int32)
         self.B, self.T = slots, prompt_pad
         self.S = prompt_pad + horizon
         self.chunk = chunk
@@ -410,18 +420,21 @@ class ContinuousBatcher:
     # ------------------------------------------------------------ public
 
     async def submit(self, prompt_ids: Sequence[int], *, max_new: int = 128,
-                     eos_id: int = -1) -> List[int]:
+                     eos_id: int = -1, adapter_id: int = 0) -> List[int]:
         """Generate up to `max_new` tokens for one prompt; returns the
         emitted ids (eos excluded). Concurrency-safe: callers share the
-        batch."""
+        batch. `adapter_id` indexes the instance's LoRA banks (0 =
+        base model) — rows with different adapters decode together."""
         out: List[int] = []
         async for t in self.submit_stream(prompt_ids, max_new=max_new,
-                                          eos_id=eos_id):
+                                          eos_id=eos_id,
+                                          adapter_id=adapter_id):
             out.append(t)
         return out
 
     async def submit_stream(self, prompt_ids: Sequence[int], *,
-                            max_new: int = 128, eos_id: int = -1):
+                            max_new: int = 128, eos_id: int = -1,
+                            adapter_id: int = 0):
         """Like `submit` but yields each token id as soon as its decode
         chunk lands — N concurrent streams share one decode batch
         (time-to-next-token is bounded by chunk size, not by the other
@@ -429,10 +442,16 @@ class ContinuousBatcher:
         ids = list(prompt_ids)[-self.T:]
         if not ids:
             raise ValueError("empty prompt")
+        n_adapters = (0 if self._banks is None else
+                      next(iter(self._banks.values()))["a"].shape[1] - 1)
+        if not 0 <= adapter_id <= n_adapters:
+            raise ValueError(f"adapter_id {adapter_id} out of range "
+                             f"(have {n_adapters} adapters)")
         q: asyncio.Queue = asyncio.Queue()
         rid = self._next_id
         self._next_id += 1
-        await self._pending.put((rid, ids, int(max_new), int(eos_id), q))
+        await self._pending.put((rid, ids, int(max_new), int(eos_id), q,
+                                 int(adapter_id)))
         self._ensure_loop()
         while True:
             t = await q.get()
@@ -467,8 +486,14 @@ class ContinuousBatcher:
     def _free_rows(self) -> List[int]:
         return [i for i, s in enumerate(self._slots) if s.queue is None]
 
-    def _admit(self, row: int, rid: int,
-               ids: List[int]) -> Optional[int]:
+    def _lora(self, aid_vec) -> Optional[Dict[str, Any]]:
+        if self._banks is None:
+            return None
+        return {"aid": jnp.asarray(aid_vec, jnp.int32),
+                "banks": self._banks}
+
+    def _admit(self, row: int, rid: int, ids: List[int],
+               adapter_id: int = 0) -> Optional[int]:
         """Device-side admission (jit dispatches + the spec-mode first-
         token read). Runs in an executor thread; returns the first
         sampled token in speculative mode (else None). Queue-facing
@@ -476,9 +501,14 @@ class ContinuousBatcher:
         padded = np.zeros((1, self.T), np.int32)
         padded[0, :len(ids)] = ids
         rng = jax.random.fold_in(self.rng, 2 ** 20 + rid)
-        match = next(((pids, pck, pcv) for pids, pck, pcv in self._prefixes
-                      if len(ids) > len(pids)
-                      and tuple(ids[:len(pids)]) == pids), None)
+        self._aid[row] = adapter_id
+        row_lora = self._lora([adapter_id])
+        # prefix K/V were computed through the BASE model: an adapter
+        # changes every projection, so adapter rows take a full prefill
+        match = None if adapter_id != 0 else next(
+            ((pids, pck, pcv) for pids, pck, pcv in self._prefixes
+             if len(ids) > len(pids)
+             and tuple(ids[:len(pids)]) == pids), None)
         if match is not None:
             pids, pck, pcv = match
             sfx = ids[len(pids):]
@@ -499,7 +529,7 @@ class ContinuousBatcher:
                 jnp.asarray([len(sfx)], np.int32), np.int32(row),
                 self.ck, self.cv, self.slot_pos, self.pos, self.tok,
                 self.active, self.temperature, self.top_k, self.top_p,
-                rng)
+                rng, row_lora)
             self.prefix_hits += 1
         else:
             (self.ck, self.cv, self.slot_pos, self.pos, self.tok,
@@ -508,7 +538,7 @@ class ContinuousBatcher:
                 jnp.asarray([len(ids)], np.int32), np.int32(row),
                 self.ck, self.cv, self.slot_pos, self.pos, self.tok,
                 self.active, self.temperature, self.top_k, self.top_p,
-                rng)
+                rng, row_lora)
         first = None
         if self.spec_k:
             self.hist = _hist_admit(
@@ -547,6 +577,7 @@ class ContinuousBatcher:
         if s.queue is not None:
             s.queue.put_nowait(None)
         self._slots[row] = _Slot()
+        self._aid[row] = 0
         self.active = self.active.at[row].set(False)
         # clear the row's slot map so compaction never counts (and the
         # write head never sits past) a dead request's leftovers
@@ -562,7 +593,7 @@ class ContinuousBatcher:
             self._slots = [_Slot() for _ in range(self.B)]
             while True:
                 try:
-                    _, _, _, _, q = self._pending.get_nowait()
+                    _, _, _, _, q, _ = self._pending.get_nowait()
                 except asyncio.QueueEmpty:
                     break
                 q.put_nowait(exc)
@@ -639,11 +670,11 @@ class ContinuousBatcher:
                 for row in self._free_rows():
                     try:
                         (rid, ids, max_new,
-                         eos_id, q) = self._pending.get_nowait()
+                         eos_id, q, aid) = self._pending.get_nowait()
                     except asyncio.QueueEmpty:
                         break
                     first = await loop.run_in_executor(
-                        None, self._admit, row, rid, ids)
+                        None, self._admit, row, rid, ids, aid)
                     self._finish_admit(row, rid, max_new, eos_id, q, first)
                     admitted = True
                 busy = [(i, s.request_id) for i, s in enumerate(self._slots)
@@ -724,7 +755,8 @@ class ContinuousBatcher:
                             self.hist, np.int32(self.head),
                             jnp.asarray(eos_vec), self.ck, self.cv,
                             self.temperature, self.top_k, self.top_p,
-                            self.rng, np.int32(self.steps))
+                            self.rng, np.int32(self.steps),
+                            self._lora(self._aid))
                         return out  # (chunk, B, use_k+1)
                     (self.tok, self.pos, self.active, self.slot_pos,
                      self.ck, self.cv, out) = _decode_chunk(
@@ -732,7 +764,8 @@ class ContinuousBatcher:
                         self.pos, self.active, self.slot_pos,
                         np.int32(self.head), np.int32(self.steps),
                         self.temperature, self.top_k, self.top_p,
-                        jnp.asarray(eos_vec), self.rng, self.ck, self.cv)
+                        jnp.asarray(eos_vec), self.rng, self.ck, self.cv,
+                        self._lora(self._aid))
                     return out[:, :, None]  # (chunk, B, 1)
 
                 # `_step` issues the chunk and returns the OUTPUT ref

@@ -81,10 +81,14 @@ class DecoderConfig:
     # layer's cache slice is a view of the stacked buffer, no
     # dynamic_slice copy) vs lax.scan (dynamic indices — reading layer
     # i's (B,S,KVH,hd) slab out of the carry materializes a copy, an
-    # extra 2x cache read+write of HBM traffic per step). Unrolled is
-    # the measured win at serving shapes; scan keeps HLO size constant
-    # in depth for very deep models where compile time dominates.
-    decode_unroll: bool = True
+    # extra 2x cache read+write of HBM traffic per step). Measured
+    # crossover (v5e-1, b64): the copies only dominate once the
+    # per-layer K slab passes ~10 MB (S896 kvq: scan 4.07 vs unroll
+    # 2.00 ms/step; S256 kvq: scan 1.41 vs unroll 1.66 — the scan
+    # fuses the small step better). None (default) picks per compiled
+    # shape; True/False force a path (e.g. scan for very deep models
+    # where compile time dominates).
+    decode_unroll: Optional[bool] = None
     # Fused Pallas flash-decode attention for int8 KV caches (T=1 steps
     # with a kernel-tileable geometry; anything else falls back to the
     # XLA einsums). OPT-IN: at GQA C=8 the decode attention is MXU
@@ -333,8 +337,18 @@ def forward(
     write_slot: Optional[jax.Array] = None,  # decode: SCALAR slot, all rows
     slot_positions: Optional[jax.Array] = None,  # (B,S) abs pos per slot
     remat: bool = False,  # rematerialize each layer (training memory)
+    lora: Optional[Dict[str, Any]] = None,  # per-ROW adapters, see below
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward pass over T tokens against the cache.
+
+    Multi-LoRA serving (`lora`): {"aid": (B,) int32, "banks":
+    {target: {"a": (L, N, in, r), "b": (L, N, r, out)}}} — each batch
+    row applies ITS OWN adapter (index into the stacked banks;
+    models/lora.py::lora_banks builds them with index 0 = the zero
+    adapter, i.e. the base model). Rank-r deltas cost O(B*H*r) — noise
+    next to the dense projections — so N fine-tunes share one frozen
+    base in a single decode batch (the reference would run N Ollama
+    model instances for this).
 
     Prefill (write_slot=None): T tokens are written at cache slots
     [0, T) — positions must be arange(T).
@@ -363,6 +377,16 @@ def forward(
     mask = slots <= positions[:, :, None]
     neg = jnp.asarray(-1e30, jnp.float32)
 
+    def proj(h, lp, name):
+        """Dense projection + this row's rank-r LoRA delta (if any)."""
+        y = _mm(h, lp[name])
+        la = lp.get(name + ":la")      # (B, in, r) — per-row factors
+        if la is None:
+            return y
+        lb = lp[name + ":lb"]          # (B, r, out)
+        lo = jnp.einsum("bth,bhr->btr", h, la.astype(h.dtype))
+        return y + jnp.einsum("btr,bro->bto", lo, lb.astype(h.dtype))
+
     def attend(x, lp, ck, cv):
         """attention out + FFN for one layer given its (updated) cache.
 
@@ -370,7 +394,7 @@ def forward(
         — K scales multiply the scores, V scales pre-multiply the probs
         — so the dequantized K/V matrices are never materialized and the
         MXU reads int8-sized operands."""
-        q = _mm(_rmsnorm(x, lp["attn_norm"], cfg.eps), lp["wq"])
+        q = proj(_rmsnorm(x, lp["attn_norm"], cfg.eps), lp, "wq")
         if "bq" in lp:  # Qwen2-family projection bias, pre-RoPE
             q = q + lp["bq"].astype(q.dtype)
         q = q.reshape(B, T, cfg.heads, cfg.head_dim)
@@ -385,12 +409,12 @@ def forward(
 
             out = decode_attend_int8(qg.astype(jnp.bfloat16), ck, cv,
                                      mask[:, 0, :])
-            x = x + _mm(out.astype(cfg_dt).reshape(
-                B, T, cfg.heads * cfg.head_dim), lp["wo"])
+            x = x + proj(out.astype(cfg_dt).reshape(
+                B, T, cfg.heads * cfg.head_dim), lp, "wo")
             h = _rmsnorm(x, lp["ffn_norm"], cfg.eps)
-            return x + _mm(
-                jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
-                lp["w_down"])
+            return x + proj(
+                jax.nn.silu(proj(h, lp, "w_gate")) * proj(h, lp, "w_up"),
+                lp, "w_down")
         kv = (lambda c: c["q"].astype(cfg_dt)) if cfg.kv_quant else (
             lambda c: c)
         scores = jnp.einsum("btkgh,bskh->bkgts", qg, kv(ck),
@@ -403,15 +427,15 @@ def forward(
         if cfg.kv_quant:
             probs = probs * cv["s"].transpose(0, 2, 1)[:, :, None, None, :]
         out = jnp.einsum("bkgts,bskh->btkgh", probs.astype(cfg_dt), kv(cv))
-        x = x + _mm(out.reshape(B, T, cfg.heads * cfg.head_dim), lp["wo"])
+        x = x + proj(out.reshape(B, T, cfg.heads * cfg.head_dim), lp, "wo")
         h = _rmsnorm(x, lp["ffn_norm"], cfg.eps)
-        x = x + _mm(jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
-                    lp["w_down"])
+        x = x + proj(jax.nn.silu(proj(h, lp, "w_gate"))
+                     * proj(h, lp, "w_up"), lp, "w_down")
         return x
 
     def new_kv(x, lp):
         h = _rmsnorm(x, lp["attn_norm"], cfg.eps)
-        k, v = _mm(h, lp["wk"]), _mm(h, lp["wv"])
+        k, v = proj(h, lp, "wk"), proj(h, lp, "wv")
         if "bk" in lp:
             k = k + lp["bk"].astype(k.dtype)
             v = v + lp["bv"].astype(v.dtype)
@@ -426,6 +450,15 @@ def forward(
                     ("attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
                      "w_gate", "w_up", "w_down", "bq", "bk", "bv")
                     if k in params}
+    if lora is not None:
+        # select each row's factors ONCE (gather over the adapter axis);
+        # the (L, B, in, r) results slice per layer exactly like the
+        # stacked weights, in both the scan and the unrolled paths.
+        for t, bank in lora["banks"].items():
+            layer_params[t + ":la"] = jnp.take(bank["a"], lora["aid"],
+                                               axis=1)
+            layer_params[t + ":lb"] = jnp.take(bank["b"], lora["aid"],
+                                               axis=1)
 
     if write_slot is None:
         # prefill/training: caches flow xs -> ys (the bulk [0,T) write IS
@@ -448,7 +481,16 @@ def forward(
     # writes ONLY its new (B,1,KVH,hd) row — an xs->ys layout would
     # rewrite every layer's whole (B,S) slice per token, turning each
     # step into a full-cache HBM pass.
-    if cfg.decode_unroll:
+    unroll = cfg.decode_unroll
+    if unroll is None:
+        # auto: the scan path's per-layer dynamic-slice copy costs
+        # ~2 extra slab passes of HBM; the unrolled path carries a
+        # small fixed scheduling cost. Crossover measured at ~10 MB
+        # per-layer K slab (see DecoderConfig.decode_unroll).
+        plane = 1 if cfg.kv_quant else jnp.dtype(cfg.dtype).itemsize
+        unroll = (B * S * cfg.kv_heads * cfg.head_dim * plane
+                  >= 10 * 2 ** 20)
+    if unroll:
         # Static layer indices: `d[i]` is a zero-copy view of the
         # stacked cache and the dynamic_update_slice aliases in place,
         # so per-step HBM traffic is exactly one cache read (the
@@ -498,7 +540,8 @@ def _project(params: Dict[str, Any], cfg: DecoderConfig,
 
 
 def prefill(params: Dict[str, Any], cfg: DecoderConfig, ids: jax.Array,
-            prompt_len: jax.Array, cache_k: jax.Array, cache_v: jax.Array
+            prompt_len: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
+            lora: Optional[Dict[str, Any]] = None,
             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the prompt; return (last-token logits (B,V), cache', cache').
 
@@ -507,7 +550,7 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig, ids: jax.Array,
     B, T = ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x, cache_k, cache_v = forward(params, cfg, ids, positions,
-                                  cache_k, cache_v)
+                                  cache_k, cache_v, lora=lora)
     last = jnp.take_along_axis(
         x, (prompt_len - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     return _project(params, cfg, last), cache_k, cache_v
@@ -517,12 +560,14 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
                 token: jax.Array, pos: jax.Array, slot: jax.Array,
                 cache_k: jax.Array, cache_v: jax.Array,
                 slot_positions: Optional[jax.Array] = None,
+                lora: Optional[Dict[str, Any]] = None,
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One token per row at per-row position `pos` (B,), written at the
     shared scalar cache `slot`. Returns (logits (B,V), cache', cache')."""
     x, cache_k, cache_v = forward(
         params, cfg, token[:, None], pos[:, None],
-        cache_k, cache_v, write_slot=slot, slot_positions=slot_positions)
+        cache_k, cache_v, write_slot=slot, slot_positions=slot_positions,
+        lora=lora)
     return _project(params, cfg, x[:, 0]), cache_k, cache_v
 
 
@@ -607,7 +652,8 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
                       ids: jax.Array, prompt_len: jax.Array, max_new: int,
                       eos_id: int, pad_id: int, rng: jax.Array,
                       temperature: float = 0.0, top_k: int = 64,
-                      top_p: float = 1.0
+                      top_p: float = 1.0,
+                      lora: Optional[Dict[str, Any]] = None,
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """`generate` that also returns each emitted token's RAW model
     log-probability (log-softmax of the unscaled logits — temperature/
@@ -641,7 +687,7 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
         jnp.where(s_idx < pl, s_idx, jnp.asarray(2 ** 30, jnp.int32)),
         pl + (s_idx - T))
     logits, cache_k, cache_v = prefill(
-        params, cfg, ids, prompt_len, cache_k, cache_v)
+        params, cfg, ids, prompt_len, cache_k, cache_v, lora=lora)
 
     def emit(logits, step, done, rng):
         tok = sample_logits(logits, jax.random.fold_in(rng, step),
@@ -662,7 +708,8 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
         lps = jax.lax.dynamic_update_slice(lps, tok_lp[None, :], (step, 0))
         newly_done = jnp.logical_or(done, tok == eos)
         logits, ck, cv = decode_step(params, cfg, tok, pos, T + step,
-                                     ck, cv, slot_positions=slot_pos)
+                                     ck, cv, slot_positions=slot_pos,
+                                     lora=lora)
         nxt, nlp = emit(logits, step, newly_done, rng)
         # rows that just emitted eos stop: their buffered token stays pad
         return (step + 1, newly_done, nxt, nlp,
@@ -685,7 +732,9 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
              ids: jax.Array, prompt_len: jax.Array, max_new: int,
              eos_id: int, pad_id: int, rng: jax.Array,
              temperature: float = 0.0, top_k: int = 64,
-             top_p: float = 1.0) -> Tuple[jax.Array, jax.Array]:
+             top_p: float = 1.0,
+             lora: Optional[Dict[str, Any]] = None
+             ) -> Tuple[jax.Array, jax.Array]:
     """Fused batch generation: prefill + `lax.while_loop` decode in ONE
     dispatch. Returns (tokens (B, max_new) int32 — pad_id after each
     row's eos — and n_generated (B,)).
@@ -696,7 +745,7 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
     from the same compiled program.)"""
     out, n, _ = generate_logprobs(params, cfg, ids, prompt_len, max_new,
                                   eos_id, pad_id, rng, temperature,
-                                  top_k, top_p)
+                                  top_k, top_p, lora)
     return out, n
 
 

@@ -123,6 +123,60 @@ def lora_wrap_with(params: Dict[str, Any], adapters: Dict[str, Any], *,
     return out
 
 
+def lora_banks(adapter_trees: Sequence[Dict[str, Any]], *,
+               alpha: float = 16.0,
+               dtype=jnp.bfloat16) -> Dict[str, Dict[str, jax.Array]]:
+    """Stack N adapter artifacts into per-row-selectable serving banks.
+
+    Input: a list of `load_adapters`-shaped trees ({target: {"a":
+    (L, in, r_i), "b": (L, r_i, out), optional "s": (L, 1, 1)}}).
+    Output: {target: {"a": (L, N+1, in, R), "b": (L, N+1, R, out)}}
+    where R = max rank (shorter adapters zero-pad — zero columns are
+    exact no-ops) and index 0 is the ZERO adapter, i.e. the base
+    model. Each adapter's scale (or alpha/r fallback) folds into its
+    "b" factors, so serving applies plain x@a@b.
+
+    `decoder.forward(..., lora={"aid": row_indices, "banks": ...})`
+    then serves N fine-tunes from one frozen base in a single batch —
+    the multi-LoRA pattern the reference would need N model-server
+    instances for (one Ollama model per fine-tune)."""
+    targets: Dict[str, Dict[str, list]] = {}
+    names = sorted({t for tree in adapter_trees for t in tree})
+    if not names:
+        return {}
+    rmax = max(tree[t]["a"].shape[-1]
+               for tree in adapter_trees for t in tree if t in tree)
+    for t in names:
+        a_rows, b_rows = [], []
+        for tree in adapter_trees:
+            ab = tree.get(t)
+            if ab is None:
+                a_rows.append(None)
+                b_rows.append(None)
+                continue
+            L, fan_in, r = ab["a"].shape
+            out = ab["b"].shape[-1]
+            s = ab.get("s")
+            s = (jnp.full((L, 1, 1), alpha / r, jnp.float32)
+                 if s is None else s)
+            a = jnp.zeros((L, fan_in, rmax), dtype).at[:, :, :r].set(
+                ab["a"].astype(dtype))
+            b = jnp.zeros((L, rmax, out), dtype).at[:, :r, :].set(
+                (ab["b"].astype(jnp.float32) * s).astype(dtype))
+            a_rows.append(a)
+            b_rows.append(b)
+        L = next(x for x in a_rows if x is not None).shape[0]
+        fan_in = next(x for x in a_rows if x is not None).shape[1]
+        out = next(x for x in b_rows if x is not None).shape[2]
+        za = jnp.zeros((L, fan_in, rmax), dtype)
+        zb = jnp.zeros((L, rmax, out), dtype)
+        a_stack = [za] + [za if a is None else a for a in a_rows]
+        b_stack = [zb] + [zb if b is None else b for b in b_rows]
+        targets[t] = {"a": jnp.stack(a_stack, axis=1),
+                      "b": jnp.stack(b_stack, axis=1)}
+    return targets
+
+
 def save_adapters(adapters: Dict[str, Any], path: str, *,
                   wrapped: Dict[str, Any] = None) -> None:
     """npz of the adapter factors alone (megabytes — the artifact a

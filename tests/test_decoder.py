@@ -689,3 +689,47 @@ def test_attn_kernel_matches_einsum_path():
     o = np.asarray(out)
     assert (o >= 0).all() and (o < CFG.vocab_size).all()
     assert int(np.asarray(n).min()) > 0
+
+
+def test_local_llm_multi_lora_chat():
+    """register_lora + chat(adapter=...): the adapter changes the
+    output, adapter=None serves the base, and unknown names raise.
+    Covers the solo fused path AND the batcher path (per-row adapter
+    ids through llm/scheduler.py)."""
+    local = _make_local()
+    cfg = local.cfg
+    key = jax.random.PRNGKey(11)
+    ad = {}
+    for t, fin, fout in (("wq", 32, 32), ("wo", 32, 32)):
+        key, k1, k2 = jax.random.split(key, 3)
+        ad[t] = {"a": jax.random.normal(k1, (cfg.num_layers, fin, 8)) * 0.5,
+                 "b": jax.random.normal(k2, (cfg.num_layers, 8, fout)) * 0.5,
+                 "s": jnp.full((cfg.num_layers, 1, 1), 2.0, jnp.float32)}
+    idx = local.register_lora("polite", ad)
+    assert idx == 1
+    from rag_application_tpu.llm.router import ChatMessage
+
+    msgs = [ChatMessage("user", "hello world how is the weather")]
+
+    async def run(**params):
+        r = await local.chat(msgs, **params)
+        return r.content
+
+    base = asyncio.run(run(max_tokens=8))
+    tuned = asyncio.run(run(max_tokens=8, adapter="polite"))
+    base2 = asyncio.run(run(max_tokens=8))
+    assert base == base2  # deterministic greedy
+    assert tuned != base  # a 0.5-magnitude adapter must change output
+    with pytest.raises(ValueError):
+        asyncio.run(run(max_tokens=8, adapter="nope"))
+    # batcher path: same adapter selection, same outputs per row
+    local.enable_batching(slots=2, prompt_pad=32, horizon=32, chunk=4)
+
+    async def both():
+        return await asyncio.gather(
+            local.chat(msgs, max_tokens=8),
+            local.chat(msgs, max_tokens=8, adapter="polite"))
+
+    rb, rt = asyncio.run(both())
+    assert rb.content == base
+    assert rt.content == tuned

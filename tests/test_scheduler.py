@@ -664,3 +664,67 @@ def test_eos_at_chunk_last_step_zombie_row():
         first, second = asyncio.run(run(eos))
         assert first == want, m
         assert second == want, m
+
+
+def test_multi_lora_batcher_matches_merged_solo():
+    """Rows with DIFFERENT adapters decode in one shared batch; each
+    row's greedy output equals a solo run of its adapter merged into
+    the dense weights (multi-LoRA serving, models/lora.py::lora_banks +
+    decoder.forward lora=)."""
+    from rag_application_tpu.models.lora import (
+        lora_banks,
+        lora_merge,
+        lora_wrap_with,
+    )
+
+    def rand_adapter(seed, r):
+        key = jax.random.PRNGKey(seed)
+        out = {}
+        for t, fin, fout in (("wq", 64, 64), ("wv", 64, 32)):
+            key, k1, k2 = jax.random.split(key, 3)
+            out[t] = {"a": jax.random.normal(k1, (3, fin, r)) * 0.3,
+                      "b": jax.random.normal(k2, (3, r, fout)) * 0.3,
+                      "s": jnp.full((3, 1, 1), 2.0, jnp.float32)}
+        return out
+
+    ad1, ad2 = rand_adapter(1, 4), rand_adapter(2, 8)
+    banks = lora_banks([ad1, ad2], dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompts = _prompts(3, rng)
+    aids = [0, 1, 2]
+    news = [9, 11, 8]
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, slots=3, prompt_pad=16,
+                              horizon=32, chunk=4, lora_banks=banks)
+        return await asyncio.gather(*[
+            b.submit(p, max_new=n, adapter_id=a)
+            for p, n, a in zip(prompts, news, aids)])
+
+    got = asyncio.run(run())
+    merged = [PARAMS,
+              lora_merge(lora_wrap_with(PARAMS, ad1)),
+              lora_merge(lora_wrap_with(PARAMS, ad2))]
+    for p, n, a, toks in zip(prompts, news, aids, got):
+        ids = np.zeros((1, 16), np.int32)
+        ids[0, :len(p)] = p
+        out, _ = generate(merged[a], CFG, ids,
+                          np.asarray([len(p)], np.int32), n, -1, -7,
+                          jax.random.PRNGKey(0), 0.0)
+        solo = [int(t) for t in np.asarray(out)[0] if int(t) != -7]
+        assert toks == solo, (a, toks, solo)
+
+
+def test_multi_lora_adapter_id_validation():
+    banks_cfg = dict(slots=2, prompt_pad=16, horizon=32, chunk=4)
+
+    async def run():
+        b = ContinuousBatcher(PARAMS, CFG, **banks_cfg)  # no banks
+        try:
+            await b.submit([1, 2, 3], max_new=4, adapter_id=1)
+        except ValueError as e:
+            return str(e)
+        return None
+
+    msg = asyncio.run(run())
+    assert msg and "adapter_id" in msg
