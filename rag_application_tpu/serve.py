@@ -166,6 +166,19 @@ def main() -> None:
                                             "16")),
             speculative=os.environ.get(
                 "RAGTPU_LOCAL_SPECULATIVE", "0") == "1")
+        # multi-LoRA serving: "name=path.npz,name2=path2.npz" registers
+        # per-request-selectable adapters over the frozen base (requests
+        # pick one with the OpenAI param {"adapter": "name"}); unlike
+        # RAGTPU_LOCAL_LORA (merge-at-load), all of them serve at once.
+        adapters = os.environ.get("RAGTPU_LOCAL_LORA_ADAPTERS", "")
+        for spec in filter(None, (s.strip() for s in adapters.split(","))):
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(
+                    f"RAGTPU_LOCAL_LORA_ADAPTERS entry {spec!r} must be "
+                    "name=path.npz")
+            local.register_lora(name.strip(), path.strip())
+            logging.info("registered LoRA adapter %r", name.strip())
         # RAGTPU_LOCAL_BATCH_SLOTS>0 serves concurrent chats from ONE
         # continuous decode batch (llm/scheduler.py) instead of
         # serializing fused generate calls on the chip
