@@ -653,7 +653,8 @@ def build_app(config: Optional[Config] = None, *,
         # the router's per-provider allowlist filters them
         gen = {k: body[k] for k in (
             "temperature", "max_tokens", "top_p", "stop", "seed",
-            "logprobs", "presence_penalty", "frequency_penalty")
+            "logprobs", "presence_penalty", "frequency_penalty",
+            "adapter")  # extension: named LoRA adapter (local provider)
             if k in body}
         if body.get("stream"):
             async def events():

@@ -73,6 +73,9 @@ class LocalLLM:
         self._lora_trees: list = []
         self._lora_names: Dict[str, int] = {}
         self._lora_banks = None
+        # grammar-constrained decoding: schema-json -> device constraint
+        # (models/constrain.py), None cached for unsupported schemas
+        self._constraint_cache: Dict[str, Optional[Dict[str, Any]]] = {}
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
@@ -223,6 +226,25 @@ class LocalLLM:
         return {"aid": jnp.full((batch,), idx, jnp.int32),
                 "banks": self._lora_banks}
 
+    def _constraint_for(self, schema) -> Optional[Dict[str, Any]]:
+        """Compile (and cache) a response schema into the on-chip
+        grammar constraint; None when the schema is outside the
+        supported subset or the vocabulary can't realize it (the
+        prompt-only fallback still applies)."""
+        import json as _json
+
+        key = _json.dumps(schema, sort_keys=True)
+        if key not in self._constraint_cache:
+            from ..models.constrain import compile_schema
+
+            try:
+                self._constraint_cache[key] = compile_schema(
+                    schema, self.tokenizer, self.cfg.vocab_size
+                ).as_device()
+            except (ValueError, TypeError):
+                self._constraint_cache[key] = None
+        return self._constraint_cache[key]
+
     # ------------------------------------------------------------- prompt
 
     def render(self, messages: Sequence[Any]) -> List[int]:
@@ -265,7 +287,8 @@ class LocalLLM:
                      max_new: int = 128, temperature: float = 0.0,
                      top_k: int = 64, top_p: float = 1.0,
                      seed: int = 0, speculative: bool = False,
-                     lora=None) -> List[int]:
+                     lora=None, presence: float = 0.0,
+                     frequency: float = 0.0, constraint=None) -> List[int]:
         """Blocking fused generation for one prompt. Pads the prompt to
         a power-of-two bucket so repeated lengths reuse the compiled
         while_loop (search/params.py convention).
@@ -283,7 +306,8 @@ class LocalLLM:
         bucket = min(bucket, self.cfg.max_len - 1)
         ids = np.full((1, bucket), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids
-        if speculative and lora is None:
+        if (speculative and lora is None and constraint is None
+                and not (presence or frequency)):
             from ..models.speculative import generate_lookup
 
             out, count = generate_lookup(
@@ -297,7 +321,8 @@ class LocalLLM:
             out, count = generate(
                 self.params, self.cfg, ids, np.asarray([n], np.int32),
                 max_new, self.eos_id, self.pad_id, jax.random.PRNGKey(seed),
-                float(temperature), int(top_k), float(top_p), lora)
+                float(temperature), int(top_k), float(top_p), lora,
+                float(presence), float(frequency), constraint)
         out = np.asarray(out)[0]
         return [int(t) for t in out if int(t) != self.pad_id
                 and int(t) != self.eos_id]
@@ -383,6 +408,13 @@ class LocalLLM:
         temperature = float(params.get("temperature") or 0.0)
         top_p = float(params.get("top_p") or 1.0)
         adapter = params.get("adapter") or None
+        presence = float(params.get("presence_penalty") or 0.0)
+        frequency = float(params.get("frequency_penalty") or 0.0)
+        # grammar-constrain the decode whenever the schema compiles —
+        # the instruction above tells the model WHAT to write, the DFA
+        # guarantees the output parses either way
+        constraint = (self._constraint_for(response_schema)
+                      if response_schema is not None else None)
         lp_out = None
         loop = asyncio.get_running_loop()
         if params.get("logprobs"):
@@ -394,8 +426,9 @@ class LocalLLM:
                     top_p=top_p, seed=int(params.get("seed") or 0)))
             lp_out = [{"token": self.tokenizer.decode([t]),
                        "logprob": l} for t, l in zip(out_ids, lps)]
-        elif self._batch_eligible(prompt, max_new, params, temperature,
-                                  top_p, adapter=adapter):
+        elif (not presence and not frequency and constraint is None
+              and self._batch_eligible(prompt, max_new, params, temperature,
+                                       top_p, adapter=adapter)):
             out_ids = await self._batcher.submit(
                 prompt, max_new=max_new, eos_id=self.eos_id,
                 adapter_id=(self._lora_names[adapter] if adapter else 0))
@@ -405,7 +438,9 @@ class LocalLLM:
                     prompt, max_new=max_new, temperature=temperature,
                     top_p=top_p, seed=int(params.get("seed") or 0),
                     speculative=self.speculative,
-                    lora=self._lora_for(adapter)))
+                    lora=self._lora_for(adapter),
+                    presence=presence, frequency=frequency,
+                    constraint=constraint))
         text = self._apply_stop(self._decode(out_ids), params.get("stop"))
         return LLMResponse(content=text,
                            usage={"prompt_tokens": len(prompt),

@@ -182,7 +182,8 @@ class LLMRouter:
         Provider.GOOGLE: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.BEDROCK: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.LOCAL: {"temperature", "max_tokens", "top_p", "stop",
-                         "seed", "logprobs", "adapter"},
+                         "seed", "logprobs", "adapter",
+                         "presence_penalty", "frequency_penalty"},
         Provider.STUB: set(),
     }
 

@@ -647,13 +647,15 @@ def sample_logits(logits: jax.Array, rng: jax.Array, *,
 # -------------------------------------------------------------- generation
 
 
-@partial(jax.jit, static_argnums=(1, 4, 8, 9, 10))
+@partial(jax.jit, static_argnums=(1, 4, 8, 9, 10, 12, 13))
 def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
                       ids: jax.Array, prompt_len: jax.Array, max_new: int,
                       eos_id: int, pad_id: int, rng: jax.Array,
                       temperature: float = 0.0, top_k: int = 64,
                       top_p: float = 1.0,
                       lora: Optional[Dict[str, Any]] = None,
+                      presence: float = 0.0, frequency: float = 0.0,
+                      constraint: Optional[Dict[str, Any]] = None,
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """`generate` that also returns each emitted token's RAW model
     log-probability (log-softmax of the unscaled logits — temperature/
@@ -689,8 +691,42 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
     logits, cache_k, cache_v = prefill(
         params, cfg, ids, prompt_len, cache_k, cache_v, lora=lora)
 
-    def emit(logits, step, done, rng):
-        tok = sample_logits(logits, jax.random.fold_in(rng, step),
+    # OpenAI-law sampling penalties (presence/frequency are STATIC, so
+    # the counts plane and its per-step update exist only when used):
+    # logits - presence*[count>0] - frequency*count over ALL text so
+    # far (prompt included). Reported logprobs stay RAW model numbers
+    # (the OpenAI convention) — penalties shape sampling only.
+    penalize = presence != 0.0 or frequency != 0.0
+    rows_b = jnp.arange(B, dtype=jnp.int32)
+    # grammar constraint (models/constrain.py): per-row DFA state; each
+    # step masks the sampling logits to the grammar's allowed tokens
+    # (plus eos exactly in accepting states), then steps the DFA by the
+    # consumed token — output is schema-valid by construction.
+    vocab_iota = (jnp.arange(cfg.vocab_size, dtype=jnp.int32)
+                  if constraint is not None else None)
+    if penalize:
+        in_prompt = (jnp.arange(T, dtype=jnp.int32)[None, :]
+                     < prompt_len[:, None]).astype(jnp.int32)
+        counts0 = jnp.zeros((B, cfg.vocab_size), jnp.int32
+                            ).at[rows_b[:, None], ids].add(in_prompt)
+    else:
+        counts0 = jnp.zeros((B, 1), jnp.int32)  # placeholder carry
+
+    def emit(logits, counts, gstate, step, done, rng):
+        sample_from = logits
+        if penalize:
+            sample_from = (logits
+                           - presence * (counts > 0).astype(logits.dtype)
+                           - frequency * counts.astype(logits.dtype))
+        if constraint is not None:
+            allowed = constraint["table"][gstate] >= 0       # (B, V)
+            allowed = jnp.logical_or(
+                allowed, jnp.logical_and(
+                    constraint["accept"][gstate][:, None],
+                    vocab_iota[None, :] == eos))
+            sample_from = jnp.where(allowed, sample_from,
+                                    jnp.asarray(-1e30, sample_from.dtype))
+        tok = sample_logits(sample_from, jax.random.fold_in(rng, step),
                             temperature=temperature, top_k=top_k,
                             top_p=top_p)
         lp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),
@@ -703,24 +739,36 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
         return jnp.logical_and(step < max_new, ~jnp.all(done))
 
     def body(st):
-        step, done, tok, tok_lp, pos, out, lps, ck, cv, rng = st
+        (step, done, tok, tok_lp, pos, out, lps, counts, gstate,
+         ck, cv, rng) = st
         out = jax.lax.dynamic_update_slice(out, tok[None, :], (step, 0))
         lps = jax.lax.dynamic_update_slice(lps, tok_lp[None, :], (step, 0))
         newly_done = jnp.logical_or(done, tok == eos)
+        if penalize:  # the consumed token joins "the text so far"
+            counts = counts.at[rows_b, tok].add(
+                (~newly_done).astype(jnp.int32))
+        if constraint is not None:
+            gstate = jnp.where(
+                newly_done, gstate,
+                constraint["table"][gstate, jnp.clip(tok, 0, None)])
+            gstate = jnp.maximum(gstate, 0)  # never index with DEAD
         logits, ck, cv = decode_step(params, cfg, tok, pos, T + step,
                                      ck, cv, slot_positions=slot_pos,
                                      lora=lora)
-        nxt, nlp = emit(logits, step, newly_done, rng)
+        nxt, nlp = emit(logits, counts, gstate, step, newly_done, rng)
         # rows that just emitted eos stop: their buffered token stays pad
         return (step + 1, newly_done, nxt, nlp,
-                jnp.where(newly_done, pos, pos + 1), out, lps, ck, cv, rng)
+                jnp.where(newly_done, pos, pos + 1), out, lps, counts,
+                gstate, ck, cv, rng)
 
-    first, first_lp = emit(logits, max_new, jnp.zeros((B,), bool), rng)
+    gstate0 = jnp.zeros((B,), jnp.int32)
+    first, first_lp = emit(logits, counts0, gstate0, max_new,
+                           jnp.zeros((B,), bool), rng)
     out0 = jnp.full((max_new, B), pad, jnp.int32)
     lps0 = jnp.zeros((max_new, B), jnp.float32)
     st = (jnp.asarray(0, jnp.int32), jnp.zeros((B,), bool), first,
-          first_lp, prompt_len.astype(jnp.int32), out0, lps0,
-          cache_k, cache_v, rng)
+          first_lp, prompt_len.astype(jnp.int32), out0, lps0, counts0,
+          gstate0, cache_k, cache_v, rng)
     step, done, tok, tok_lp, pos, out, lps, *_ = jax.lax.while_loop(
         cond, body, st)
     out = out.T  # (B, max_new)
@@ -733,7 +781,9 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
              eos_id: int, pad_id: int, rng: jax.Array,
              temperature: float = 0.0, top_k: int = 64,
              top_p: float = 1.0,
-             lora: Optional[Dict[str, Any]] = None
+             lora: Optional[Dict[str, Any]] = None,
+             presence: float = 0.0, frequency: float = 0.0,
+             constraint: Optional[Dict[str, Any]] = None,
              ) -> Tuple[jax.Array, jax.Array]:
     """Fused batch generation: prefill + `lax.while_loop` decode in ONE
     dispatch. Returns (tokens (B, max_new) int32 — pad_id after each
@@ -745,7 +795,8 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
     from the same compiled program.)"""
     out, n, _ = generate_logprobs(params, cfg, ids, prompt_len, max_new,
                                   eos_id, pad_id, rng, temperature,
-                                  top_k, top_p, lora)
+                                  top_k, top_p, lora, presence, frequency,
+                                  constraint)
     return out, n
 
 

@@ -733,3 +733,64 @@ def test_local_llm_multi_lora_chat():
     rb, rt = asyncio.run(both())
     assert rb.content == base
     assert rt.content == tuned
+
+
+def test_sampling_penalties_openai_law():
+    """presence/frequency penalties follow the OpenAI law over ALL text
+    so far (prompt included): the fused loop's greedy output equals a
+    host replay of prefill + decode_step with logits penalized by
+    hand, and a huge frequency penalty forbids any repeat."""
+    from rag_application_tpu.models.decoder import decode_step
+
+    params = init_decoder_params(jax.random.PRNGKey(2), CFG)
+    rng = np.random.default_rng(1)
+    B, T, NEW = 2, 8, 10
+    ids = jnp.asarray(_prompt(rng, B, T))
+    plen = jnp.asarray([T, 5], jnp.int32)
+    pres, freq = 0.7, 1.3
+    out, n = generate(params, CFG, ids, plen, NEW, -1, -9,
+                      jax.random.PRNGKey(0), 0.0, 64, 1.0, None,
+                      pres, freq)
+    out = np.asarray(out)
+
+    # host replay
+    S = T + NEW
+    ck, cv = init_kv_cache(CFG, B, S)
+    s_idx = np.arange(S)[None, :]
+    pl = np.asarray(plen)[:, None]
+    slot_pos = jnp.asarray(np.where(
+        s_idx < T, np.where(s_idx < pl, s_idx, 2 ** 30),
+        pl + (s_idx - T)).astype(np.int32))
+    logits, ck, cv = prefill(params, CFG, ids, plen, ck, cv)
+    counts = np.zeros((B, CFG.vocab_size), np.int64)
+    idn = np.asarray(ids)
+    for b in range(B):
+        for t in range(int(plen[b])):
+            counts[b, idn[b, t]] += 1
+    pos = np.asarray(plen).copy()
+    got = []
+    lg = np.asarray(logits, np.float32)
+    for step in range(NEW):
+        pen = lg - pres * (counts > 0) - freq * counts
+        tok = pen.argmax(-1).astype(np.int32)
+        got.append(tok.copy())
+        for b in range(B):
+            counts[b, tok[b]] += 1
+        lg, ck, cv = decode_step(params, CFG, jnp.asarray(tok),
+                                 jnp.asarray(pos), T + step, ck, cv,
+                                 slot_positions=slot_pos)
+        lg = np.asarray(lg, np.float32)
+        pos += 1
+    ref = np.stack(got, axis=1)
+    assert np.array_equal(out[:, :NEW], ref), (out, ref)
+
+    # huge frequency penalty: nothing (prompt included) ever repeats
+    out2, _ = generate(params, CFG, ids, plen, NEW, -1, -9,
+                       jax.random.PRNGKey(0), 0.0, 64, 1.0, None,
+                       0.0, 1e6)
+    o2 = np.asarray(out2)
+    for b in range(B):
+        seen = set(idn[b, :int(plen[b])].tolist())
+        for t in o2[b]:
+            assert int(t) not in seen
+            seen.add(int(t))
