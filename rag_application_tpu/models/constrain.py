@@ -330,6 +330,43 @@ def token_bytes(tokenizer, vocab_size: int) -> Tuple[np.ndarray, np.ndarray]:
                 out.append(b"\x00")  # specials: never grammar-valid
             else:
                 out.append(b" " + piece.encode("utf-8"))
+    elif hasattr(tokenizer, "convert_ids_to_tokens"):
+        # HF tokenizers. decode([v]) is NOT the in-context contribution
+        # (it strips the sentencepiece word marker and re-decodes byte-
+        # level BPE), so go through the raw pieces:
+        #   * GPT2/Qwen2-style byte-level BPE: pieces are unicode-
+        #     remapped bytes — invert with the byte decoder map;
+        #   * sentencepiece (LLaMA/Mistral): '▁' marks a leading
+        #     space; '<0xNN>' pieces are raw byte fallbacks.
+        bd = getattr(tokenizer, "byte_decoder", None)
+        if bd is None:
+            back = getattr(tokenizer, "backend_tokenizer", None)
+            pre = getattr(getattr(back, "pre_tokenizer", None),
+                          "__class__", type(None)).__name__
+            if pre == "ByteLevel":
+                from transformers.models.gpt2.tokenization_gpt2 import (
+                    bytes_to_unicode,
+                )
+
+                bd = {u: b for b, u in bytes_to_unicode().items()}
+        specials = set(getattr(tokenizer, "all_special_ids", []) or [])
+        for v in range(vocab_size):
+            if v in specials:
+                out.append(b"\x00")
+                continue
+            piece = tokenizer.convert_ids_to_tokens(v)
+            if piece is None:
+                out.append(b"\x00")
+            elif bd is not None:
+                try:
+                    out.append(bytes(bd[c] for c in piece))
+                except KeyError:
+                    out.append(b"\x00")
+            elif (len(piece) == 6 and piece.startswith("<0x")
+                    and piece.endswith(">")):
+                out.append(bytes([int(piece[3:5], 16)]))
+            else:
+                out.append(piece.replace("▁", " ").encode("utf-8"))
     else:
         for v in range(vocab_size):
             try:

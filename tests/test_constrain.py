@@ -203,3 +203,87 @@ def test_local_llm_structured_output_is_valid():
         response_schema=SCHEMA, max_tokens=120, temperature=1.0))
     doc = json.loads(r.content)
     assert set(doc) == {"name", "count", "kind"}
+
+
+def test_hf_bytelevel_bpe_token_bytes():
+    """A REAL HF fast tokenizer (byte-level BPE built in-process):
+    token_bytes must invert the byte->unicode remap, because
+    decode([v]) does NOT return the in-context contribution. Then a
+    constrained generate through it yields valid JSON."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    vocab = {ch: i for i, ch in enumerate(b2u.values())}
+    # a few multi-char merges to exercise multi-byte token lifting
+    extra = ['{"', '":', 'true', 'false']
+    merges = [('{', '"'), ('"', ':'),
+              ('t', 'r'), ('tr', 'u'), ('tru', 'e'),
+              ('f', 'a'), ('fa', 'l'), ('fal', 's'), ('fals', 'e')]
+    for m in ['tr', 'tru', 'fa', 'fal', 'fals'] + extra:
+        vocab[m] = len(vocab)
+    raw = Tokenizer(models.BPE(vocab=vocab,
+                               merges=[(a, b) for a, b in merges]))
+    raw.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    raw.decoder = decoders.ByteLevel()
+    hf = PreTrainedTokenizerFast(tokenizer_object=raw)
+    V = len(vocab)
+
+    tb, tl = token_bytes(hf, V)
+    def tok_bytes(s):
+        i = vocab[s]
+        return bytes(tb[i, :tl[i]])
+    assert tok_bytes('{"') == b'{"'
+    assert tok_bytes('true') == b'true'
+    assert tok_bytes(b2u[ord(' ')]) == b' '    # remapped space byte
+    assert tok_bytes(b2u[ord('"')]) == b'"'
+
+    sch = {"type": "object", "properties": {
+        "ok": {"type": "boolean"},
+        "n": {"type": "integer", "minimum": 0, "maximum": 99},
+    }}
+    con = compile_schema(sch, hf, V).as_device()
+    cfg = DecoderConfig(vocab_size=V, hidden=32, num_layers=2, heads=4,
+                        kv_heads=2, mlp_dim=64, max_len=64,
+                        dtype="float32")
+    params = init_decoder_params(jax.random.PRNGKey(3), cfg)
+    # eos/pad must be tokens the grammar can never emit — the ids of
+    # CONTROL-byte tokens (bytes_to_unicode orders printables first, so
+    # small ids are real glyphs like '"'; a grammar-reachable eos would
+    # end the row mid-sentence when legitimately sampled).
+    eos, pad = vocab[b2u[0]], vocab[b2u[1]]
+    out, _ = generate(params, cfg, jnp.asarray([[5, 6, 7]], jnp.int32),
+                      jnp.asarray([3], jnp.int32), 40, eos, pad,
+                      jax.random.PRNGKey(2), 1.0, 16, 0.9,
+                      None, 0.0, 0.0, con)
+    ids = []
+    for t in np.asarray(out)[0]:
+        if int(t) == eos:
+            break
+        if int(t) != pad:
+            ids.append(int(t))
+    doc = json.loads(hf.decode(ids))
+    assert set(doc) == {"ok", "n"}
+    assert isinstance(doc["ok"], bool) and isinstance(doc["n"], int)
+
+
+def test_sentencepiece_style_pieces():
+    """The '▁'-marker and <0xNN> byte-fallback branch."""
+
+    class SPLike:
+        all_special_ids = [0]
+
+        def convert_ids_to_tokens(self, v):
+            table = {0: "<s>", 1: "▁hello", 2: "world", 3: "<0x7B>",
+                     4: "▁"}
+            return table.get(v, "x")
+
+    tb, tl = token_bytes(SPLike(), 5)
+    got = [bytes(tb[i, :tl[i]]) for i in range(5)]
+    assert got[0] == b"\x00"        # special: never valid
+    assert got[1] == b" hello"
+    assert got[2] == b"world"
+    assert got[3] == b"{"           # byte fallback
+    assert got[4] == b" "
