@@ -107,10 +107,37 @@ def main() -> None:
 
     # ---- fused generate timing (one dispatch generates B*NEW tokens)
     # TUNE_TEMP=0 isolates the sampling term (argmax path, no top-k).
+    # TUNE_LORA=N serves N random rank-8 adapters round-robin across the
+    # batch rows (multi-LoRA overhead measurement; 0 = off).
     temp = float(os.environ.get("TUNE_TEMP", "1.0"))
+    n_lora = int(os.environ.get("TUNE_LORA", "0"))
+    lora = None
+    if n_lora:
+        from rag_application_tpu.models.lora import lora_banks
+
+        k = jax.random.PRNGKey(123)
+        trees = []
+        for _ in range(n_lora):
+            tree = {}
+            for t, fin, fout in (("wq", cfg.hidden, cfg.hidden),
+                                 ("wk", cfg.hidden,
+                                  cfg.kv_heads * cfg.head_dim),
+                                 ("wv", cfg.hidden,
+                                  cfg.kv_heads * cfg.head_dim),
+                                 ("wo", cfg.hidden, cfg.hidden)):
+                k, k1, k2 = jax.random.split(k, 3)
+                tree[t] = {
+                    "a": jax.random.normal(
+                        k1, (cfg.num_layers, fin, 8)) * 0.05,
+                    "b": jax.random.normal(
+                        k2, (cfg.num_layers, 8, fout)) * 0.05}
+            trees.append(tree)
+        lora = {"banks": lora_banks(trees),
+                "aid": jnp.arange(B, dtype=jnp.int32) % (n_lora + 1)}
+        log(f"multi-LoRA: {n_lora} adapters round-robin over {B} rows")
     t0 = time.time()
     out, n = generate(params, cfg, ids, plen, NEW, eos, 0, key,
-                      temp, 64, 0.9)
+                      temp, 64, 0.9, lora)
     float(jnp.sum(out))
     log(f"generate compile+run {time.time()-t0:.1f}s "
         f"(n per row: {int(np.asarray(n)[0])})")
@@ -119,7 +146,7 @@ def main() -> None:
     for r in range(3):
         t0 = time.time()
         out, _ = generate(params, cfg, ids, plen, NEW, eos, 0,
-                          jax.random.fold_in(key, r), temp, 64, 0.9)
+                          jax.random.fold_in(key, r), temp, 64, 0.9, lora)
         float(jnp.sum(out))
         times.append(time.time() - t0)
     gen_s = min(times)

@@ -654,6 +654,7 @@ def build_app(config: Optional[Config] = None, *,
         gen = {k: body[k] for k in (
             "temperature", "max_tokens", "top_p", "stop", "seed",
             "logprobs", "presence_penalty", "frequency_penalty",
+            "logit_bias",
             "adapter")  # extension: named LoRA adapter (local provider)
             if k in body}
         if body.get("stream"):

@@ -288,7 +288,8 @@ class LocalLLM:
                      top_k: int = 64, top_p: float = 1.0,
                      seed: int = 0, speculative: bool = False,
                      lora=None, presence: float = 0.0,
-                     frequency: float = 0.0, constraint=None) -> List[int]:
+                     frequency: float = 0.0, constraint=None,
+                     logit_bias=None) -> List[int]:
         """Blocking fused generation for one prompt. Pads the prompt to
         a power-of-two bucket so repeated lengths reuse the compiled
         while_loop (search/params.py convention).
@@ -307,7 +308,7 @@ class LocalLLM:
         ids = np.full((1, bucket), self.pad_id, np.int32)
         ids[0, :n] = prompt_ids
         if (speculative and lora is None and constraint is None
-                and not (presence or frequency)):
+                and logit_bias is None and not (presence or frequency)):
             from ..models.speculative import generate_lookup
 
             out, count = generate_lookup(
@@ -322,7 +323,7 @@ class LocalLLM:
                 self.params, self.cfg, ids, np.asarray([n], np.int32),
                 max_new, self.eos_id, self.pad_id, jax.random.PRNGKey(seed),
                 float(temperature), int(top_k), float(top_p), lora,
-                float(presence), float(frequency), constraint)
+                float(presence), float(frequency), constraint, logit_bias)
         out = np.asarray(out)[0]
         return [int(t) for t in out if int(t) != self.pad_id
                 and int(t) != self.eos_id]
@@ -415,6 +416,15 @@ class LocalLLM:
         # guarantees the output parses either way
         constraint = (self._constraint_for(response_schema)
                       if response_schema is not None else None)
+        # OpenAI logit_bias: {"token_id": -100..100} -> (V,) f32 plane
+        logit_bias = None
+        if params.get("logit_bias"):
+            vec = np.zeros((self.cfg.vocab_size,), np.float32)
+            for tid, b in dict(params["logit_bias"]).items():
+                tid = int(tid)
+                if 0 <= tid < self.cfg.vocab_size:
+                    vec[tid] = float(b)
+            logit_bias = jnp.asarray(vec)
         lp_out = None
         loop = asyncio.get_running_loop()
         if params.get("logprobs"):
@@ -427,6 +437,7 @@ class LocalLLM:
             lp_out = [{"token": self.tokenizer.decode([t]),
                        "logprob": l} for t, l in zip(out_ids, lps)]
         elif (not presence and not frequency and constraint is None
+              and logit_bias is None
               and self._batch_eligible(prompt, max_new, params, temperature,
                                        top_p, adapter=adapter)):
             out_ids = await self._batcher.submit(
@@ -440,7 +451,7 @@ class LocalLLM:
                     speculative=self.speculative,
                     lora=self._lora_for(adapter),
                     presence=presence, frequency=frequency,
-                    constraint=constraint))
+                    constraint=constraint, logit_bias=logit_bias))
         text = self._apply_stop(self._decode(out_ids), params.get("stop"))
         return LLMResponse(content=text,
                            usage={"prompt_tokens": len(prompt),

@@ -176,14 +176,16 @@ class LLMRouter:
     # per-provider request param allowlist (parity: llm.py:20-25)
     _PARAM_ALLOWLIST = {
         Provider.OPENAI: {"temperature", "max_tokens", "top_p", "stop",
-                          "presence_penalty", "frequency_penalty", "seed"},
+                          "presence_penalty", "frequency_penalty", "seed",
+                          "logit_bias"},
         Provider.AZURE: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.OLLAMA: {"temperature", "max_tokens", "top_p", "stop", "seed"},
         Provider.GOOGLE: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.BEDROCK: {"temperature", "max_tokens", "top_p", "stop"},
         Provider.LOCAL: {"temperature", "max_tokens", "top_p", "stop",
                          "seed", "logprobs", "adapter",
-                         "presence_penalty", "frequency_penalty"},
+                         "presence_penalty", "frequency_penalty",
+                         "logit_bias"},
         Provider.STUB: set(),
     }
 

@@ -656,6 +656,7 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
                       lora: Optional[Dict[str, Any]] = None,
                       presence: float = 0.0, frequency: float = 0.0,
                       constraint: Optional[Dict[str, Any]] = None,
+                      logit_bias: Optional[jax.Array] = None,  # (V,) f32
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """`generate` that also returns each emitted token's RAW model
     log-probability (log-softmax of the unscaled logits — temperature/
@@ -714,6 +715,9 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
 
     def emit(logits, counts, gstate, step, done, rng):
         sample_from = logits
+        if logit_bias is not None:  # OpenAI logit_bias: additive, (V,)
+            sample_from = sample_from + logit_bias[None, :].astype(
+                sample_from.dtype)
         if penalize:
             sample_from = (logits
                            - presence * (counts > 0).astype(logits.dtype)
@@ -784,6 +788,7 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
              lora: Optional[Dict[str, Any]] = None,
              presence: float = 0.0, frequency: float = 0.0,
              constraint: Optional[Dict[str, Any]] = None,
+             logit_bias: Optional[jax.Array] = None,
              ) -> Tuple[jax.Array, jax.Array]:
     """Fused batch generation: prefill + `lax.while_loop` decode in ONE
     dispatch. Returns (tokens (B, max_new) int32 — pad_id after each
@@ -796,7 +801,7 @@ def generate(params: Dict[str, Any], cfg: DecoderConfig,
     out, n, _ = generate_logprobs(params, cfg, ids, prompt_len, max_new,
                                   eos_id, pad_id, rng, temperature,
                                   top_k, top_p, lora, presence, frequency,
-                                  constraint)
+                                  constraint, logit_bias)
     return out, n
 
 

@@ -794,3 +794,39 @@ def test_sampling_penalties_openai_law():
         for t in o2[b]:
             assert int(t) not in seen
             seen.add(int(t))
+
+
+def test_logit_bias():
+    """OpenAI logit_bias: -100 bans a token; +100 forces it (within
+    temperature sampling); chat threads the per-request dict through."""
+    params = init_decoder_params(jax.random.PRNGKey(3), CFG)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(_prompt(rng, 2, 6))
+    plen = jnp.full((2,), 6, jnp.int32)
+    # ban the unbiased greedy first token
+    base, _ = generate(params, CFG, ids, plen, 6, -1, -9,
+                       jax.random.PRNGKey(0), 0.0)
+    banned = int(np.asarray(base)[0, 0])
+    vec = np.zeros((CFG.vocab_size,), np.float32)
+    vec[banned] = -1e9
+    out, _ = generate(params, CFG, ids, plen, 6, -1, -9,
+                      jax.random.PRNGKey(0), 0.0, 64, 1.0, None,
+                      0.0, 0.0, None, jnp.asarray(vec))
+    assert (np.asarray(out) != banned).all()
+    # +1e9 forces the token everywhere
+    vec2 = np.zeros((CFG.vocab_size,), np.float32)
+    vec2[7] = 1e9
+    out2, _ = generate(params, CFG, ids, plen, 6, -1, -9,
+                       jax.random.PRNGKey(0), 1.0, 64, 0.9, None,
+                       0.0, 0.0, None, jnp.asarray(vec2))
+    assert (np.asarray(out2) == 7).all()
+    # chat surface: +huge bias on the "hello" piece forces every token
+    local = _make_local()
+    from rag_application_tpu.llm.router import ChatMessage
+
+    hello_id = local.tokenizer.vocab["hello"]
+    r1 = asyncio.run(local.chat(
+        [ChatMessage("user", "how is the weather")],
+        max_tokens=5, logit_bias={str(hello_id): 100000}))
+    words = r1.content.split()
+    assert words and all(w == "hello" for w in words), r1.content
