@@ -718,8 +718,8 @@ def generate_logprobs(params: Dict[str, Any], cfg: DecoderConfig,
         if logit_bias is not None:  # OpenAI logit_bias: additive, (V,)
             sample_from = sample_from + logit_bias[None, :].astype(
                 sample_from.dtype)
-        if penalize:
-            sample_from = (logits
+        if penalize:  # compose WITH logit_bias, not instead of it
+            sample_from = (sample_from
                            - presence * (counts > 0).astype(logits.dtype)
                            - frequency * counts.astype(logits.dtype))
         if constraint is not None:

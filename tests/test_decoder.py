@@ -830,3 +830,23 @@ def test_logit_bias():
         max_tokens=5, logit_bias={str(hello_id): 100000}))
     words = r1.content.split()
     assert words and all(w == "hello" for w in words), r1.content
+
+
+def test_logit_bias_composes_with_penalties():
+    """logit_bias must still apply when presence/frequency penalties are
+    set (regression: the penalty branch used to rebuild the sampling
+    logits from scratch, silently dropping the bias)."""
+    params = init_decoder_params(jax.random.PRNGKey(3), CFG)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(_prompt(rng, 2, 6))
+    plen = jnp.full((2,), 6, jnp.int32)
+    base, _ = generate(params, CFG, ids, plen, 6, -1, -9,
+                       jax.random.PRNGKey(0), 0.0)
+    banned = int(np.asarray(base)[0, 0])
+    vec = np.zeros((CFG.vocab_size,), np.float32)
+    vec[banned] = -1e9
+    # with a mild presence penalty active, the ban must still hold
+    out, _ = generate(params, CFG, ids, plen, 6, -1, -9,
+                      jax.random.PRNGKey(0), 0.0, 64, 1.0, None,
+                      0.5, 0.0, None, jnp.asarray(vec))
+    assert (np.asarray(out) != banned).all()
