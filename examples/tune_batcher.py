@@ -19,7 +19,11 @@ Env: TUNE_HIDDEN (512), TUNE_LAYERS (8), TUNE_HEADS (8), TUNE_KV (4),
      TUNE_HORIZON (256), TUNE_QUANT (0), TUNE_SPEC_K (0),
      TUNE_KV_QUANT (0), TUNE_SERIAL (1; 0 skips the
      serialized baseline), TUNE_LOOKAHEAD (2; chunks dispatched ahead
-     of the oldest unread output — hides the relay RTT per chunk).
+     of the oldest unread output — hides the relay RTT per chunk),
+     TUNE_EXT (0; 1 = sampling_ext batcher with all-plain requests —
+     the pure plane overhead; 2 = sampling_ext with a mixed load:
+     1/3 grammar-constrained (JSON schema over a synthetic ASCII
+     tokenizer), 1/3 penalized+biased, 1/3 plain).
 """
 
 from __future__ import annotations
@@ -115,18 +119,59 @@ def main() -> None:
         log(f"serialized: {serial_s:.2f}s -> {R*NEW/serial_s:,.0f} tok/s")
 
     # ---- continuous batching: R requests share SLOTS rows
+    EXT = int(os.environ.get("TUNE_EXT", "0"))
+    ext_kw = [dict() for _ in range(R)]  # per-request submit extras
+    constraint = None
+    if EXT == 2:
+        from rag_application_tpu.models.constrain import compile_schema
+
+        class _AsciiTok:  # synthetic: id i contributes one ASCII byte
+            def decode(self, ids):
+                return "".join(chr(32 + i % 95) for i in ids)
+
+        constraint = compile_schema(
+            {"type": "object", "properties": {
+                "name": {"type": "string", "minLength": 1, "maxLength": 6},
+                "count": {"type": "integer", "minimum": 0,
+                          "maximum": 99999},
+                "kind": {"enum": ["alpha", "beta"]}}},
+            _AsciiTok(), cfg.vocab_size)
+        bias = np.zeros((cfg.vocab_size,), np.float32)
+        bias[7] = 5.0
+        for i in range(R):
+            if i % 3 == 1:
+                ext_kw[i] = dict(presence=0.6, frequency=1.1,
+                                 logit_bias=bias)
+        log(f"ext mixed load: constraint table {constraint.table.shape}, "
+            f"{sum(1 for i in range(R) if i % 3 == 0)} constrained / "
+            f"{sum(1 for i in range(R) if i % 3 == 1)} penalized")
+
     async def run_batched():
         b = ContinuousBatcher(params, cfg, slots=SLOTS, prompt_pad=T,
                               horizon=HORIZON, chunk=CHUNK,
-                              spec_k=SPEC_K, lookahead=LOOKAHEAD)
+                              spec_k=SPEC_K, lookahead=LOOKAHEAD,
+                              sampling_ext=EXT > 0)
+        if constraint is not None:
+            cid = b.register_constraint(constraint)
+            for i in range(R):
+                if i % 3 == 0:
+                    # constrained rows: their OWN eos stays unreachable
+                    # (the grammar's accept gate uses the request eos,
+                    # which the random model reaches quickly — too
+                    # little work to time), so cap by max_new like the
+                    # other rows and let the DFA just ride along
+                    ext_kw[i] = dict(constraint_id=cid)
         # compile pass: one request end-to-end (prefill_row+chunk+compact
         # all get compiled here so the timed run is compile-free)
-        await b.submit(prompts[0], max_new=NEW)
+        await b.submit(prompts[0], max_new=NEW, **ext_kw[0])
+        if EXT == 2:  # also compile the ext admission variant
+            await b.submit(prompts[1], max_new=NEW, **ext_kw[1])
         log(f"batched warmup done (steps={b.steps}, "
             f"compactions={b.compactions})")
         t0 = time.time()
         outs = await asyncio.gather(*[
-            b.submit(p, max_new=NEW) for p in prompts])
+            b.submit(p, max_new=NEW, **kw)
+            for p, kw in zip(prompts, ext_kw)])
         dt = time.time() - t0
         n_tok = sum(len(o) for o in outs)
         return dt, n_tok, b.steps, b.compactions
@@ -139,7 +184,7 @@ def main() -> None:
         "params_m": round(n_params / 1e6, 1), "quant": quant,
         "reqs": R, "slots": SLOTS, "prompt": T, "new": NEW,
         "chunk": CHUNK, "horizon": HORIZON, "spec_k": SPEC_K,
-        "kv_quant": KVQ, "lookahead": LOOKAHEAD,
+        "kv_quant": KVQ, "lookahead": LOOKAHEAD, "ext": EXT,
         "batched_s": round(batch_s, 2),
         "batched_tok_s": round(n_tok / batch_s),
         "compactions": compactions,

@@ -73,9 +73,12 @@ class LocalLLM:
         self._lora_trees: list = []
         self._lora_names: Dict[str, int] = {}
         self._lora_banks = None
-        # grammar-constrained decoding: schema-json -> device constraint
-        # (models/constrain.py), None cached for unsupported schemas
-        self._constraint_cache: Dict[str, Optional[Dict[str, Any]]] = {}
+        # grammar-constrained decoding: schema-json -> host Constraint
+        # (models/constrain.py), None cached for unsupported schemas;
+        # device views and batcher constraint_ids cached separately
+        self._constraint_cache: Dict[str, Optional[Any]] = {}
+        self._constraint_dev: Dict[str, Dict[str, Any]] = {}
+        self._batcher_cids: Dict[str, int] = {}
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
@@ -157,6 +160,7 @@ class LocalLLM:
             horizon=horizon, chunk=chunk, temperature=temperature,
             top_k=top_k, top_p=top_p, seed=seed, spec_k=spec_k,
             lora_banks=self._lora_banks, **batcher_kw)
+        self._batcher_cids = {}  # constraint ids are per batcher
         return self._batcher
 
     def register_prefix_text(self, text: str) -> int:
@@ -226,24 +230,48 @@ class LocalLLM:
         return {"aid": jnp.full((batch,), idx, jnp.int32),
                 "banks": self._lora_banks}
 
-    def _constraint_for(self, schema) -> Optional[Dict[str, Any]]:
-        """Compile (and cache) a response schema into the on-chip
-        grammar constraint; None when the schema is outside the
-        supported subset or the vocabulary can't realize it (the
-        prompt-only fallback still applies)."""
+    @staticmethod
+    def _schema_key(schema) -> str:
         import json as _json
 
-        key = _json.dumps(schema, sort_keys=True)
+        return _json.dumps(schema, sort_keys=True)
+
+    def _constraint_host_for(self, schema):
+        """Compile (and cache) a response schema into a host-side
+        grammar Constraint; None when the schema is outside the
+        supported subset or the vocabulary can't realize it (the
+        prompt-only fallback still applies)."""
+        key = self._schema_key(schema)
         if key not in self._constraint_cache:
             from ..models.constrain import compile_schema
 
             try:
                 self._constraint_cache[key] = compile_schema(
-                    schema, self.tokenizer, self.cfg.vocab_size
-                ).as_device()
+                    schema, self.tokenizer, self.cfg.vocab_size)
             except (ValueError, TypeError):
                 self._constraint_cache[key] = None
         return self._constraint_cache[key]
+
+    def _constraint_for(self, schema) -> Optional[Dict[str, Any]]:
+        """Device view of the compiled constraint (solo fused path)."""
+        c = self._constraint_host_for(schema)
+        if c is None:
+            return None
+        key = self._schema_key(schema)
+        if key not in self._constraint_dev:
+            self._constraint_dev[key] = c.as_device()
+        return self._constraint_dev[key]
+
+    def _constraint_cid_for(self, schema) -> Optional[int]:
+        """Batcher constraint_id for the schema (registers it with the
+        continuous batcher on first use); None when unsupported."""
+        c = self._constraint_host_for(schema)
+        if c is None:
+            return None
+        key = self._schema_key(schema)
+        if key not in self._batcher_cids:
+            self._batcher_cids[key] = self._batcher.register_constraint(c)
+        return self._batcher_cids[key]
 
     # ------------------------------------------------------------- prompt
 
@@ -411,11 +439,6 @@ class LocalLLM:
         adapter = params.get("adapter") or None
         presence = float(params.get("presence_penalty") or 0.0)
         frequency = float(params.get("frequency_penalty") or 0.0)
-        # grammar-constrain the decode whenever the schema compiles —
-        # the instruction above tells the model WHAT to write, the DFA
-        # guarantees the output parses either way
-        constraint = (self._constraint_for(response_schema)
-                      if response_schema is not None else None)
         # OpenAI logit_bias: {"token_id": -100..100} -> (V,) f32 plane
         logit_bias = None
         if params.get("logit_bias"):
@@ -424,7 +447,9 @@ class LocalLLM:
                 tid = int(tid)
                 if 0 <= tid < self.cfg.vocab_size:
                     vec[tid] = float(b)
-            logit_bias = jnp.asarray(vec)
+            logit_bias = vec
+        wants_ext = bool(presence or frequency or logit_bias is not None
+                         or response_schema is not None)
         lp_out = None
         loop = asyncio.get_running_loop()
         if params.get("logprobs"):
@@ -436,14 +461,32 @@ class LocalLLM:
                     top_p=top_p, seed=int(params.get("seed") or 0)))
             lp_out = [{"token": self.tokenizer.decode([t]),
                        "logprob": l} for t, l in zip(out_ids, lps)]
-        elif (not presence and not frequency and constraint is None
-              and logit_bias is None
+        elif (not wants_ext
               and self._batch_eligible(prompt, max_new, params, temperature,
                                        top_p, adapter=adapter)):
             out_ids = await self._batcher.submit(
                 prompt, max_new=max_new, eos_id=self.eos_id,
                 adapter_id=(self._lora_names[adapter] if adapter else 0))
+        elif (wants_ext and self._batcher is not None
+              and self._batcher.sampling_ext
+              and self._batch_eligible(prompt, max_new, params, temperature,
+                                       top_p, adapter=adapter)):
+            # extended sampling THROUGH the shared batch (scheduler
+            # sampling_ext): constrained/penalized requests no longer
+            # serialize on the solo fused path
+            cid = (self._constraint_cid_for(response_schema)
+                   if response_schema is not None else None)
+            out_ids = await self._batcher.submit(
+                prompt, max_new=max_new, eos_id=self.eos_id,
+                adapter_id=(self._lora_names[adapter] if adapter else 0),
+                constraint_id=cid or 0, presence=presence,
+                frequency=frequency, logit_bias=logit_bias)
         else:
+            # grammar-constrain the decode whenever the schema compiles
+            # — the instruction above tells the model WHAT to write,
+            # the DFA guarantees the output parses either way
+            constraint = (self._constraint_for(response_schema)
+                          if response_schema is not None else None)
             out_ids = await loop.run_in_executor(
                 None, lambda: self.generate_ids(
                     prompt, max_new=max_new, temperature=temperature,
@@ -497,11 +540,25 @@ class LocalLLM:
         stop = params.get("stop")
         loop = asyncio.get_running_loop()
 
-        if self._batch_eligible(prompt, max_new, params, temperature, top_p):
+        presence = float(params.get("presence_penalty") or 0.0)
+        frequency = float(params.get("frequency_penalty") or 0.0)
+        logit_bias = None
+        if params.get("logit_bias"):
+            vec = np.zeros((self.cfg.vocab_size,), np.float32)
+            for tid, b in dict(params["logit_bias"]).items():
+                tid = int(tid)
+                if 0 <= tid < self.cfg.vocab_size:
+                    vec[tid] = float(b)
+            logit_bias = vec
+        wants_ext = bool(presence or frequency or logit_bias is not None)
+        if (self._batch_eligible(prompt, max_new, params, temperature, top_p)
+                and (not wants_ext or self._batcher.sampling_ext)):
             produced: List[int] = []
             emitted = ""
             async for tok in self._batcher.submit_stream(
-                    prompt, max_new=max_new, eos_id=self.eos_id):
+                    prompt, max_new=max_new, eos_id=self.eos_id,
+                    presence=presence, frequency=frequency,
+                    logit_bias=logit_bias):
                 produced.append(tok)
                 text = self._decode(produced)
                 if stop:

@@ -294,6 +294,130 @@ def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
     return tok, pos, active, slot_pos, ck, cv, out
 
 
+def _ext_mask(logits, counts, bias, pres, freq, cstate, cid, cbanks, eos):
+    """Per-row extended sampling transform (traced): OpenAI logit_bias
+    (additive) + presence/frequency penalties over the row's token
+    counts + grammar-constraint mask from the row's DFA state. Bank 0
+    of `cbanks` is permissive (models/constrain.stack_constraints), so
+    a row with cid=0/zero planes gets the identity transform — one
+    compiled program serves constrained and plain rows together.
+    Matches decoder.generate_logprobs's `emit` composition exactly."""
+    sample_from = logits + bias.astype(logits.dtype)
+    sample_from = (sample_from
+                   - pres[:, None] * (counts > 0).astype(logits.dtype)
+                   - freq[:, None] * counts.astype(logits.dtype))
+    allowed = cbanks["table"][cid, cstate] >= 0          # (B, V)
+    V = logits.shape[-1]
+    allowed = jnp.logical_or(
+        allowed, jnp.logical_and(
+            cbanks["accept"][cid, cstate][:, None],
+            jnp.arange(V, dtype=jnp.int32)[None, :] == eos[:, None]))
+    return jnp.where(allowed, sample_from,
+                     jnp.asarray(-1e30, sample_from.dtype))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 9, 10, 11),
+         donate_argnums=(3, 4, 5, 6, 14, 15, 16, 20))
+def _decode_chunk_ext(params, cfg: DecoderConfig, chunk: int,
+                      tok, pos, active, slot_pos, base_slot, step0,
+                      temperature: float, top_k: int, top_p: float,
+                      eos, rng, ck, cv, counts, bias, pres, freq,
+                      cstate, cid, cbanks, lora=None):
+    """`_decode_chunk` with per-request extended sampling: counts
+    (B, V) token counts for the OpenAI penalties (prompt included,
+    seeded at admission), bias (B, V) logit_bias planes, pres/freq (B,)
+    penalty scalars, cstate/cid (B,) the grammar-DFA state and
+    constraint-bank id per row. The consumed token joins the counts and
+    steps the DFA BEFORE the next sample — the same ordering as the
+    solo fused loop (decoder.generate_logprobs), so a lone request
+    through an ext batcher is token-identical to a solo run with the
+    same knobs (asserted in tests/test_scheduler_ext.py)."""
+    rows = jnp.arange(tok.shape[0], dtype=jnp.int32)
+
+    def body(carry, j):
+        tok, pos, active, slot_pos, ck, cv, counts, cstate = carry
+        ok = jnp.logical_and(active, tok != eos)
+        counts = counts.at[rows, tok].add(ok.astype(jnp.int32))
+        cstate = jnp.where(
+            ok, cbanks["table"][cid, cstate, jnp.clip(tok, 0, None)],
+            cstate)
+        cstate = jnp.maximum(cstate, 0)  # never index with DEAD
+        col = jnp.where(ok, pos, jnp.asarray(DEAD, jnp.int32))
+        slot_pos = jax.lax.dynamic_update_slice(
+            slot_pos, col[:, None], (0, base_slot + j))
+        logits, ck, cv = decode_step(params, cfg, tok, pos,
+                                     base_slot + j, ck, cv,
+                                     slot_positions=slot_pos, lora=lora)
+        masked = _ext_mask(logits, counts, bias, pres, freq, cstate,
+                           cid, cbanks, eos)
+        nxt = sample_logits(masked, jax.random.fold_in(rng, step0 + j),
+                            temperature=temperature, top_k=top_k,
+                            top_p=top_p)
+        emitted = jnp.where(ok, tok, jnp.asarray(-1, jnp.int32))
+        still = jnp.logical_and(ok, nxt != eos)
+        return (jnp.where(ok, nxt, tok),
+                jnp.where(ok, pos + 1, pos),
+                still, slot_pos, ck, cv, counts, cstate), emitted
+
+    (tok, pos, active, slot_pos, ck, cv, counts, cstate), out = jax.lax.scan(
+        body, (tok, pos, active, slot_pos, ck, cv, counts, cstate),
+        jnp.arange(chunk, dtype=jnp.int32))
+    return tok, pos, active, slot_pos, ck, cv, counts, cstate, out
+
+
+@partial(jax.jit, static_argnums=(1, 23, 24, 25),
+         donate_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+def _prefill_row_ext(params, cfg: DecoderConfig, ids, plen, row,
+                     ck, cv, slot_pos, pos, tok, active,
+                     counts, bias, pres, freq, cstate, cid,
+                     cbanks, bias_row, p, f, c, eos,
+                     temperature: float, top_k: int, top_p: float, rng,
+                     lora=None):
+    """`_prefill_row` for an ext batcher: additionally seeds the row's
+    sampling-extension planes (prompt token counts for the penalties,
+    logit_bias plane, penalty scalars, DFA state 0 + bank id) and
+    samples the FIRST token through the same masked transform the chunk
+    steps use. Plain admissions pass zero planes/c=0 — the mask is then
+    the identity and the sampled token matches `_prefill_row` exactly
+    (same rng), so plain requests keep token parity with a non-ext
+    batcher."""
+    T = ids.shape[1]
+    rck, rcv = init_kv_cache(cfg, 1, T)
+    logits, rck, rcv = prefill(params, cfg, ids, plen, rck, rcv, lora=lora)
+    V = counts.shape[1]
+    in_prompt = (jnp.arange(T, dtype=jnp.int32)
+                 < plen[0]).astype(jnp.int32)
+    rc = jnp.zeros((V,), jnp.int32).at[ids[0]].add(in_prompt)
+    counts = jax.lax.dynamic_update_slice(counts, rc[None], (row, 0))
+    bias = jax.lax.dynamic_update_slice(
+        bias, bias_row[None].astype(bias.dtype), (row, 0))
+    pres = pres.at[row].set(p)
+    freq = freq.at[row].set(f)
+    cstate = cstate.at[row].set(0)
+    cid = cid.at[row].set(c)
+    masked = _ext_mask(
+        logits.astype(jnp.float32), rc[None], bias_row[None], p[None],
+        f[None], jnp.zeros((1,), jnp.int32), c[None], cbanks, eos[None])
+    ck, cv, slot_pos, pos, tok, active = _commit_row(
+        masked, plen[0], rck, rcv, row, ck, cv, slot_pos, pos, tok,
+        active, temperature, top_k, top_p, rng)
+    return (ck, cv, slot_pos, pos, tok, active,
+            counts, bias, pres, freq, cstate, cid)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+def _ext_reset_row(counts, bias, pres, freq, cstate, cid, row):
+    """Zero one row's sampling-extension planes (a plain admission into
+    an ext batcher reuses the fast `_prefill_row`/prefix paths; this
+    clears whatever the row's previous occupant left behind)."""
+    zc = jnp.zeros((1, counts.shape[1]), counts.dtype)
+    zb = jnp.zeros((1, bias.shape[1]), bias.dtype)
+    counts = jax.lax.dynamic_update_slice(counts, zc, (row, 0))
+    bias = jax.lax.dynamic_update_slice(bias, zb, (row, 0))
+    return (counts, bias, pres.at[row].set(0.0), freq.at[row].set(0.0),
+            cstate.at[row].set(0), cid.at[row].set(0))
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _compact(ck, cv, slot_pos):
     """Re-pack every row's live slots to the front of the slot axis.
@@ -327,9 +451,15 @@ class ContinuousBatcher:
                  temperature: float = 0.0, top_k: int = 64,
                  top_p: float = 1.0, seed: int = 0, spec_k: int = 0,
                  spec_min_tps: float = 0.0, spec_cooldown: int = 16,
-                 lookahead: int = 2, lora_banks=None):
+                 lookahead: int = 2, lora_banks=None,
+                 sampling_ext: bool = False):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
+        if sampling_ext and spec_k:
+            raise ValueError(
+                "sampling_ext requires spec_k == 0: the speculative "
+                "verifier's acceptance law has no per-row grammar/"
+                "penalty composition")
         # spec_k works for greedy (argmax-agreement acceptance, token-
         # identical) AND sampled batchers (rejection-sampled acceptance
         # preserving the filtered distribution exactly)
@@ -374,6 +504,16 @@ class ContinuousBatcher:
         self.plain_dispatches = 0
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.rng = jax.random.PRNGKey(seed)
+        # per-request extended sampling (sampling_ext=True): grammar
+        # constraints + OpenAI penalties + logit_bias ride per-row
+        # device planes through `_decode_chunk_ext` — constrained
+        # requests BATCH with plain ones instead of falling back to the
+        # solo fused path (LocalLLM.chat routes accordingly).
+        self.sampling_ext = bool(sampling_ext)
+        self._constraints: List[Any] = []
+        self._cbanks = None
+        if self.sampling_ext:
+            self._restack_constraints()
         self._reset_device_state()
         self._slots = [_Slot() for _ in range(slots)]
         self._pending: "asyncio.Queue[Tuple[int, List[int], int, int, asyncio.Queue]]" = (
@@ -420,21 +560,33 @@ class ContinuousBatcher:
     # ------------------------------------------------------------ public
 
     async def submit(self, prompt_ids: Sequence[int], *, max_new: int = 128,
-                     eos_id: int = -1, adapter_id: int = 0) -> List[int]:
+                     eos_id: int = -1, adapter_id: int = 0,
+                     constraint_id: int = 0, presence: float = 0.0,
+                     frequency: float = 0.0,
+                     logit_bias=None) -> List[int]:
         """Generate up to `max_new` tokens for one prompt; returns the
         emitted ids (eos excluded). Concurrency-safe: callers share the
         batch. `adapter_id` indexes the instance's LoRA banks (0 =
-        base model) — rows with different adapters decode together."""
+        base model) — rows with different adapters decode together.
+        `constraint_id` (register_constraint), presence/frequency and
+        logit_bias ((V,) additive plane) need sampling_ext=True; such
+        requests still share the batch with plain ones."""
         out: List[int] = []
         async for t in self.submit_stream(prompt_ids, max_new=max_new,
                                           eos_id=eos_id,
-                                          adapter_id=adapter_id):
+                                          adapter_id=adapter_id,
+                                          constraint_id=constraint_id,
+                                          presence=presence,
+                                          frequency=frequency,
+                                          logit_bias=logit_bias):
             out.append(t)
         return out
 
     async def submit_stream(self, prompt_ids: Sequence[int], *,
                             max_new: int = 128, eos_id: int = -1,
-                            adapter_id: int = 0):
+                            adapter_id: int = 0, constraint_id: int = 0,
+                            presence: float = 0.0, frequency: float = 0.0,
+                            logit_bias=None):
         """Like `submit` but yields each token id as soon as its decode
         chunk lands — N concurrent streams share one decode batch
         (time-to-next-token is bounded by chunk size, not by the other
@@ -447,11 +599,31 @@ class ContinuousBatcher:
         if not 0 <= adapter_id <= n_adapters:
             raise ValueError(f"adapter_id {adapter_id} out of range "
                              f"(have {n_adapters} adapters)")
+        ext = None
+        wants_ext = (constraint_id or presence or frequency
+                     or logit_bias is not None)
+        if wants_ext and not self.sampling_ext:
+            raise ValueError("constraint/penalties/logit_bias need a "
+                             "batcher built with sampling_ext=True")
+        if wants_ext:
+            if not 0 <= constraint_id <= len(self._constraints):
+                raise ValueError(
+                    f"constraint_id {constraint_id} out of range "
+                    f"(have {len(self._constraints)} constraints)")
+            vec = np.zeros((self.cfg.vocab_size,), np.float32)
+            if logit_bias is not None:
+                lb = np.asarray(logit_bias, np.float32)
+                if lb.shape != vec.shape:
+                    raise ValueError(
+                        f"logit_bias must be ({self.cfg.vocab_size},)")
+                vec = lb
+            ext = (int(constraint_id), float(presence), float(frequency),
+                   vec)
         q: asyncio.Queue = asyncio.Queue()
         rid = self._next_id
         self._next_id += 1
         await self._pending.put((rid, ids, int(max_new), int(eos_id), q,
-                                 int(adapter_id)))
+                                 int(adapter_id), ext))
         self._ensure_loop()
         while True:
             t = await q.get()
@@ -478,6 +650,34 @@ class ContinuousBatcher:
         # — only their draft quality degrades (writes clamp).
         self.hist = (jnp.zeros((self.B, self.S + self.width + 1),
                                jnp.int32) if self.spec_k else None)
+        if self.sampling_ext:
+            V = self.cfg.vocab_size
+            self.counts = jnp.zeros((self.B, V), jnp.int32)
+            self.bias = jnp.zeros((self.B, V), jnp.float32)
+            self.pres = jnp.zeros((self.B,), jnp.float32)
+            self.freq = jnp.zeros((self.B,), jnp.float32)
+            self.cstate = jnp.zeros((self.B,), jnp.int32)
+            self.cid = jnp.zeros((self.B,), jnp.int32)
+
+    def _restack_constraints(self) -> None:
+        from ..models.constrain import stack_constraints
+
+        self._cbanks = stack_constraints(
+            self._constraints, self.cfg.vocab_size).as_device()
+
+    def register_constraint(self, constraint) -> int:
+        """Register a compiled grammar (models/constrain.Constraint)
+        for per-request constrained decoding; returns its
+        constraint_id for `submit`. Registration grows the stacked
+        bank (n+1, max_states, V) — the next chunk recompiles, then
+        every shape repeat reuses the program (register schemas up
+        front where possible)."""
+        if not self.sampling_ext:
+            raise RuntimeError(
+                "constraints need a batcher built with sampling_ext=True")
+        self._constraints.append(constraint)
+        self._restack_constraints()
+        return len(self._constraints)
 
     def _ensure_loop(self) -> None:
         if self._task is None or self._task.done():
@@ -493,7 +693,8 @@ class ContinuousBatcher:
                 "banks": self._banks}
 
     def _admit(self, row: int, rid: int, ids: List[int],
-               adapter_id: int = 0) -> Optional[int]:
+               adapter_id: int = 0, ext=None,
+               eos_id: int = -1) -> Optional[int]:
         """Device-side admission (jit dispatches + the spec-mode first-
         token read). Runs in an executor thread; returns the first
         sampled token in speculative mode (else None). Queue-facing
@@ -503,6 +704,34 @@ class ContinuousBatcher:
         rng = jax.random.fold_in(self.rng, 2 ** 20 + rid)
         self._aid[row] = adapter_id
         row_lora = self._lora([adapter_id])
+        if ext is not None:
+            # extended-sampling admission: seed the row's planes and
+            # sample the first token through the same masked transform
+            # the chunk steps apply (skips the prefix-cache fast path —
+            # the penalties need the row's full prompt counts anyway)
+            c, p, f, vec = ext
+            (self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+             self.active, self.counts, self.bias, self.pres, self.freq,
+             self.cstate, self.cid) = _prefill_row_ext(
+                self.params, self.cfg, jnp.asarray(padded),
+                jnp.asarray([len(ids)], np.int32), np.int32(row),
+                self.ck, self.cv, self.slot_pos, self.pos, self.tok,
+                self.active, self.counts, self.bias, self.pres,
+                self.freq, self.cstate, self.cid, self._cbanks,
+                jnp.asarray(vec), np.float32(p), np.float32(f),
+                np.int32(c), np.int32(eos_id), self.temperature,
+                self.top_k, self.top_p, rng, row_lora)
+            self.head = max(self.head, len(ids))
+            return None
+        if self.sampling_ext:
+            # plain admission into an ext batcher: the fast paths below
+            # sample the first token unmasked (identical law — zero
+            # planes are the identity transform); just clear whatever
+            # the row's previous occupant left in the planes
+            (self.counts, self.bias, self.pres, self.freq, self.cstate,
+             self.cid) = _ext_reset_row(
+                self.counts, self.bias, self.pres, self.freq,
+                self.cstate, self.cid, np.int32(row))
         # prefix K/V were computed through the BASE model: an adapter
         # changes every projection, so adapter rows take a full prefill
         match = None if adapter_id != 0 else next(
@@ -586,6 +815,11 @@ class ContinuousBatcher:
     async def _run(self) -> None:
         try:
             await self._serve()
+        except asyncio.CancelledError:
+            # event-loop teardown (asyncio.run cancels pending tasks):
+            # propagate — this is not a serving failure and the device
+            # state dies with the loop anyway
+            raise
         except BaseException as exc:  # deliver, never hang submitters
             for s in self._slots:
                 if s.queue is not None:
@@ -593,7 +827,7 @@ class ContinuousBatcher:
             self._slots = [_Slot() for _ in range(self.B)]
             while True:
                 try:
-                    _, _, _, _, q, _ = self._pending.get_nowait()
+                    _, _, _, _, q, _, _ = self._pending.get_nowait()
                 except asyncio.QueueEmpty:
                     break
                 q.put_nowait(exc)
@@ -670,11 +904,11 @@ class ContinuousBatcher:
                 for row in self._free_rows():
                     try:
                         (rid, ids, max_new,
-                         eos_id, q, aid) = self._pending.get_nowait()
+                         eos_id, q, aid, ext) = self._pending.get_nowait()
                     except asyncio.QueueEmpty:
                         break
                     first = await loop.run_in_executor(
-                        None, self._admit, row, rid, ids, aid)
+                        None, self._admit, row, rid, ids, aid, ext, eos_id)
                     self._finish_admit(row, rid, max_new, eos_id, q, first)
                     admitted = True
                 busy = [(i, s.request_id) for i, s in enumerate(self._slots)
@@ -758,6 +992,19 @@ class ContinuousBatcher:
                             self.rng, np.int32(self.steps),
                             self._lora(self._aid))
                         return out  # (chunk, B, use_k+1)
+                    if self.sampling_ext:
+                        (self.tok, self.pos, self.active, self.slot_pos,
+                         self.ck, self.cv, self.counts, self.cstate,
+                         out) = _decode_chunk_ext(
+                            self.params, self.cfg, self.chunk, self.tok,
+                            self.pos, self.active, self.slot_pos,
+                            np.int32(self.head), np.int32(self.steps),
+                            self.temperature, self.top_k, self.top_p,
+                            jnp.asarray(eos_vec), self.rng, self.ck,
+                            self.cv, self.counts, self.bias, self.pres,
+                            self.freq, self.cstate, self.cid,
+                            self._cbanks, self._lora(self._aid))
+                        return out[:, :, None]  # (chunk, B, 1)
                     (self.tok, self.pos, self.active, self.slot_pos,
                      self.ck, self.cv, out) = _decode_chunk(
                         self.params, self.cfg, self.chunk, self.tok,

@@ -444,6 +444,28 @@ def compile_schema(schema: Dict[str, Any], tokenizer,
     return Constraint(table=table, accept=accept)
 
 
+def stack_constraints(constraints: Sequence[Constraint],
+                      vocab_size: int) -> Constraint:
+    """Pad + stack constraints into per-request-selectable banks for
+    batched serving (llm/scheduler.py sampling_ext): table becomes
+    (n+1, max_states, V) and accept (n+1, max_states), where bank 0 is
+    the PERMISSIVE grammar (every token allowed, state stays 0, eos
+    always allowed) so unconstrained rows run the same masked program
+    with an identity mask. Bank i+1 = constraints[i]; states past a
+    bank's own count are DEAD-padded (unreachable)."""
+    smax = max([1] + [c.table.shape[0] for c in constraints])
+    n = len(constraints) + 1
+    table = np.full((n, smax, vocab_size), DEAD, np.int32)
+    accept = np.zeros((n, smax), bool)
+    table[0] = 0
+    accept[0] = True
+    for i, c in enumerate(constraints):
+        s = c.table.shape[0]
+        table[i + 1, :s] = c.table
+        accept[i + 1, :s] = c.accept
+    return Constraint(table=table, accept=accept)
+
+
 def host_accepts(trans: np.ndarray, accept: np.ndarray, data: bytes) -> bool:
     """Reference byte-DFA runner (tests)."""
     s = 0

@@ -92,8 +92,9 @@ class DecoderConfig:
     # Fused Pallas flash-decode attention for int8 KV caches (T=1 steps
     # with a kernel-tileable geometry; anything else falls back to the
     # XLA einsums). OPT-IN: at GQA C=8 the decode attention is MXU
-    # thin-pass bound and the kernel only matches XLA (see
-    # ops/decode_attn.py STATUS); worth enabling at C>=32 geometries.
+    # thin-pass bound and at C=32 the XLA bf16 einsum is already
+    # HBM-saturated (914 GB/s measured) — the kernel only matches XLA
+    # in both regimes (see ops/decode_attn.py STATUS).
     attn_kernel: bool = False
 
     @property

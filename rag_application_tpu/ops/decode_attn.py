@@ -8,9 +8,20 @@ rows to use 8; the kernel, XLA's bf16 einsum (0.80), and XLA's int8
 einsum (0.80) are ALL bound by the same thin-GEMM pass count, which is
 why int8 vs bf16 cache bytes never changed the time (tune_attn). On
 this geometry int8 KV buys CAPACITY (2x tokens in HBM), not speed.
-The kernel becomes the right tool at fatter geometries (hd=128/KVH=8
-gives C=32 -> 4x the MXU row utilization, and the thin-pass floor
-scales with S while its overheads don't).
+
+The "kernel wins at fat geometries" hypothesis is REFUTED (measured
+r2-cont, v5e-1, tune_attn at KVH=8/G=4/hd=128 -> C=32, BL=256,
+S=1024): XLA's bf16 einsum runs the cache read at 914 GB/s —
+effectively HBM-saturated — so there is nothing left for a kernel to
+reclaim; every int8 variant (XLA 1.16 ms, mixed 1.21, this kernel
+1.27) lands ON TOP of the 1.18 ms bf16 time instead of halving it
+(the halved bytes are spent on conversion/relayout, ~460 GB/s
+effective). Conclusion: at thin C the floor is MXU passes, at fat C
+it's HBM — in BOTH regimes XLA's einsum is already at the wall, so
+the kernel stays opt-in and int8 KV remains a capacity feature.
+That tune run also exposed a layout bug (block-diagonal query built
+bkjgd instead of bkgjd — wrong output for every KVH > 1), fixed and
+pinned by tests/test_decode_attn.py.
 
 Things tried that did NOT move the floor (kept for the record):
 fewer/bigger programs (448 -> 64), mixed s8 x bf16 dots vs astype
@@ -174,9 +185,12 @@ def decode_attend_int8(qg: jax.Array, ck: dict, cv: dict,
     b_blk, s_blk = tiles
     n_blocks = S // s_blk
 
-    # block-diagonal query: rows (k, d), cols (j, g), nonzero iff k == j
+    # block-diagonal query: qbd[b, (k, g), (j, d)] = q[b, k, g, d]·[k==j]
+    # — the (C, P) reshape groups (k, g) and (j, d), so the einsum MUST
+    # emit dims in bkgjd order (bkjgd scrambles any KVH > 1; regression
+    # test: tests/test_decode_attn.py)
     eye = jnp.eye(KVH, dtype=qg.dtype)
-    qbd = jnp.einsum("bkgd,kj->bkjgd", qg[:, 0], eye).reshape(B, C, P)
+    qbd = jnp.einsum("bkgd,kj->bkgjd", qg[:, 0], eye).reshape(B, C, P)
     k8 = ck["q"].reshape(B, S, P)
     v8 = cv["q"].reshape(B, S, P)
     # scales and mask pre-transposed so the kernel's score tile keeps

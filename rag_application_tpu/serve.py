@@ -195,7 +195,13 @@ def main() -> None:
                 spec_min_tps=float(os.environ.get(
                     "RAGTPU_LOCAL_BATCH_SPEC_MIN_TPS", "0")),
                 spec_cooldown=int(os.environ.get(
-                    "RAGTPU_LOCAL_BATCH_SPEC_COOLDOWN", "16")))
+                    "RAGTPU_LOCAL_BATCH_SPEC_COOLDOWN", "16")),
+                # =1: grammar-constrained / penalized / logit_bias
+                # requests share the batch too (llm/scheduler.py
+                # sampling_ext) instead of falling back to the solo
+                # fused path; incompatible with SPEC_K>0
+                sampling_ext=os.environ.get(
+                    "RAGTPU_LOCAL_BATCH_EXT", "0") == "1")
             # prefix-cache a shared system header (text, token-boundary
             # aligned with the render format) so admissions prefill only
             # their suffix
