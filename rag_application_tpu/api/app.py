@@ -657,6 +657,16 @@ def build_app(config: Optional[Config] = None, *,
             "logit_bias",
             "adapter")  # extension: named LoRA adapter (local provider)
             if k in body}
+        # OpenAI structured output (parity: openai.py:115-166 routes
+        # response_format server-side): json_schema unwraps to the raw
+        # schema; the local provider enforces it with an on-chip DFA
+        # when compilable, every provider gets the instruction fallback
+        rf = body.get("response_format") or {}
+        if rf.get("type") == "json_schema":
+            schema = (rf.get("json_schema") or {}).get("schema",
+                                                       rf.get("schema"))
+            if schema:
+                gen["response_schema"] = schema
         if body.get("stream"):
             async def events():
                 async for delta in state.llm.stream(msgs, **gen):

@@ -75,10 +75,10 @@ class LocalLLM:
         self._lora_banks = None
         # grammar-constrained decoding: schema-json -> host Constraint
         # (models/constrain.py), None cached for unsupported schemas;
-        # device views and batcher constraint_ids cached separately
+        # device views cached separately (batcher cids live in the
+        # batcher itself — it memoizes + LRU-evicts its bank slots)
         self._constraint_cache: Dict[str, Optional[Any]] = {}
         self._constraint_dev: Dict[str, Dict[str, Any]] = {}
-        self._batcher_cids: Dict[str, int] = {}
 
     @classmethod
     def from_hf_dir(cls, model_dir: str, *, max_len: int = 1024,
@@ -160,7 +160,6 @@ class LocalLLM:
             horizon=horizon, chunk=chunk, temperature=temperature,
             top_k=top_k, top_p=top_p, seed=seed, spec_k=spec_k,
             lora_banks=self._lora_banks, **batcher_kw)
-        self._batcher_cids = {}  # constraint ids are per batcher
         return self._batcher
 
     def register_prefix_text(self, text: str) -> int:
@@ -263,15 +262,19 @@ class LocalLLM:
         return self._constraint_dev[key]
 
     def _constraint_cid_for(self, schema) -> Optional[int]:
-        """Batcher constraint_id for the schema (registers it with the
-        continuous batcher on first use); None when unsupported."""
+        """Batcher constraint_id for the schema; None when the schema is
+        unsupported OR the batcher's constraint bank is full of pinned
+        slots (callers then take the solo constrained path). The batcher
+        memoizes registration by constraint identity and LRU-evicts free
+        slots, so calling this per request is O(1) and stays correct
+        across evictions (no host-side cid cache to go stale)."""
         c = self._constraint_host_for(schema)
         if c is None:
             return None
-        key = self._schema_key(schema)
-        if key not in self._batcher_cids:
-            self._batcher_cids[key] = self._batcher.register_constraint(c)
-        return self._batcher_cids[key]
+        try:
+            return self._batcher.register_constraint(c)
+        except ValueError:
+            return None
 
     # ------------------------------------------------------------- prompt
 
@@ -448,8 +451,14 @@ class LocalLLM:
                 if 0 <= tid < self.cfg.vocab_size:
                     vec[tid] = float(b)
             logit_bias = vec
+        # a schema only "wants" the ext batcher when it actually compiles
+        # to a device constraint — rejected schemas (prompt-only
+        # fallback) would otherwise forfeit the shared batch for nothing
+        has_constraint = (response_schema is not None and
+                          self._constraint_host_for(response_schema)
+                          is not None)
         wants_ext = bool(presence or frequency or logit_bias is not None
-                         or response_schema is not None)
+                         or has_constraint)
         lp_out = None
         loop = asyncio.get_running_loop()
         if params.get("logprobs"):
@@ -470,16 +479,20 @@ class LocalLLM:
         elif (wants_ext and self._batcher is not None
               and self._batcher.sampling_ext
               and self._batch_eligible(prompt, max_new, params, temperature,
-                                       top_p, adapter=adapter)):
+                                       top_p, adapter=adapter)
+              and (not has_constraint
+                   or (cid := self._constraint_cid_for(response_schema))
+                   is not None)):
             # extended sampling THROUGH the shared batch (scheduler
             # sampling_ext): constrained/penalized requests no longer
-            # serialize on the solo fused path
-            cid = (self._constraint_cid_for(response_schema)
-                   if response_schema is not None else None)
+            # serialize on the solo fused path. A compilable schema that
+            # cannot get a bank slot (bank full of pinned constraints)
+            # drops to the solo branch so the DFA guarantee holds.
             out_ids = await self._batcher.submit(
                 prompt, max_new=max_new, eos_id=self.eos_id,
                 adapter_id=(self._lora_names[adapter] if adapter else 0),
-                constraint_id=cid or 0, presence=presence,
+                constraint_id=(cid if has_constraint else 0),
+                presence=presence,
                 frequency=frequency, logit_bias=logit_bias)
         else:
             # grammar-constrain the decode whenever the schema compiles
@@ -561,6 +574,35 @@ class LocalLLM:
                     logit_bias=logit_bias):
                 produced.append(tok)
                 text = self._decode(produced)
+                if stop:
+                    clipped = self._apply_stop(text, stop)
+                    if clipped != text:
+                        delta = clipped[len(emitted):]
+                        if delta:
+                            yield delta
+                        return
+                if text[: len(emitted)] == emitted:
+                    delta = text[len(emitted):]
+                    if delta:
+                        yield delta
+                        emitted = text
+            return
+
+        if wants_ext:
+            # solo fallback for penalized/biased streams: the per-token
+            # step below has no penalty state, so running it would
+            # silently apply a DIFFERENT sampling law than chat() does
+            # for the same knobs. Run the penalty-aware fused loop
+            # (one dispatch) and stream its output by incremental
+            # re-detokenization — correctness over time-to-first-token.
+            out_ids = await loop.run_in_executor(
+                None, lambda: self.generate_ids(
+                    prompt, max_new=max_new, temperature=temperature,
+                    top_p=top_p, seed=seed, presence=presence,
+                    frequency=frequency, logit_bias=logit_bias))
+            emitted = ""
+            for k in range(1, len(out_ids) + 1):
+                text = self._decode(out_ids[:k])
                 if stop:
                     clipped = self._apply_stop(text, stop)
                     if clipped != text:

@@ -395,8 +395,11 @@ def _prefill_row_ext(params, cfg: DecoderConfig, ids, plen, row,
     freq = freq.at[row].set(f)
     cstate = cstate.at[row].set(0)
     cid = cid.at[row].set(c)
+    # NATIVE logits dtype, same as _decode_chunk_ext and the solo fused
+    # loop — an f32 cast here could flip the first greedy argmax on
+    # near-ties for bf16 models, breaking token parity with solo runs
     masked = _ext_mask(
-        logits.astype(jnp.float32), rc[None], bias_row[None], p[None],
+        logits, rc[None], bias_row[None], p[None],
         f[None], jnp.zeros((1,), jnp.int32), c[None], cbanks, eos[None])
     ck, cv, slot_pos, pos, tok, active = _commit_row(
         masked, plen[0], rck, rcv, row, ck, cv, slot_pos, pos, tok,
@@ -452,7 +455,7 @@ class ContinuousBatcher:
                  top_p: float = 1.0, seed: int = 0, spec_k: int = 0,
                  spec_min_tps: float = 0.0, spec_cooldown: int = 16,
                  lookahead: int = 2, lora_banks=None,
-                 sampling_ext: bool = False):
+                 sampling_ext: bool = False, max_constraints: int = 8):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
         if sampling_ext and spec_k:
@@ -470,6 +473,10 @@ class ContinuousBatcher:
         # `lora` pytree — N fine-tunes share this one batch.
         self._banks = lora_banks
         self._aid = np.zeros((slots,), np.int32)
+        # host mirror of each row's constraint id (0 = none): blocks
+        # bank-slot eviction while the row decodes, even if the
+        # submitting consumer already abandoned its stream
+        self._row_cid = np.zeros((slots,), np.int32)
         self.B, self.T = slots, prompt_pad
         self.S = prompt_pad + horizon
         self.chunk = chunk
@@ -510,7 +517,24 @@ class ContinuousBatcher:
         # requests BATCH with plain ones instead of falling back to the
         # solo fused path (LocalLLM.chat routes accordingly).
         self.sampling_ext = bool(sampling_ext)
-        self._constraints: List[Any] = []
+        # constraint bank: FIXED-CAPACITY slot array with LRU eviction.
+        # Unbounded growth would (a) recompile _decode_chunk_ext /
+        # _prefill_row_ext on every novel schema a client sends (bank
+        # shape is baked into the jit; multi-second remote recompiles
+        # through the relay) and (b) hold every schema's (S, V) table in
+        # HBM forever. Slots are memoized by table digest; eviction
+        # skips slots pinned by live/pending requests. Both bank axes
+        # are bucketed to powers of two so the device shape changes at
+        # most O(log) times over the batcher's life.
+        if max_constraints < 1:
+            raise ValueError("max_constraints must be >= 1")
+        self.max_constraints = int(max_constraints)
+        self._cslots: List[Optional[Any]] = []
+        self._cdigest: Dict[str, int] = {}   # table digest -> slot
+        self._cuse: Dict[int, int] = {}      # slot -> lru tick
+        self._ctick = 0
+        self._cpins: Dict[int, int] = {}     # cid -> live/pending refs
+        self._smax_bucket = 1                # monotone states bucket
         self._cbanks = None
         if self.sampling_ext:
             self._restack_constraints()
@@ -606,10 +630,12 @@ class ContinuousBatcher:
             raise ValueError("constraint/penalties/logit_bias need a "
                              "batcher built with sampling_ext=True")
         if wants_ext:
-            if not 0 <= constraint_id <= len(self._constraints):
+            if constraint_id and not (
+                    0 < constraint_id <= len(self._cslots)
+                    and self._cslots[constraint_id - 1] is not None):
                 raise ValueError(
-                    f"constraint_id {constraint_id} out of range "
-                    f"(have {len(self._constraints)} constraints)")
+                    f"constraint_id {constraint_id} is not a registered "
+                    f"bank slot (have {len(self._cslots)})")
             vec = np.zeros((self.cfg.vocab_size,), np.float32)
             if logit_bias is not None:
                 lb = np.asarray(logit_bias, np.float32)
@@ -619,19 +645,35 @@ class ContinuousBatcher:
                 vec = lb
             ext = (int(constraint_id), float(presence), float(frequency),
                    vec)
+            if constraint_id:
+                # pin the bank slot for the request's whole life
+                # (pending + decoding) so LRU eviction never swaps the
+                # grammar out from under an in-flight cid
+                self._cpins[int(constraint_id)] = (
+                    self._cpins.get(int(constraint_id), 0) + 1)
+                self._ctick += 1
+                self._cuse[int(constraint_id) - 1] = self._ctick
         q: asyncio.Queue = asyncio.Queue()
         rid = self._next_id
         self._next_id += 1
-        await self._pending.put((rid, ids, int(max_new), int(eos_id), q,
-                                 int(adapter_id), ext))
-        self._ensure_loop()
-        while True:
-            t = await q.get()
-            if t is None:
-                return
-            if isinstance(t, BaseException):
-                raise t
-            yield t
+        try:
+            await self._pending.put((rid, ids, int(max_new), int(eos_id), q,
+                                     int(adapter_id), ext))
+            self._ensure_loop()
+            while True:
+                t = await q.get()
+                if t is None:
+                    return
+                if isinstance(t, BaseException):
+                    raise t
+                yield t
+        finally:
+            if ext is not None and ext[0]:
+                n = self._cpins.get(ext[0], 0) - 1
+                if n > 0:
+                    self._cpins[ext[0]] = n
+                else:
+                    self._cpins.pop(ext[0], None)
 
     # ---------------------------------------------------------- internals
 
@@ -662,22 +704,79 @@ class ContinuousBatcher:
     def _restack_constraints(self) -> None:
         from ..models.constrain import stack_constraints
 
+        # bucket both bank axes to powers of two (capped at
+        # max_constraints) so slot fills/evictions keep the device shape
+        # — and therefore the compiled chunk/prefill programs — stable
+        n = 1
+        while n < len(self._cslots):
+            n <<= 1
+        n = min(max(n, 1), self.max_constraints)
+        smax = max([1] + [c.table.shape[0] for c in self._cslots
+                          if c is not None])
+        while self._smax_bucket < smax:
+            self._smax_bucket <<= 1
         self._cbanks = stack_constraints(
-            self._constraints, self.cfg.vocab_size).as_device()
+            self._cslots, self.cfg.vocab_size, n_banks=n,
+            min_states=self._smax_bucket).as_device()
+
+    @staticmethod
+    def _constraint_digest(constraint) -> str:
+        d = getattr(constraint, "_digest", None)
+        if d is None:
+            import hashlib
+
+            h = hashlib.sha1()
+            t = np.ascontiguousarray(constraint.table)
+            h.update(str(t.shape).encode())
+            h.update(t.tobytes())
+            h.update(np.ascontiguousarray(constraint.accept).tobytes())
+            d = h.hexdigest()
+            try:
+                constraint._digest = d  # memo on the object (dataclass)
+            except AttributeError:
+                pass
+        return d
 
     def register_constraint(self, constraint) -> int:
         """Register a compiled grammar (models/constrain.Constraint)
-        for per-request constrained decoding; returns its
-        constraint_id for `submit`. Registration grows the stacked
-        bank (n+1, max_states, V) — the next chunk recompiles, then
-        every shape repeat reuses the program (register schemas up
-        front where possible)."""
+        for per-request constrained decoding; returns its constraint_id
+        for `submit`. Registration is memoized by table digest and the
+        bank holds at most `max_constraints` slots: a novel schema
+        beyond that evicts the least-recently-used slot not pinned by a
+        live or pending request, and raises ValueError when every slot
+        is pinned (callers fall back to the solo constrained path).
+        Safe to call per request — a registered constraint is O(1)."""
         if not self.sampling_ext:
             raise RuntimeError(
                 "constraints need a batcher built with sampling_ext=True")
-        self._constraints.append(constraint)
+        key = self._constraint_digest(constraint)
+        slot = self._cdigest.get(key)
+        if slot is not None:
+            self._ctick += 1
+            self._cuse[slot] = self._ctick
+            return slot + 1
+        if len(self._cslots) < self.max_constraints:
+            slot = len(self._cslots)
+            self._cslots.append(None)
+        else:
+            in_rows = set(int(c) for c in self._row_cid if c)
+            evictable = [s for s in range(len(self._cslots))
+                         if not self._cpins.get(s + 1)
+                         and (s + 1) not in in_rows]
+            if not evictable:
+                raise ValueError(
+                    "constraint bank full: every slot is pinned by a "
+                    "live or pending request (raise max_constraints)")
+            slot = min(evictable, key=lambda s: self._cuse.get(s, 0))
+            old = self._cslots[slot]
+            if old is not None:
+                self._cdigest.pop(self._constraint_digest(old), None)
+        self._cslots[slot] = constraint
+        self._cdigest[key] = slot
+        self._ctick += 1
+        self._cuse[slot] = self._ctick
         self._restack_constraints()
-        return len(self._constraints)
+        return slot + 1
 
     def _ensure_loop(self) -> None:
         if self._task is None or self._task.done():
@@ -703,6 +802,7 @@ class ContinuousBatcher:
         padded[0, :len(ids)] = ids
         rng = jax.random.fold_in(self.rng, 2 ** 20 + rid)
         self._aid[row] = adapter_id
+        self._row_cid[row] = ext[0] if ext is not None else 0
         row_lora = self._lora([adapter_id])
         if ext is not None:
             # extended-sampling admission: seed the row's planes and
@@ -807,6 +907,7 @@ class ContinuousBatcher:
             s.queue.put_nowait(None)
         self._slots[row] = _Slot()
         self._aid[row] = 0
+        self._row_cid[row] = 0
         self.active = self.active.at[row].set(False)
         # clear the row's slot map so compaction never counts (and the
         # write head never sits past) a dead request's leftovers

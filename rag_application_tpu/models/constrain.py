@@ -444,25 +444,42 @@ def compile_schema(schema: Dict[str, Any], tokenizer,
     return Constraint(table=table, accept=accept)
 
 
-def stack_constraints(constraints: Sequence[Constraint],
-                      vocab_size: int) -> Constraint:
+def stack_constraints(constraints: Sequence[Optional[Constraint]],
+                      vocab_size: int, *, n_banks: Optional[int] = None,
+                      min_states: int = 1) -> Constraint:
     """Pad + stack constraints into per-request-selectable banks for
     batched serving (llm/scheduler.py sampling_ext): table becomes
     (n+1, max_states, V) and accept (n+1, max_states), where bank 0 is
     the PERMISSIVE grammar (every token allowed, state stays 0, eos
     always allowed) so unconstrained rows run the same masked program
     with an identity mask. Bank i+1 = constraints[i]; states past a
-    bank's own count are DEAD-padded (unreachable)."""
-    smax = max([1] + [c.table.shape[0] for c in constraints])
-    n = len(constraints) + 1
+    bank's own count are DEAD-padded (unreachable). `None` entries are
+    permissive fillers (free bank slots); `n_banks`/`min_states`
+    over-allocate the stack so the device shape stays FIXED while slots
+    fill/evict — shape changes force a full recompile of every jit that
+    closes over the bank (the scheduler buckets both axes to powers of
+    two for exactly this reason)."""
+    live = [c for c in constraints if c is not None]
+    smax = max([min_states] + [c.table.shape[0] for c in live])
+    n = (len(constraints) if n_banks is None
+         else max(n_banks, len(constraints))) + 1
     table = np.full((n, smax, vocab_size), DEAD, np.int32)
     accept = np.zeros((n, smax), bool)
     table[0] = 0
     accept[0] = True
     for i, c in enumerate(constraints):
+        if c is None:
+            table[i + 1] = table[0]
+            accept[i + 1] = accept[0]
+            continue
         s = c.table.shape[0]
         table[i + 1, :s] = c.table
         accept[i + 1, :s] = c.accept
+    # unoccupied trailing banks stay permissive too — a buggy cid can
+    # then only under-constrain, never mask everything out
+    for i in range(len(constraints), n - 1):
+        table[i + 1] = table[0]
+        accept[i + 1] = accept[0]
     return Constraint(table=table, accept=accept)
 
 

@@ -201,7 +201,12 @@ def main() -> None:
                 # sampling_ext) instead of falling back to the solo
                 # fused path; incompatible with SPEC_K>0
                 sampling_ext=os.environ.get(
-                    "RAGTPU_LOCAL_BATCH_EXT", "0") == "1")
+                    "RAGTPU_LOCAL_BATCH_EXT", "0") == "1",
+                # cap on concurrently-registered grammar banks (LRU
+                # eviction beyond it; full-of-pinned-slots requests
+                # fall back to the solo constrained path)
+                max_constraints=int(os.environ.get(
+                    "RAGTPU_LOCAL_BATCH_MAX_CONSTRAINTS", "8")))
             # prefix-cache a shared system header (text, token-boundary
             # aligned with the render format) so admissions prefill only
             # their suffix

@@ -850,3 +850,52 @@ def test_logit_bias_composes_with_penalties():
                       jax.random.PRNGKey(0), 0.0, 64, 1.0, None,
                       0.5, 0.0, None, jnp.asarray(vec))
     assert (np.asarray(out) != banned).all()
+
+
+def test_stream_solo_fallback_honors_penalties_and_bias():
+    """stream() without an ext batcher must apply presence/frequency
+    penalties and logit_bias — the same sampling law chat() uses for the
+    identical request (regression: the per-token solo step silently
+    ignored the knobs, so the output depended on deployment config)."""
+    local = _make_local()
+    from rag_application_tpu.llm.router import ChatMessage
+
+    hello_id = local.tokenizer.vocab["hello"]
+    msgs = [ChatMessage("user", "how is the weather")]
+    knobs = dict(max_tokens=6, logit_bias={str(hello_id): 100000},
+                 presence_penalty=0.3)
+
+    async def main():
+        ref = await local.chat(msgs, **knobs)
+        chunks = []
+        async for delta in local.stream(msgs, **knobs):
+            chunks.append(delta)
+        return ref.content, "".join(chunks)
+
+    ref, streamed = asyncio.run(main())
+    assert streamed == ref
+    words = streamed.split()
+    assert words and all(w == "hello" for w in words), streamed
+
+
+def test_chat_rejected_schema_rides_plain_batcher():
+    """A response_schema outside the compile subset must not count as
+    'extended sampling': on a plain (non-ext) batcher the request keeps
+    the shared batch instead of dropping to the solo path."""
+    local = _make_local()
+    from rag_application_tpu.llm.router import ChatMessage
+
+    # prompt_pad must cover the appended schema-instruction message
+    # (render clips at cfg.max_len-1 = 47 tokens)
+    local.enable_batching(slots=2, prompt_pad=48, horizon=32, chunk=2)
+    bad_schema = {"type": "object", "properties": {},
+                  "additionalProperties": True}  # rejected: no props
+
+    async def main():
+        r = await local.chat([ChatMessage("user", "hello")],
+                             max_tokens=4, response_schema=bad_schema)
+        return r
+
+    r = asyncio.run(main())
+    assert r.usage["completion_tokens"] >= 1
+    assert local._batcher.steps > 0  # it actually used the batcher

@@ -256,4 +256,72 @@ def test_local_llm_routes_ext_through_batcher():
     assert set(doc) == {"name", "count", "kind"}
     assert r2.content is not None
     b = llm._batcher
-    assert b.steps > 0 and len(b._constraints) == 1
+    assert b.steps > 0
+    assert sum(c is not None for c in b._cslots) == 1
+
+
+def test_constraint_bank_lru_and_memoization():
+    """The constraint bank is capped: re-registering the same grammar
+    is O(1) memoized, novel grammars beyond max_constraints LRU-evict a
+    free slot (stable bank shape — no growth), and an evicted grammar
+    re-registers into a reused slot. Outputs stay solo-identical
+    through the churn."""
+    rng = np.random.default_rng(5)
+    prompts = _prompts(3, rng)
+    other = compile_schema({"enum": ["x", "yz"]}, ByteTok(),
+                           CFG.vocab_size)
+    third = compile_schema({"type": "boolean"}, ByteTok(),
+                           CFG.vocab_size)
+
+    async def run():
+        b = _ext_batcher(max_constraints=2)
+        cid1 = b.register_constraint(CON)
+        assert b.register_constraint(CON) == cid1  # memoized
+        cid2 = b.register_constraint(other)
+        assert {cid1, cid2} == {1, 2}
+        shape_before = np.asarray(b._cbanks["table"]).shape
+        # bank full + nothing pinned: third evicts the LRU slot (cid1)
+        cid3 = b.register_constraint(third)
+        assert cid3 == cid1
+        assert np.asarray(b._cbanks["table"]).shape == shape_before
+        # CON was evicted: its old id now maps to `third`; re-register
+        cid1b = b.register_constraint(CON)  # evicts cid2 (now LRU)
+        assert cid1b == cid2
+        out = await b.submit(prompts[0], max_new=120, eos_id=EOS,
+                             constraint_id=cid1b)
+        return b, out
+
+    b, out = asyncio.run(run())
+    assert out == _solo(prompts[0], 120, 16, eos_id=EOS, constraint=CON)
+    json.loads(ByteTok().decode(out))
+
+
+def test_constraint_bank_full_of_pinned_slots_raises():
+    """Every slot pinned by live/pending requests -> register raises
+    (LocalLLM then falls back to the solo constrained path)."""
+    rng = np.random.default_rng(6)
+    prompts = _prompts(2, rng)
+    other = compile_schema({"enum": ["x", "yz"]}, ByteTok(),
+                           CFG.vocab_size)
+    third = compile_schema({"type": "boolean"}, ByteTok(),
+                           CFG.vocab_size)
+
+    async def run():
+        b = _ext_batcher(max_constraints=2)
+        cid1 = b.register_constraint(CON)
+        cid2 = b.register_constraint(other)
+        t1 = asyncio.ensure_future(b.submit(
+            prompts[0], max_new=120, eos_id=EOS, constraint_id=cid1))
+        t2 = asyncio.ensure_future(b.submit(
+            prompts[1], max_new=120, eos_id=EOS, constraint_id=cid2))
+        await asyncio.sleep(0)  # both submissions pin their slots
+        with pytest.raises(ValueError, match="pinned"):
+            b.register_constraint(third)
+        outs = await asyncio.gather(t1, t2)
+        # pins released after completion: registration succeeds now
+        cid3 = b.register_constraint(third)
+        assert cid3 in (1, 2)
+        return outs
+
+    outs = asyncio.run(run())
+    assert outs[0] == _solo(prompts[0], 120, 16, eos_id=EOS, constraint=CON)
