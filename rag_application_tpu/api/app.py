@@ -287,8 +287,10 @@ def build_app(config: Optional[Config] = None, *,
         sp = state.space(body.get("user_id", "default"))
         kw = {k: int(v) for k, v in body.items()
               if k in ("n_clusters", "bucket_rows", "iters",
-                       "train_sample", "m", "k_build", "entry_size")}
+                       "train_sample")}
         engine = body.get("engine", "ivf")
+        if engine != "ivf":
+            return JSONResponse({"detail": "unknown engine (use 'ivf')"}, 400)
         import asyncio as _asyncio
 
         await _asyncio.get_running_loop().run_in_executor(

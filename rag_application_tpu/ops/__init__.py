@@ -9,7 +9,6 @@ from .quant import (
 from .bm25 import bm25_topk, bm25_impact_weights, pack_doc_major
 from .rrf import rrf_fuse, first_occurrence_mask
 from .fused_topk import fused_scan_topk
-from .graph_ann import beam_search, rng_prune
 from .graph_hop import k_hop_expand, path_reachability
 
 __all__ = [
@@ -27,8 +26,6 @@ __all__ = [
     "rrf_fuse",
     "first_occurrence_mask",
     "fused_scan_topk",
-    "beam_search",
-    "rng_prune",
     "k_hop_expand",
     "path_reachability",
 ]

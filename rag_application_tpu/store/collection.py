@@ -65,25 +65,24 @@ class Collection:
 
     # ------------------------------------------------------------------ ANN
 
-    def build_ann(self, *, engine: str = "ivf", m: int = 32,
-                  k_build: int = 64, entry_size: int = 512, **kw) -> None:
+    def build_ann(self, *, engine: str = "ivf", **kw) -> None:
         """Build the sublinear ANN engine over the current rows (the
         HNSW-equivalent; `ef` at query time parities `hnsw_ef`).
 
-        engine="ivf" (default): coarse-quantizer partition scan
+        engine="ivf" (the only engine): coarse-quantizer partition scan
         (index/ivf.py) — the TPU-native answer; recall >= 0.95 at 1M on
-        clustered corpora with probes ~= ef (docs/ann.md).
-        engine="graph": the round-1 beam-search graph (index/ann.py),
-        kept for comparison."""
-        if engine == "ivf":
-            from ..index.ivf import IVFIndex
+        clustered corpora with probes ~= ef (docs/ann.md). The round-1/2
+        beam-search graph engine was REMOVED in round 3: it measured
+        0.89 recall at 1M clustered / 0.50 at 100k unclustered against
+        this target, and no pointer-chasing walk can beat the funnel's
+        MXU-saturated scan on this hardware — IVF owns the sublinear
+        niche (docs/ann.md history)."""
+        if engine != "ivf":
+            raise ValueError(f"unknown ANN engine {engine!r} "
+                             "(the graph engine was removed; use 'ivf')")
+        from ..index.ivf import IVFIndex
 
-            self.ann = IVFIndex.build(self.dense, **kw)
-            return
-        from ..index.ann import GraphIndex
-
-        self.ann = GraphIndex.build(self.dense, m=m, k_build=k_build,
-                                    entry_size=entry_size, **kw)
+        self.ann = IVFIndex.build(self.dense, **kw)
 
     def ann_search(self, query_embedding, limit: int = 10, *, ef: int = 128,
                    **filters) -> List[SearchHit]:
@@ -95,18 +94,11 @@ class Collection:
         from ..index.ivf import IVFIndex, IVFSearchParams
 
         mask = self.payloads.filter_mask(self.dense.capacity, **filters)
-        if isinstance(self.ann, IVFIndex):
-            vals, ids = self.ann.search(
-                np.asarray(query_embedding)[None, :], limit,
-                params=IVFSearchParams(probes=ef),
-                filter_mask=jnp.asarray(mask) if mask is not None else None)
-        else:
-            from ..index.ann import GraphSearchParams
-
-            vals, ids = self.ann.search(
-                np.asarray(query_embedding)[None, :], limit,
-                params=GraphSearchParams(ef=ef),
-                filter_mask=jnp.asarray(mask) if mask is not None else None)
+        assert isinstance(self.ann, IVFIndex)
+        vals, ids = self.ann.search(
+            np.asarray(query_embedding)[None, :], limit,
+            params=IVFSearchParams(probes=ef),
+            filter_mask=jnp.asarray(mask) if mask is not None else None)
         hits = []
         for score, row in zip(np.asarray(vals)[0], np.asarray(ids)[0]):
             if not np.isfinite(score):

@@ -221,6 +221,10 @@ def test_build_ann_and_search_endpoint():
         r = await client.post("/api/v1/search/ann", json={
             "user_id": "u", "query": "topic3"})
         assert r.status_code == 400
+        # the graph engine was removed in round 3 — clean 400, not a crash
+        r = await client.post("/admin/build-ann", json={
+            "user_id": "u", "engine": "graph"})
+        assert r.status_code == 400
         r = await client.post("/admin/build-ann", json={
             "user_id": "u", "n_clusters": 4, "bucket_rows": 8, "iters": 3})
         assert r.status_code == 200

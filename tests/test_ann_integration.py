@@ -5,7 +5,7 @@ import pytest
 
 from rag_application_tpu.agents.base_agent import BaseAgent
 from rag_application_tpu.config import Config, FunnelConfig, IndexConfig, SparseConfig
-from rag_application_tpu.index.ann import GraphIndex
+from rag_application_tpu.index.ivf import IVFIndex
 from rag_application_tpu.llm.router import LLMRouter, Provider
 from rag_application_tpu.store.collection import Collection
 
@@ -29,7 +29,7 @@ def col():
     col.store_document_vectors(
         "d1", [{"text": f"chunk {i}", "tag": "a" if i % 2 == 0 else "b"}
                for i in range(300)], embs)
-    col.build_ann(engine="graph", m=8, k_build=16, entry_size=32, batch=128)
+    col.build_ann(n_clusters=16, bucket_rows=16, iters=4, block_rows=256)
     return col, embs
 
 
@@ -48,11 +48,11 @@ def test_collection_ann_filter(col, rng):
     assert hits and all(h.payload["tag"] == "b" for h in hits)
 
 
-def test_graph_index_save_load(col, tmp_path):
+def test_ivf_index_save_load(col, tmp_path):
     c, embs = col
-    path = str(tmp_path / "graph.npz")
+    path = str(tmp_path / "ivf.npz")
     c.ann.save(path)
-    restored = GraphIndex.load(path, c.dense)
+    restored = IVFIndex.load(path, c.dense)
     v1, i1 = c.ann.search(embs[:3], 4)
     v2, i2 = restored.search(embs[:3], 4)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
