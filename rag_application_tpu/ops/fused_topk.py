@@ -53,7 +53,8 @@ def _packed_fits(d: int, block_rows: int) -> bool:
 
 def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
                  *, valid_n: int | None, block_rows: int,
-                 int8_mode: bool, packed: bool = False, strips: int = 1):
+                 int8_mode: bool, packed: bool = False,
+                 packed_scaled: bool = False, strips: int = 1):
     i = pl.program_id(0)
     q = q_ref[:]
 
@@ -110,6 +111,51 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
         local_row = (rows_total - 1) - (best - vals * rows_total)
         vals_ref[0] = jnp.where(vals <= sentinel, NEG,
                                 vals.astype(jnp.float32))
+        idx_ref[0] = local_row * LANES + lane + i * block_rows
+        return
+
+    if packed_scaled:
+        # capacity-mode fast path (int8 table with a per-row f32
+        # reciprocal scale): the int packing above needs integer scores,
+        # but a FLOAT score packs too — map the f32 score to a
+        # total-order int32 key (b ^ ((b>>31) & 0x7fffffff): identity on
+        # positives, mantissa-flip on negatives — the classic radix-sort
+        # float key, self-inverse), clear the low row_bits of mantissa,
+        # and OR the (rows-1-row) tie-break in. ONE sublane max then
+        # yields bin max + row, same as the packed path; the general
+        # path's three reduce passes (max, hit-compare, row-min) and
+        # their live tiles go away. Keys lose row_bits of mantissa
+        # (block 32768 -> 8 bits -> 15-bit mantissa keys, well above the
+        # int8 quantization noise); the funnel exact-rescores the
+        # candidate union anyway. Near-ties inside the truncation window
+        # break toward the smaller row like the general path.
+        row_bits = max(1, (rows_total - 1).bit_length())
+        rmask = (1 << row_bits) - 1
+        int_min = jnp.int32(-(2**31))
+        best = None
+        for s in range(strips):
+            scores, valid, bs = strip_scores(s)
+            invr = (inv_ref[pl.ds(s * bs, bs)] if strips > 1
+                    else inv_ref[:])
+            f = scores.astype(jnp.float32) * invr[None, :]
+            b = jax.lax.bitcast_convert_type(f, jnp.int32)
+            key = b ^ jnp.bitwise_and(b >> 31, jnp.int32(0x7FFFFFFF))
+            key = jnp.bitwise_and(key, jnp.int32(~rmask))
+            # INT_MIN sentinel: below every finite float key even after
+            # the row OR (most-negative finite key is ~ -2.14e9 + 2^23)
+            key = jnp.where(valid, key, int_min)
+            k3 = key.reshape(qn, bs // LANES, LANES)
+            row = jax.lax.broadcasted_iota(jnp.int32, k3.shape, 1) \
+                + s * (bs // LANES)
+            enc = jnp.bitwise_or(k3, (rows_total - 1 - row) & rmask)
+            m = jnp.max(enc, axis=1)
+            best = m if best is None else jnp.maximum(best, m)
+        local_row = (rows_total - 1) - jnp.bitwise_and(best, rmask)
+        keyc = jnp.bitwise_and(best, jnp.int32(~rmask))
+        b2 = keyc ^ jnp.bitwise_and(keyc >> 31, jnp.int32(0x7FFFFFFF))
+        vals = jax.lax.bitcast_convert_type(b2, jnp.float32)
+        dead = best <= (int_min | jnp.int32(rmask))
+        vals_ref[0] = jnp.where(dead, NEG, vals)
         idx_ref[0] = local_row * LANES + lane + i * block_rows
         return
 
@@ -242,6 +288,7 @@ def fused_scan_topk(
         int8_mode=int8_mode,
         packed=(int8_mode and inv_norms is None
                 and _packed_fits(d_load, block_rows)),
+        packed_scaled=(int8_mode and inv_norms is not None),
         strips=strips,
     )
 

@@ -257,3 +257,69 @@ def test_sheet_mode_matches_select(rng):
     top, pos = jax.lax.top_k(sv, 10)
     idx = jnp.take_along_axis(si, pos, axis=-1)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(idx))
+
+
+def test_int8_scaled_packed_matches_exact(rng):
+    """Capacity-mode scan (int8 table + per-row f32 reciprocal) rides the
+    float-packed single-pass reduce; winners must match the exact scaled
+    brute force up to mantissa-truncation ties, and the strips/q_block
+    variants must match the base kernel exactly."""
+    n, d, k = 2000, 128, 10
+    x = (rng.standard_normal((n, d)) * np.exp(-0.02 * np.arange(d))
+         ).astype(np.float32)
+    amax = np.abs(x).max(axis=1)
+    c8 = np.clip(np.round(x * (127.0 / amax[:, None])), -127, 127
+                 ).astype(np.int8)
+    recip = (amax / 127.0).astype(np.float32)
+    queries = normed(rng, 12, d)
+    q8 = np.clip(np.round(queries * 127), -127, 127).astype(np.int8)
+
+    exact = (q8.astype(np.float32) @ c8.astype(np.float32).T) * recip[None, :]
+    exact_top = np.sort(exact, axis=-1)[:, -k:][:, ::-1]
+
+    v0, i0 = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), k,
+                             block_rows=256,
+                             inv_norms=jnp.asarray(recip))
+    # scores are mantissa-truncated keys: equal to exact within 2^-15 rel
+    got = np.take_along_axis(exact, np.asarray(i0), axis=-1)
+    np.testing.assert_allclose(np.asarray(v0), got, rtol=2e-4)
+    # bin-max candidate recall vs exact top-k (one survivor per 2-row bin
+    # at block 256 -> near-exact here)
+    ex_ids = np.argsort(-exact, axis=-1)[:, :k]
+    rec = np.mean([np.isin(ex_ids[i], np.asarray(i0)[i]).mean()
+                   for i in range(12)])
+    assert rec >= 0.9
+    np.testing.assert_allclose(np.asarray(v0)[:, 0], exact_top[:, 0],
+                               rtol=2e-4)
+
+    for kwargs in (dict(strips=2), dict(q_block=8),
+                   dict(strips=2, q_block=4)):
+        v1, i1 = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), k,
+                                 block_rows=256,
+                                 inv_norms=jnp.asarray(recip), **kwargs)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1))
+
+
+def test_int8_scaled_packed_mask_and_negatives(rng):
+    """Masked rows must never surface, and all-negative score regions
+    (the mantissa-flipped key branch) must still rank correctly."""
+    n, d = 600, 128
+    x = -np.abs(rng.standard_normal((n, d))).astype(np.float32)  # all-neg dots
+    amax = np.abs(x).max(axis=1)
+    c8 = np.clip(np.round(x * (127.0 / amax[:, None])), -127, 127
+                 ).astype(np.int8)
+    recip = (amax / 127.0).astype(np.float32)
+    q = np.abs(normed(rng, 4, d)).astype(np.float32)  # positive queries
+    q8 = np.clip(np.round(q * 127), -127, 127).astype(np.int8)
+    mask = rng.random(n) > 0.5
+    v, i = fused_scan_topk(jnp.asarray(c8), jnp.asarray(q8), 5,
+                           block_rows=256, inv_norms=jnp.asarray(recip),
+                           mask=jnp.asarray(mask))
+    i = np.asarray(i)
+    assert mask[i].all()
+    exact = (q8.astype(np.float32) @ c8.astype(np.float32).T) * recip[None, :]
+    exact = np.where(mask[None, :], exact, -np.inf)
+    # every returned value is negative and the top-1 is the masked argmax
+    assert (np.asarray(v) < 0).all()
+    np.testing.assert_array_equal(i[:, 0], np.argmax(exact, axis=-1))
