@@ -42,6 +42,34 @@ def pd_unique(a: np.ndarray) -> np.ndarray:
     return a[np.sort(idx)]
 
 
+@jax.jit
+def _expand_doc_major(packed_tt: jax.Array, lens: jax.Array,
+                      idf: jax.Array, consts: jax.Array) -> jax.Array:
+    """(term<<16 | tf) int32 (N+1, L) -> interleaved doc-major view
+    (N+1, 2L): term ids (cols :L, empty = -1) + bitcast f32 BM25 weights.
+
+    Computing the weights ON DEVICE halves the biggest host->device
+    transfer of a sparse rebuild (the (N+1, 2L) doc-major table -> the
+    (N+1, L) packed term/tf matrix; 256 MB -> 128 MB at 1M docs, L=32)
+    — that upload is the relay-bandwidth-bound term that made
+    sparse_build_s flap 34 s -> 149 s between benches. Same f32 formula
+    and op order as the host `_weights`; empty slots (tf == 0) decode
+    to term -1, weight 0, exactly like the host scatter fill.
+    `consts` = [avgdl, k1, b] f32 (traced, so rebuilds never recompile).
+    """
+    term = jax.lax.shift_right_logical(packed_tt, 16)
+    tf = jnp.bitwise_and(packed_tt, jnp.int32(0xFFFF)).astype(jnp.float32)
+    avgdl, k1, b = consts[0], consts[1], consts[2]
+    dl = lens[:, None]
+    w = (idf[term] * tf) * (k1 + 1.0) / (
+        tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+    empty = packed_tt == 0
+    terms_out = jnp.where(empty, -1, term).astype(jnp.int32)
+    w_out = jnp.where(empty, 0.0, w).astype(jnp.float32)
+    return jnp.concatenate(
+        [terms_out, jax.lax.bitcast_convert_type(w_out, jnp.int32)], axis=-1)
+
+
 class SparseIndex:
     def __init__(self, config: Optional[SparseConfig] = None,
                  analyzer: Optional[Analyzer] = None):
@@ -300,19 +328,52 @@ class SparseIndex:
             r2 = t2 = rank2 = np.zeros(0, dtype=np.int64)
             w2 = np.zeros(0, dtype=np.float32)
         keep2 = rank2 < l
-        doc_terms = np.full((n + 1, l), -1, dtype=np.int32)
-        doc_w = np.zeros((n + 1, l), dtype=np.float32)
-        doc_terms[r2[keep2], rank2[keep2]] = t2[keep2]
-        doc_w[r2[keep2], rank2[keep2]] = w2[keep2]
+        # Device-expanded doc-major view: upload one (N+1, L) int32 of
+        # (term << 16 | tf) and compute the f32 BM25 weights on device
+        # (_expand_doc_major) — half the bytes of the interleaved
+        # (N+1, 2L) table, which is the relay-bound term of a 1M-doc
+        # rebuild. Needs term ids and tfs to fit 16 bits each; larger
+        # vocabularies/term frequencies fall back to the host layout.
+        if rows.size and max_dlen > l:
+            tf2 = tfs[order]  # same impact order as r2/t2/w2
+        elif rows.size:
+            tf2 = tfs
+        else:
+            tf2 = np.zeros(0, dtype=np.int64)
+        can_pack16 = (v_pad <= (1 << 16)
+                      and (int(tfs.max()) <= 0xFFFF if rows.size else True))
+        if can_pack16:
+            packed_tt = np.zeros((n + 1, l), dtype=np.int32)
+            packed_tt[r2[keep2], rank2[keep2]] = (
+                (t2[keep2].astype(np.int64) << 16)
+                | tf2[keep2].astype(np.int64)).astype(np.uint32) \
+                .view(np.int32)
+            idf_pad = np.zeros(v_pad, dtype=np.float32)
+            idf_pad[: len(idf)] = idf.astype(np.float32)
+            _, _, _, lens_all = self._flat()
+            lens_dev = np.zeros(n + 1, dtype=np.float32)
+            lens_dev[:n] = lens_all.astype(np.float32)
+            consts = np.asarray(
+                [np.float32(avgdl), self.cfg.k1, self.cfg.b],
+                dtype=np.float32)
+            doc_packed = _expand_doc_major(
+                jnp.asarray(packed_tt), jnp.asarray(lens_dev),
+                jnp.asarray(idf_pad), jnp.asarray(consts))
+        else:
+            doc_terms = np.full((n + 1, l), -1, dtype=np.int32)
+            doc_w = np.zeros((n + 1, l), dtype=np.float32)
+            doc_terms[r2[keep2], rank2[keep2]] = t2[keep2]
+            doc_w[r2[keep2], rank2[keep2]] = w2[keep2]
 
-        # interleave terms + bitcast weights: one packed row per doc so
-        # the stage-2 candidate gather issues half the DMA segments
-        packed = np.concatenate(
-            [doc_terms, doc_w.astype(np.float32).view(np.int32)], axis=-1)
+            # interleave terms + bitcast weights: one packed row per doc
+            # so the stage-2 candidate gather issues half the DMA segments
+            doc_packed = jnp.asarray(np.concatenate(
+                [doc_terms, doc_w.astype(np.float32).view(np.int32)],
+                axis=-1))
         self._device = {
             "post_docs": jnp.asarray(post_docs),
             "post_weights": jnp.asarray(post_w) if post_w is not None else None,
-            "doc_packed": jnp.asarray(packed),
+            "doc_packed": doc_packed,
             "v_pad": v_pad,
         }
         self._dirty = False
