@@ -102,6 +102,12 @@ class FunnelConfig:
     sparse_limit: int = 50
     final_limit: int = 30
     rrf_k: int = 60  # Qdrant RRF constant
+    # Final ranking of the deduped candidate union. "dense" = exact
+    # dense rescore (Qdrant query_points parity — right when the
+    # encoder is strong). "rrf" = reciprocal-rank fusion of the dense
+    # ranking with the BM25 ranking — keyword hits survive a weak or
+    # domain-shifted dense encoder (used by the real-docs eval).
+    final_fusion: str = "dense"
     rerank: bool = False
     rerank_budget_tokens: int = 8000  # qdrant_handler.py:375
     # Scan-engine knobs (docs/kernels.md). "auto" = the Pallas fused

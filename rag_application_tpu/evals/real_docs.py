@@ -191,6 +191,11 @@ async def build_real_docs_stack(
     from ..store.collection import Collection
 
     cfg = config or Config()
+    if config is None:
+        # keyword needles must survive a from-scratch dense encoder:
+        # rank the final union by dense+BM25 reciprocal-rank fusion
+        # instead of dense-only (FunnelConfig.final_fusion)
+        cfg.funnel.final_fusion = "rrf"
     llm = llm or LLMRouter(Provider.STUB)
     fixture_dir = fixture_dir or _default_fixture_dir()
     files = list(files or FIXTURES)
@@ -239,24 +244,44 @@ def _tokens(text: str) -> set:
     return {w for w in _WORD.findall(text.lower()) if w not in _STOP}
 
 
+def _norm(text: str) -> str:
+    """Lowercase + collapse whitespace so span matching survives line
+    breaks inside answer phrases ("Generation\nAssessment")."""
+    return re.sub(r"\s+", " ", text.lower())
+
+
+_DOC_TAG = re.compile(r"\[[^\]\n]{1,80}#\d+\]")
+
+
 def extractive_answer(query: str, context: str) -> str:
     """Pick the context sentence most lexically aligned with the query
-    (weighted token overlap, longer-sentence tiebreak). A deliberately
+    (IDF-weighted token overlap — rare query terms dominate, so
+    "Bangalore" outvotes the document-frequent "Vivek"). A deliberately
     transparent answering mechanism: it can only be right when the
     funnel put the right passage into the combined context, so its
     hit-rate measures retrieval + context assembly, not generation."""
     q = _tokens(query)
     if not q:
         return ""
+    # the orchestrator prefixes passages with "[doc#page]" tags; they
+    # must not count as sentence content
+    context = _DOC_TAG.sub(" ", context)
+    sents = [s.strip() for s in re.split(r"(?<=[.!?;])\s+|\n+", context)
+             if len(s.strip()) >= 3]
+    if not sents:
+        return ""
+    sent_toks = [_tokens(s) for s in sents]
+    df: Dict[str, int] = {}
+    for toks in sent_toks:
+        for t in toks & q:
+            df[t] = df.get(t, 0) + 1
+    n = len(sents)
     best, best_score = "", -1.0
-    for raw in re.split(r"(?<=[.!?;])\s+|\n+", context):
-        s = raw.strip()
-        if len(s) < 3:
-            continue
-        toks = _tokens(s)
+    for s, toks in zip(sents, sent_toks):
         if not toks:
             continue
-        overlap = len(q & toks)
+        overlap = sum(1.0 + np.log(n / (1 + df.get(t, 0)))
+                      for t in q & toks)
         score = overlap + 0.001 * min(len(s), 400)
         if score > best_score:
             best, best_score = s, score
@@ -280,13 +305,13 @@ async def evaluate_real_docs(stack: RealDocsStack, *, k: int = 5,
         hits = await asyncio.to_thread(
             stack.collection.hybrid_search, q_vec, query, limit=k)
         texts = [str(h.payload.get("text", "")) for h in hits]
-        lo_spans = [s.lower() for s in spans]
-        retrieved = any(sp in t.lower() for t in texts for sp in lo_spans)
+        lo_spans = [_norm(s) for s in spans]
+        retrieved = any(sp in _norm(t) for t in texts for sp in lo_spans)
         # answer leg: full orchestrator context (passages + KG), then
         # the extractive answerer picks one sentence
         result = await stack.orchestrator.execute(query, limit=k)
         answer = extractive_answer(query, result["context"])
-        answered = any(sp in answer.lower() for sp in lo_spans)
+        answered = any(sp in _norm(answer) for sp in lo_spans)
         r_hits += bool(retrieved)
         a_hits += bool(answered)
         per_q.append({"query": query, "retrieved": bool(retrieved),

@@ -10,10 +10,13 @@ ASCIIHex / ASCII85 / RunLength filters with PNG predictors — walks the
 page tree, and decodes each page's content streams into text using the
 fonts' ToUnicode CMaps and encoding /Differences.
 
-Covers the overwhelming majority of real-world digital PDFs. What it
-deliberately does not do: render glyphs (scanned/image-only pages yield
-no text and are routed to the VLM hook by the pipeline) and decrypt
-encrypted documents (raises PDFError, which the pipeline turns into a
+Covers the overwhelming majority of real-world digital PDFs, including
+documents encrypted with the standard security handler under an empty
+user/owner password (RC4, AES-128 and AES-256 — pdf_crypt.py), which is
+how pypdf serves the reference transparently. What it deliberately does
+not do: render glyphs (scanned/image-only pages yield no text and are
+routed to the VLM hook by the pipeline) and decrypt password-protected
+documents (raises PDFError, which the pipeline turns into a
 NonRetryableError).
 """
 
@@ -55,15 +58,28 @@ class Keyword(bytes):
 
 
 class Stream:
-    def __init__(self, d: Dict[str, Any], raw: bytes, doc: "PDFDocument"):
+    def __init__(self, d: Dict[str, Any], raw: bytes, doc: "PDFDocument",
+                 num: int = 0, gen: int = 0):
         self.dict = d
         self.raw = raw
+        self.num = num
+        self.gen = gen
         self._doc = doc
         self._data: Optional[bytes] = None
 
     def data(self) -> bytes:
         if self._data is None:
-            self._data = _decode_stream(self.dict, self.raw, self._doc)
+            raw = self.raw
+            doc = self._doc
+            if doc.crypt is not None and self.num:
+                # cross-reference streams are never encrypted; neither
+                # is /Metadata when EncryptMetadata is false
+                typ = str(doc.resolve(self.dict.get("Type", "")) or "")
+                if typ != "XRef" and not (
+                        typ == "Metadata" and
+                        not doc.crypt.encrypt_metadata):
+                    raw = doc.crypt.decrypt_stream(raw, self.num, self.gen)
+            self._data = _decode_stream(self.dict, raw, doc)
         return self._data
 
 
@@ -424,7 +440,9 @@ def _decode_stream(d: Dict[str, Any], raw: bytes, doc: "PDFDocument") -> bytes:
         elif f in ("RunLengthDecode", "RL"):
             data = _rl_decode(data)
         elif f == "Crypt":
-            raise PDFError("encrypted stream (Crypt filter) unsupported")
+            if str(doc.resolve(p.get("Name", "Identity"))) != "Identity":
+                raise PDFError("non-default Crypt filter unsupported")
+            # Identity = already handled by document-level decryption
         else:
             # image codecs (DCTDecode/JPXDecode/CCITT/JBIG2) stay raw —
             # they carry no extractable text
@@ -455,6 +473,8 @@ class PDFDocument:
         self.trailer: Dict[str, Any] = {}
         self._cache: Dict[int, Any] = {}
         self._objstm_cache: Dict[int, List[Tuple[int, Any]]] = {}
+        self.crypt = None  # StandardSecurityHandler once authenticated
+        self._encrypt_num = -1
         try:
             self._load_xref()
         except Exception:
@@ -462,8 +482,58 @@ class PDFDocument:
             pass
         if not self.xref or "Root" not in self.trailer:
             self._scan_objects()
-        if self.trailer.get("Encrypt") is not None:
-            raise PDFError("encrypted PDF unsupported")
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            self._setup_crypt(enc_ref)
+
+    def _setup_crypt(self, enc_ref: Any) -> None:
+        """Authenticate the empty password against the standard security
+        handler (pdf_crypt.py) — parity with pypdf's transparent decrypt
+        of permissions-only encrypted files, which the reference relies
+        on (IndexerAPI/src/core/processors/file_processor.py:150-184)."""
+        from .pdf_crypt import PDFCryptError, StandardSecurityHandler
+
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PDFError("malformed /Encrypt dictionary")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids:
+            v = self.resolve(ids[0])
+            if isinstance(v, bytes):
+                id0 = v
+        enc = {k: self.resolve(v) for k, v in enc.items()}
+        cf = enc.get("CF")
+        if isinstance(cf, dict):
+            enc["CF"] = {k: self.resolve(v) for k, v in cf.items()}
+        try:
+            self.crypt = StandardSecurityHandler(enc, id0)
+        except PDFCryptError as e:
+            raise PDFError(f"encrypted PDF: {e}") from e
+        # drop anything cached before authentication (e.g. the recovery
+        # scan's catalog hunt) so it re-reads decrypted
+        self._cache.clear()
+        self._objstm_cache.clear()
+
+    def _decrypt_value(self, val: Any, num: int, gen: int) -> Any:
+        """Recursively decrypt literal/hex strings in a parsed object
+        (streams keep their raw bytes — Stream.data() decrypts lazily,
+        but their dictionaries are walked here)."""
+        if isinstance(val, Keyword):
+            return val
+        if isinstance(val, bytes):
+            return self.crypt.decrypt_string(val, num, gen)
+        if isinstance(val, list):
+            return [self._decrypt_value(v, num, gen) for v in val]
+        if isinstance(val, dict):
+            return {k: self._decrypt_value(v, num, gen)
+                    for k, v in val.items()}
+        if isinstance(val, Stream):
+            val.dict = self._decrypt_value(val.dict, num, gen)
+            return val
+        return val
 
     # -- xref chain ------------------------------------------------------
 
@@ -604,6 +674,8 @@ class PDFDocument:
         kw = lex.next()
         if not isinstance(num, int) or kw != b"obj":
             raise PDFError(f"no indirect object at offset {offset}")
+        if not isinstance(gen, int):
+            gen = 0
         val = _parse_value(lex)
         save = lex.pos
         tok = lex.next()
@@ -629,7 +701,7 @@ class PDFDocument:
                 if end < 0:
                     raise PDFError("unterminated stream")
                 raw = self.data[p:end].rstrip(b"\r\n")
-            return num, Stream(val, raw, self)
+            return num, Stream(val, raw, self, num, gen)
         lex.pos = save
         return num, val
 
@@ -649,6 +721,13 @@ class PDFDocument:
             else:
                 if got_num != num:
                     val = None
+            # strings inside directly-stored objects are encrypted with
+            # the object's own (num, gen) key; objects INSIDE object
+            # streams are not separately encrypted (the container was)
+            if val is not None and self.crypt is not None and \
+                    num != self._encrypt_num:
+                gen = val.gen if isinstance(val, Stream) else 0
+                val = self._decrypt_value(val, num, gen)
         else:  # in an object stream
             val = self._get_from_objstm(entry[1], entry[2], num)
         self._cache[num] = val
@@ -1034,7 +1113,13 @@ def extract_page_text(doc: PDFDocument, page: Dict[str, Any]) -> str:
     for ln in lines:
         if ln or (out and out[-1]):
             out.append(ln)
-    return "\n".join(out).strip()
+    text = "\n".join(out).strip()
+    # de-hyphenate end-of-line breaks ("Aug-\nmented" -> "Augmented"):
+    # justified/two-column layouts split words across lines, which
+    # would otherwise also split them across CHUNK boundaries and make
+    # them unfindable by keyword search (pdfminer applies the same
+    # normalization for the reference via markitdown)
+    return re.sub(r"(?<=[a-z])-\n(?=[a-z])", "", text)
 
 
 def extract_pages(data: bytes,

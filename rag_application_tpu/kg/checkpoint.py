@@ -127,6 +127,9 @@ def load_kg(path: str, config: Optional[KGConfig] = None) -> KGStore:
         table.index.size = int(meta["size"])
         table.payloads = meta["payloads"]
         table.by_key = {tuple(k): v for k, v in meta["by_key"]}
+        table.by_id = {}
+        for k, v in table.by_key.items():
+            table.by_id.setdefault(k[1], {})[k] = v
 
     kg.documents = graph["documents"]
     kg.doc_pages = {d: {int(p): r for p, r in pages.items()}

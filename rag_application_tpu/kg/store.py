@@ -51,6 +51,11 @@ class _SpaceTable:
     payloads: List[Optional[Dict[str, Any]]] = field(default_factory=list)
     # (key) -> row for MERGE semantics
     by_key: Dict[Tuple, int] = field(default_factory=dict)
+    # secondary index on key[1] (entity_id for the ENTITY space) so id
+    # lookups are O(matches), not O(N) scans of by_key — the reference
+    # gets this from Neo4j's b-tree index on Entity.id
+    # (IndexerAPI/src/core/storage/neo4j_handler.py:67-97)
+    by_id: Dict[Any, Dict[Tuple, int]] = field(default_factory=dict)
 
     def upsert(self, key: Tuple, payload: Dict[str, Any],
                embedding: np.ndarray) -> int:
@@ -64,6 +69,7 @@ class _SpaceTable:
             self.payloads.append(None)
         self.payloads[new_row] = dict(payload)
         self.by_key[key] = new_row
+        self.by_id.setdefault(key[1], {})[key] = new_row
         return new_row
 
     def delete_key(self, key: Tuple) -> Optional[int]:
@@ -71,7 +77,25 @@ class _SpaceTable:
         if row is not None:
             self.index.delete([row])
             self.payloads[row] = None
+            group = self.by_id.get(key[1])
+            if group is not None:
+                group.pop(key, None)
+                if not group:
+                    del self.by_id[key[1]]
         return row
+
+    def rows_for_id(self, ident: Any,
+                    document_id: str = "") -> List[Tuple[Tuple, int]]:
+        """All (key, row) pairs whose key[1] == ident, optionally filtered
+        by trailing document_id — the O(1)-ish replacement for scanning
+        by_key."""
+        group = self.by_id.get(ident)
+        if not group:
+            return []
+        items = list(group.items())
+        if document_id:
+            items = [(k, r) for k, r in items if k[-1] == document_id]
+        return items
 
     def get(self, row: int) -> Optional[Dict[str, Any]]:
         if 0 <= row < len(self.payloads):

@@ -62,6 +62,10 @@ class FusedSpec(NamedTuple):
     # >1: column-strip reduce inside the scan kernel (ops.fused_topk
     # strips) — smaller live score tile, VMEM headroom for larger blocks
     scan_strips: int = 1
+    # "dense": final exact dense rescore orders the union (Qdrant
+    # parity). "rrf": fuse the dense-exact ranking with the BM25
+    # ranking (FunnelConfig.final_fusion).
+    final_fusion: str = "dense"
 
     @classmethod
     def from_funnel(cls, f: FunnelConfig, dims: Tuple[int, ...], *,
@@ -84,6 +88,7 @@ class FusedSpec(NamedTuple):
             has_filter=has_filter,
             scan_impl=scan_impl,
             use_int8=f.quantized_limit > 0,
+            final_fusion=getattr(f, "final_fusion", "dense"),
         )
 
 
@@ -246,12 +251,12 @@ def fused_core(
 
     # --- RRF of quantized + sparse (qdrant_handler.py:357-360) ---
     # NOTE: rrf_fuse outputs are by construction members of its input
-    # lists, every one of which is already in the union below, and the
-    # final stage rescores the deduped union exactly — so materializing
-    # the fused list cannot change the output (same holds for Qdrant's
-    # prefetch=[matryoshka, rrf] + exact rescore). The fusion is skipped
-    # here; `ops.rrf.rrf_fuse` remains the public RRF surface (and the
-    # sharded-merge path), validated by tests/test_rrf.py.
+    # lists, every one of which is already in the union below, and
+    # final_fusion="dense" rescores the deduped union exactly — so
+    # materializing the fused list cannot change the output (same holds
+    # for Qdrant's prefetch=[matryoshka, rrf] + exact rescore). The
+    # fusion is skipped here; `ops.rrf.rrf_fuse` remains the public RRF
+    # surface (and the sharded-merge path), validated by tests/test_rrf.py.
     del rrf_lists
 
     # --- final exact rescore over deduped union (:363-372) ---
@@ -265,6 +270,27 @@ def fused_core(
     scores = gather_rescore(rescore_table, q, safe_ids) \
         * candidate_rescale(safe_ids)
     scores = jnp.where(keep, scores, NEG_INF)
+
+    if spec.final_fusion == "rrf" and spec.sparse_limit and \
+            sparse_arrays is not None:
+        # Reciprocal-rank fusion of the dense-exact ranking with the
+        # BM25 ranking. Dense rank: position of each kept union slot in
+        # the exact-rescore ordering (duplicates/invalid sit at the
+        # -inf tail, so they never inflate a kept slot's rank). Sparse
+        # rank: the candidate's position in the BM25 top list.
+        order = jnp.argsort(-scores, axis=-1)
+        dense_rank = jnp.argsort(order, axis=-1).astype(jnp.float32)
+        rrf = 1.0 / (spec.rrf_k + 1.0 + dense_rank)
+        sp_member = (all_ids[:, :, None] == sp_ids[:, None, :]) \
+            & sp_valid[:, None, :]
+        sp_rank = jnp.argmax(sp_member, axis=-1).astype(jnp.float32)
+        in_sparse = jnp.any(sp_member, axis=-1)
+        rrf = rrf + jnp.where(in_sparse,
+                              1.0 / (spec.rrf_k + 1.0 + sp_rank), 0.0)
+        # dense score as an epsilon tie-break; -inf slots stay -inf
+        scores = jnp.where(keep, rrf, NEG_INF) + \
+            jnp.where(keep, scores * 1e-6, scores)
+
     k_eff = min(spec.k, all_ids.shape[-1])
     top_scores, pos = jax.lax.top_k(scores, k_eff)
     top_ids = jnp.take_along_axis(all_ids, pos, axis=-1)

@@ -100,6 +100,7 @@ async def determine_search_params(
             final_limit=max(5, min(50, int(p.get("final_limit") or 0)
                                    or fallback.final_limit)),
             rrf_k=fallback.rrf_k,
+            final_fusion=fallback.final_fusion,
         )
     except (ValueError, KeyError, TypeError):
         return adaptive_funnel(corpus_size, base)

@@ -44,6 +44,7 @@ def adaptive_funnel(corpus_size: int, base: FunnelConfig | None = None) -> Funne
         sparse_limit=sparse,
         final_limit=base.final_limit,
         rrf_k=base.rrf_k,
+        final_fusion=base.final_fusion,
         rerank=base.rerank,
         rerank_budget_tokens=base.rerank_budget_tokens,
     )

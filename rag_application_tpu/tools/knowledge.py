@@ -134,11 +134,10 @@ class KnowledgeSearchToolbox:
         # 12 — entity lookup by id (execute_get_entity)
         def get_entity_by_id(entity_id: str, document_id: str = ""):
             table = kg.spaces[Space.ENTITY]
-            for key, row in table.by_key.items():
-                if key[1] == entity_id and (not document_id or key[2] == document_id):
-                    p = table.get(row)
-                    if p:
-                        return p
+            for _key, row in table.rows_for_id(entity_id, document_id):
+                p = table.get(row)
+                if p:
+                    return p
             return {"error": "not found"}
         add(Tool("get_entity_by_id", "Fetch an entity by its id.",
                  _q({"entity_id": {"type": "string"},
@@ -157,9 +156,8 @@ class KnowledgeSearchToolbox:
         # 14 — entity context join (execute_get_entity_context)
         def get_entity_context(entity_id: str, document_id: str = ""):
             table = kg.spaces[Space.ENTITY]
-            for key, row in table.by_key.items():
-                if key[1] == entity_id and (not document_id or key[2] == document_id):
-                    return kg.entity_context(row)
+            for _key, row in table.rows_for_id(entity_id, document_id):
+                return kg.entity_context(row)
             return {"error": "not found"}
         add(Tool("get_entity_context",
                  "An entity with its relationships and neighbors.",
@@ -171,8 +169,7 @@ class KnowledgeSearchToolbox:
         def traverse_entity_graph(entity_id: str, hops: int = 2,
                                   query: str = ""):
             table = kg.spaces[Space.ENTITY]
-            rows = [row for key, row in table.by_key.items()
-                    if key[1] == entity_id]
+            rows = [row for _key, row in table.rows_for_id(entity_id)]
             if not rows:
                 return {"error": "not found"}
             qe = self._embed(query, kg.dim) if query else None
@@ -193,8 +190,8 @@ class KnowledgeSearchToolbox:
             from ..ops.graph_hop import path_reachability
 
             table = kg.spaces[Space.ENTITY]
-            src = [r for k2, r in table.by_key.items() if k2[1] == source_id]
-            dst = [r for k2, r in table.by_key.items() if k2[1] == target_id]
+            src = [r for _k, r in table.rows_for_id(source_id)]
+            dst = [r for _k, r in table.rows_for_id(target_id)]
             if not src or not dst:
                 return {"error": "entity not found"}
             # exact dense-frontier reachability (the reference's
@@ -225,9 +222,7 @@ class KnowledgeSearchToolbox:
             table = kg.spaces[Space.ENTITY]
             rel_t = kg.spaces[Space.RELATIONSHIP]
             out = []
-            for key, row in table.by_key.items():
-                if key[1] != source_id:
-                    continue
+            for _key, row in table.rows_for_id(source_id):
                 for rel_row, other in kg.entity_edges.get(row, []):
                     op = table.get(other)
                     if op and op.get("id") == target_id:

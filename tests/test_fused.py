@@ -118,3 +118,52 @@ def test_fused_wire_formats(setup, rng, wire):
     np.testing.assert_allclose(np.asarray(scores)[ok],
                                np.asarray(ref_scores)[ok],
                                atol=2e-2 if wire == "int8" else 2e-3)
+
+
+def test_final_fusion_rrf_rescues_keyword_hit(setup, rng):
+    """final_fusion="rrf": a document that only BM25 can find (its
+    dense embedding is anti-correlated with the query) must surface in
+    the final top-k; with the default dense-only final rescore it is
+    ranked last. This is the weak-encoder rescue path the real-docs
+    eval rides (FunnelConfig.final_fusion)."""
+    dense = DenseIndex(IndexConfig(dim=64, matryoshka_dims=(),
+                                   initial_capacity=16))
+    sparse = SparseIndex(SparseConfig(candidate_pool=64, max_query_terms=8))
+    texts = [f"filler document number {i} about nothing" for i in range(9)]
+    texts.append("zyzzyva needle keyword appears exactly here")
+    embs = rng.standard_normal((10, 64)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    q = embs[0].copy()
+    embs[9] = -q  # dense score of the needle doc is -1 (worst possible)
+    dense.insert(embs)
+    sparse.add_batch(texts)
+
+    funnel = FunnelConfig(matryoshka_limits=(), dense_limit=8,
+                          quantized_limit=8, sparse_limit=4, final_limit=3)
+    qtext = ["zyzzyva needle keyword"]
+
+    dense_rank = FusedSearcher(dense, sparse, funnel)
+    _, ids = dense_rank.search(q[None, :], qtext, 3)
+    assert 9 not in np.asarray(ids)[0]  # buried by the dense rescore
+
+    rrf_rank = FusedSearcher(
+        dense, sparse,
+        FunnelConfig(matryoshka_limits=(), dense_limit=8, quantized_limit=8,
+                     sparse_limit=4, final_limit=3, final_fusion="rrf"))
+    scores, ids = rrf_rank.search(q[None, :], qtext, 3)
+    assert 9 in np.asarray(ids)[0]
+    assert np.isfinite(np.asarray(scores)[0, :1]).all()
+
+
+def test_final_fusion_rrf_without_sparse_matches_dense(setup, rng):
+    """final_fusion="rrf" with no sparse leg degrades to the dense
+    ordering (the RRF block is sparse-gated)."""
+    dense, sparse, embs = setup
+    noisy = embs + 0.01 * rng.standard_normal(embs.shape).astype(np.float32)
+    import dataclasses
+    base = FusedSearcher(dense, None, FUNNEL)
+    rrf = FusedSearcher(dense, None,
+                        dataclasses.replace(FUNNEL, final_fusion="rrf"))
+    _, ids_a = base.search(noisy, None, 3)
+    _, ids_b = rrf.search(noisy, None, 3)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))

@@ -183,3 +183,46 @@ def test_entity_reupsert_keeps_edges(rng):
     b_neighbors = [r["neighbor"]["id"] for r in kg.entity_context(b_row)
                    ["relationships"] if r.get("neighbor")]
     assert "ada" in b_neighbors
+
+
+def test_by_id_secondary_index_tracks_mutations(kg, rng):
+    """The `by_id` index (entity_id -> {key: row}) must stay consistent
+    through upsert/replace/delete so entity-id tool lookups are
+    O(matches) instead of O(N) by_key scans (VERDICT r2 item 7)."""
+    from rag_application_tpu.kg.store import Space
+
+    table = kg.spaces[Space.ENTITY]
+    rows = table.rows_for_id("e1")
+    assert len(rows) == 1
+    key, row = rows[0]
+    assert table.by_key[key] == row
+    assert table.get(row)["id"] == "e1"
+    # scoped lookup by document
+    assert table.rows_for_id("e1", "resume.pdf") == rows
+    assert table.rows_for_id("e1", "other.pdf") == []
+
+    # page re-upsert MERGEs entities onto new rows; by_id must follow
+    ents = [{"id": "e1", "text": "Vivek M", "entity_type": "PERSON",
+             "entity_profile": "updated"}]
+    kg.upsert_unstructured_page(
+        "resume.pdf", 1, content="page one v2", embedding=vec(rng),
+        entities=ents, relationships=[],
+        entity_embeddings=vec(rng)[None, :], relationship_embeddings=None)
+    rows2 = table.rows_for_id("e1")
+    assert len(rows2) == 1
+    assert table.get(rows2[0][1])["entity_profile"] == "updated"
+
+    kg.reset_document("resume.pdf")
+    assert table.rows_for_id("e1") == []
+    assert "e1" not in table.by_id
+
+
+def test_by_id_survives_checkpoint_roundtrip(kg, tmp_path):
+    from rag_application_tpu.kg.checkpoint import load_kg, save_kg
+    from rag_application_tpu.kg.store import Space
+
+    save_kg(kg, str(tmp_path / "kg"))
+    back = load_kg(str(tmp_path / "kg"))
+    table = back.spaces[Space.ENTITY]
+    assert {k[1] for k in table.by_key} == set(table.by_id)
+    assert len(table.rows_for_id("e2")) == 1

@@ -108,11 +108,208 @@ def test_not_a_pdf_raises():
         PDFDocument(b"\x00\x01\x02 definitely not a pdf")
 
 
-def test_encrypted_pdf_raises():
+def test_encrypted_pdf_garbage_encrypt_dict_raises():
     pdf = build_pdf([text_page(["secret"])])
     broken = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 3 0 R")
-    with pytest.raises(PDFError, match="encrypted"):
+    # object 3 is the font dict — not a valid security handler
+    with pytest.raises(PDFError, match="[Ee]ncrypt"):
         PDFDocument(broken)
+
+
+# ------------------------------------------------- standard encryption
+
+def build_encrypted_pdf(lines, variant, user_pwd=b"", owner_pwd=b""):
+    """Classic-xref PDF whose streams/strings are encrypted with the
+    standard security handler (pdf_crypt.py primitives drive both the
+    fixture construction here and the decrypt under test)."""
+    import hashlib
+
+    from rag_application_tpu.ingest.pdf_crypt import (
+        StandardSecurityHandler, _pad_password, aes_cbc_encrypt,
+        file_key_r2_r4, hash_r6, rc4, user_check_bytes)
+
+    id0 = bytes(range(16))
+    P = -44
+    if variant in ("rc4_40", "rc4_128"):
+        R, V, klen = (2, 1, 5) if variant == "rc4_40" else (3, 2, 16)
+        h = hashlib.md5(_pad_password(owner_pwd or user_pwd)).digest()
+        if R >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h).digest()
+        okey = h[:klen]
+        O = rc4(okey, _pad_password(user_pwd))
+        if R >= 3:
+            for i in range(1, 20):
+                O = rc4(bytes(b ^ i for b in okey), O)
+        key = file_key_r2_r4(user_pwd, O, P, id0, R, klen, True)
+        U = user_check_bytes(key, id0, R)
+        if R >= 3:
+            U += b"\x00" * 16
+        enc = {"Filter": "Standard", "V": V, "R": R, "Length": klen * 8,
+               "P": P, "O": O, "U": U}
+        enc_body = (f"<< /Filter /Standard /V {V} /R {R} /Length {klen * 8} "
+                    f"/P {P} /O <{O.hex()}> /U <{U.hex()}> >>")
+    elif variant == "aes128":
+        R, V, klen = 4, 4, 16
+        h = hashlib.md5(_pad_password(owner_pwd or user_pwd)).digest()
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+        okey = h[:klen]
+        O = rc4(okey, _pad_password(user_pwd))
+        for i in range(1, 20):
+            O = rc4(bytes(b ^ i for b in okey), O)
+        key = file_key_r2_r4(user_pwd, O, P, id0, R, klen, True)
+        U = user_check_bytes(key, id0, R) + b"\x00" * 16
+        enc = {"Filter": "Standard", "V": V, "R": R, "Length": 128,
+               "P": P, "O": O, "U": U,
+               "CF": {"StdCF": {"CFM": Name("AESV2"), "Length": 16}},
+               "StmF": Name("StdCF"), "StrF": Name("StdCF")}
+        enc_body = (f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {P} "
+                    f"/O <{O.hex()}> /U <{U.hex()}> "
+                    f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                    f"/StmF /StdCF /StrF /StdCF >>")
+    elif variant == "aes256":
+        file_key = bytes(range(32, 64))
+        vsalt, ksalt = b"VSALT--1", b"KSALT--2"
+        U = hash_r6(user_pwd, vsalt, b"") + vsalt + ksalt
+        UE = aes_cbc_encrypt(hash_r6(user_pwd, ksalt, b""),
+                             b"\x00" * 16, file_key)
+        ovs, oks = b"OVSALT-3", b"OKSALT-4"
+        O = hash_r6(owner_pwd, ovs, U[:48]) + ovs + oks
+        OE = aes_cbc_encrypt(hash_r6(owner_pwd, oks, U[:48]),
+                             b"\x00" * 16, file_key)
+        enc = {"Filter": "Standard", "V": 5, "R": 6, "Length": 256,
+               "P": P, "O": O, "U": U, "OE": OE, "UE": UE,
+               "CF": {"StdCF": {"CFM": Name("AESV3"), "Length": 32}},
+               "StmF": Name("StdCF"), "StrF": Name("StdCF")}
+        enc_body = (f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {P} "
+                    f"/O <{O.hex()}> /U <{U.hex()}> "
+                    f"/OE <{OE.hex()}> /UE <{UE.hex()}> "
+                    f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                    f"/StmF /StdCF /StrF /StdCF >>")
+    else:
+        raise ValueError(variant)
+
+    if user_pwd or owner_pwd:
+        handler = None  # password-protected fixture: no encryptor needed
+        # encrypt with a throwaway handler built via empty-pwd math is
+        # impossible; derive the file key directly instead
+        class _H:
+            pass
+        handler = _H()
+        if variant == "aes256":
+            handler_key = file_key
+        else:
+            handler_key = file_key_r2_r4(user_pwd, enc["O"], P, id0,
+                                         enc["R"], klen, True)
+
+        def enc_stream(data, num, gen):
+            sec = StandardSecurityHandler.__new__(StandardSecurityHandler)
+            sec.v = enc["V"]
+            sec.key = handler_key
+            sec.stm_method = sec.str_method = (
+                "aes" if variant in ("aes128", "aes256") else "rc4")
+            return sec.encrypt_stream(data, num, gen)
+
+        def enc_string(data, num, gen):
+            sec = StandardSecurityHandler.__new__(StandardSecurityHandler)
+            sec.v = enc["V"]
+            sec.key = handler_key
+            sec.stm_method = sec.str_method = (
+                "aes" if variant in ("aes128", "aes256") else "rc4")
+            return sec.encrypt_string(data, num, gen)
+    else:
+        # empty password: the real handler authenticates and encrypts —
+        # this exercises the production auth path during construction
+        handler = StandardSecurityHandler(enc, id0)
+        enc_stream = handler.encrypt_stream
+        enc_string = handler.encrypt_string
+
+    content = text_page(lines)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+            b"/Resources << /Font << /F1 3 0 R >> >> >>"),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+            b"/MediaBox [0 0 612 792] >>"),
+    }
+    enc_content = enc_stream(zlib.compress(content), 5, 0)
+    objs[5] = (f"<< /Length {len(enc_content)} /Filter /FlateDecode "
+               f">>\nstream\n".encode() + enc_content + b"\nendstream")
+    title = enc_string(b"Secret Title", 6, 0)
+    objs[6] = b"<< /Title <" + title.hex().encode() + b"> >>"
+    objs[7] = enc_body.encode()
+
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n} /Root 1 0 R /Encrypt 7 0 R "
+            f"/Info 6 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+            f"startxref\n{xref_off}\n%%EOF").encode()
+    return bytes(out)
+
+
+@pytest.mark.parametrize("variant", ["rc4_40", "rc4_128", "aes128",
+                                     "aes256"])
+def test_encrypted_empty_password_decrypts(variant):
+    pdf = build_encrypted_pdf(["classified alpha", "bravo 42"], variant)
+    doc = PDFDocument(pdf)
+    assert doc.crypt is not None
+    pages = extract_pages(pdf)
+    assert pages == ["classified alpha\nbravo 42"]
+    info = doc.resolve(doc.trailer["Info"])
+    assert info["Title"] == b"Secret Title"
+    # the /Encrypt dictionary's own strings must stay raw
+    enc = doc.resolve(doc.trailer["Encrypt"])
+    assert enc["U"] == doc.crypt.u
+
+
+@pytest.mark.parametrize("variant", ["rc4_128", "aes256"])
+def test_encrypted_real_password_raises(variant):
+    pdf = build_encrypted_pdf(["classified"], variant,
+                              user_pwd=b"hunter2", owner_pwd=b"hunter2")
+    with pytest.raises(PDFError, match="password"):
+        PDFDocument(pdf)
+
+
+def test_pure_python_aes_matches_cryptography():
+    """Cross-check the stdlib AES fallback against the cryptography
+    wheel on CBC vectors (both directions, 128/256-bit keys)."""
+    cryptography = pytest.importorskip("cryptography")
+    _ = cryptography
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes)
+
+    from rag_application_tpu.ingest import pdf_crypt
+
+    if not hasattr(pdf_crypt, "_expand_key"):
+        # fast path active: force-exercise the fallback by reloading
+        # with the wheel masked
+        import importlib
+        import sys
+        import unittest.mock as mock
+        with mock.patch.dict(sys.modules, {"cryptography": None}):
+            fallback = importlib.reload(pdf_crypt)
+        try:
+            for key_len in (16, 32):
+                key = bytes(range(key_len))
+                iv = bytes(range(100, 116))
+                data = bytes(range(48)) * 2
+                ctx = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+                want = ctx.update(data) + ctx.finalize()
+                assert fallback.aes_cbc_encrypt(key, iv, data) == want
+                assert fallback.aes_cbc_decrypt(key, iv, want) == data
+        finally:
+            importlib.reload(pdf_crypt)
 
 
 # ----------------------------------------------- xref streams / ObjStm
