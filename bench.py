@@ -474,49 +474,60 @@ def run():
     # kills the child on timeout and the core metric above survives.
     # BENCH_DECODER: "0" off, "1" (default on full runs) = kv-quant
     # decode + speculative, "full" adds the continuous batcher.
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def child(script, env_extra, fields, timeout_s=900):
+        """Run an examples/ harness; map its JSON line into bench
+        fields ({bench_key: child_key}). Fail-soft on any error.
+        env_extra keys starting with "?" are defaults (a TUNE_* var
+        already in the environment wins — lets smoke runs shrink
+        the shapes); the rest are forced feature flags."""
+        env = dict(os.environ)
+        for k, v in env_extra.items():
+            if k.startswith("?"):
+                env.setdefault(k[1:], v)
+            else:
+                env[k] = v
+        if os.environ.get("BENCH_PLATFORM"):
+            env["TUNE_PLATFORM"] = os.environ["BENCH_PLATFORM"]
+        try:
+            t0 = time.time()
+            p = subprocess.run(
+                [sys.executable, os.path.join(here, "examples", script)],
+                capture_output=True, text=True, timeout=timeout_s,
+                env=env)
+            lines = [ln for ln in p.stdout.strip().splitlines()
+                     if ln.startswith("{")]
+            if not lines:
+                log(f"[bench] {script} produced no JSON "
+                    f"(rc={p.returncode}) — continuing; stderr tail: "
+                    f"{p.stderr.strip()[-300:]}")
+                return {}
+            rec = json.loads(lines[-1])
+            got = {bk: rec[ck] for bk, ck in fields.items() if ck in rec}
+            log(f"[bench] {script}: {got} ({time.time()-t0:.0f}s)")
+            return got
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] {script} leg failed ({type(e).__name__}) "
+                "— continuing")
+            return {}
+
+    # --- real-document retrieval quality (CPU child; the reference's
+    # "Who is Vivek Malipatel?" e2e check, graded over 28 needles) ---
+    realdocs_extras = {}
+    if os.environ.get("BENCH_REALDOCS", "0" if small else "1") == "1":
+        realdocs_extras.update(child(
+            "eval_real_docs.py", {},
+            {"realdocs_recall_at_5": "retrieval_recall_at_k",
+             "realdocs_answer_hit": "answer_hit_rate",
+             "realdocs_n_chunks": "n_chunks",
+             "realdocs_ingest_s": "ingest_s"}, timeout_s=1200))
+
     dec_mode = os.environ.get("BENCH_DECODER", "0" if small else "1")
     dec_extras = {}
     if dec_mode != "0":
-        import subprocess
-
-        here = os.path.dirname(os.path.abspath(__file__))
-
-        def child(script, env_extra, fields, timeout_s=900):
-            """Run an examples/ harness; map its JSON line into bench
-            fields ({bench_key: child_key}). Fail-soft on any error.
-            env_extra keys starting with "?" are defaults (a TUNE_* var
-            already in the environment wins — lets smoke runs shrink
-            the shapes); the rest are forced feature flags."""
-            env = dict(os.environ)
-            for k, v in env_extra.items():
-                if k.startswith("?"):
-                    env.setdefault(k[1:], v)
-                else:
-                    env[k] = v
-            if os.environ.get("BENCH_PLATFORM"):
-                env["TUNE_PLATFORM"] = os.environ["BENCH_PLATFORM"]
-            try:
-                t0 = time.time()
-                p = subprocess.run(
-                    [sys.executable, os.path.join(here, "examples", script)],
-                    capture_output=True, text=True, timeout=timeout_s,
-                    env=env)
-                lines = [ln for ln in p.stdout.strip().splitlines()
-                         if ln.startswith("{")]
-                if not lines:
-                    log(f"[bench] {script} produced no JSON "
-                        f"(rc={p.returncode}) — continuing; stderr tail: "
-                        f"{p.stderr.strip()[-300:]}")
-                    return {}
-                rec = json.loads(lines[-1])
-                got = {bk: rec[ck] for bk, ck in fields.items() if ck in rec}
-                log(f"[bench] {script}: {got} ({time.time()-t0:.0f}s)")
-                return got
-            except Exception as e:  # noqa: BLE001
-                log(f"[bench] {script} leg failed ({type(e).__name__}) "
-                    "— continuing")
-                return {}
-
         shapes = {"?TUNE_BATCH": "64", "?TUNE_PROMPT": "128",
                   "?TUNE_NEW": "128"}
         dec_extras.update(child(
@@ -555,6 +566,7 @@ def run():
         "metric": metric,
         **ann_extras,
         **dec_extras,
+        **realdocs_extras,
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 50_000.0, 3),

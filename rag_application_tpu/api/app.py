@@ -188,6 +188,17 @@ def build_app(config: Optional[Config] = None, *,
         return Response(headers={"content-type": "text/plain; version=0.0.4"},
                         body=METRICS.render().encode())
 
+    @router.route("GET", "/chat")
+    async def chat_page(req: Request):
+        """L7: the single-file chat frontend (api/chat_ui.py) — parity
+        with AgentChatUI at the same API boundary (the page itself is
+        public; every API call it makes carries the bearer key)."""
+        from .chat_ui import CHAT_HTML
+        from .http import Response
+
+        return Response(headers={"content-type": "text/html; charset=utf-8"},
+                        body=CHAT_HTML.encode())
+
     @router.route("GET", "/v1/models")
     async def models(req: Request):
         return {"object": "list", "data": [

@@ -137,7 +137,7 @@ def _train_encoder(embedder, texts: Sequence[str], steps: int,
     from ..models.embedder import Embedder
     from ..models.encoder import EncoderState
     from ..models.train import TrainState, make_optimizer, make_train_step
-    from ..models.train_data import batches, crop_pairs
+    from ..models.train_data import batches, crop_pairs, ict_pairs
 
     texts = [t for t in texts if len(t.split()) >= 16]
     if not texts or steps <= 0:
@@ -151,9 +151,10 @@ def _train_encoder(embedder, texts: Sequence[str], steps: int,
     done = 0
     epoch = 0
     while done < steps:
-        # fresh random crops per epoch (SimCSE-style views)
+        # fresh views per epoch: symmetric crops (SimCSE) + asymmetric
+        # sentence->passage ICT pairs (question->passage geometry)
         rng = np.random.default_rng(seed + epoch)
-        pairs = crop_pairs(texts, rng)
+        pairs = crop_pairs(texts, rng) + ict_pairs(texts, rng)
         epoch += 1
         if not pairs:
             break
@@ -276,16 +277,29 @@ def extractive_answer(query: str, context: str) -> str:
         for t in toks & q:
             df[t] = df.get(t, 0) + 1
     n = len(sents)
-    best, best_score = "", -1.0
-    for s, toks in zip(sents, sent_toks):
+    best, best_score = 0, -1.0
+    for i, (s, toks) in enumerate(zip(sents, sent_toks)):
         if not toks:
             continue
-        overlap = sum(1.0 + np.log(n / (1 + df.get(t, 0)))
+        # smoothed IDF with a SMALL constant baseline: one rare term
+        # ("Bangalore", ln n) must outvote two ubiquitous ones ("Vivek
+        # Malipatel", ~2x0.25), but when the whole retrieved context
+        # shares the query's subject (every sentence says "Guidewire")
+        # the common terms still break the tie toward ANY match rather
+        # than the longest sentence
+        overlap = sum(0.25 + max(np.log(n / (1.0 + df.get(t, 0))), 0.0)
                       for t in q & toks)
         score = overlap + 0.001 * min(len(s), 400)
         if score > best_score:
-            best, best_score = s, score
-    return best
+            best, best_score = i, score
+    if best_score < 0:
+        return ""
+    # answer = a 3-sentence window around the best match: document
+    # layouts put the fact adjacent to the matching line (a resume's
+    # "Illinois Institute of Technology" header sits one line above
+    # "Master of Science in Computer Science") — the extractive span
+    # analogue of a QA model's answer window
+    return " ".join(sents[max(best - 1, 0):best + 2])
 
 
 async def evaluate_real_docs(stack: RealDocsStack, *, k: int = 5,

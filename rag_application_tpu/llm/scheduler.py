@@ -251,6 +251,135 @@ def _decode_chunk_spec(params, cfg: DecoderConfig, chunk: int, K: int,
     return tok, pos, active, slot_pos, hist, ck, cv, out
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 13, 14, 15),
+         donate_argnums=(4, 5, 6, 7, 8, 11, 12, 16, 20))
+def _decode_chunk_spec_ext(params, cfg: DecoderConfig, chunk: int, K: int,
+                           tok, pos, active, slot_pos, hist, base_slot,
+                           eos, ck, cv, temperature: float = 0.0,
+                           top_k: int = 64, top_p: float = 1.0,
+                           counts=None, bias=None, pres=None, freq=None,
+                           cstate=None, cid=None, cbanks=None,
+                           rng=None, step0=None, lora=None):
+    """`_decode_chunk_spec` composed with the extended-sampling
+    transform (_ext_mask): every verify position i is masked with the
+    DFA state and token counts AFTER consuming x_0..x_i — exactly the
+    per-step ordering of `_decode_chunk_ext` — so a constrained/
+    penalized request through a speculative batcher is greedy-identical
+    to its solo run while still accepting multi-token drafts (drafts
+    that would step outside the grammar simply fail argmax agreement
+    and are rejected, never emitted). Sampled mode verifies against the
+    MASKED filtered distribution, preserving the constrained law.
+
+    Removes the r2 exclusivity (VERDICT item 5): constrained requests
+    previously forfeited the ~1.65x speculative speedup."""
+    B = tok.shape[0]
+    HB = hist.shape[1]
+    V = counts.shape[1]
+    h_idx = jnp.arange(HB - 1, dtype=jnp.int32)
+    k_off = jnp.arange(K + 1, dtype=jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def body(carry, j):
+        (tok, pos, active, slot_pos, hist, ck, cv,
+         counts, cstate) = carry
+        head = base_slot + j * (K + 1)
+        prev = jnp.take_along_axis(
+            hist, jnp.clip(pos - 1, 0, HB - 1)[:, None], axis=1)[:, 0]
+        m = ((hist[:, :-1] == prev[:, None])
+             & (hist[:, 1:] == tok[:, None])
+             & (h_idx[None, :] + 1 < pos[:, None]))
+        mi = jnp.max(jnp.where(m, h_idx[None, :], -1), axis=1)
+        start = jnp.clip(jnp.where(mi >= 0, mi + 2, pos + 1), 0, HB - K)
+        draft = jnp.take_along_axis(
+            hist, start[:, None] + k_off[None, :K], axis=1)     # (B, K)
+
+        x = jnp.concatenate([tok[:, None], draft], axis=1)      # (B, K+1)
+        positions = pos[:, None] + k_off[None, :]
+        col = jnp.where(active[:, None], positions,
+                        jnp.asarray(DEAD, jnp.int32))
+        slot_pos = jax.lax.dynamic_update_slice(slot_pos, col, (0, head))
+        hidden, ck, cv = forward(params, cfg, x, positions, ck, cv,
+                                 write_slot=head, slot_positions=slot_pos,
+                                 lora=lora)
+        blk = _project(params, cfg, hidden)                     # (B,K+1,V)
+
+        # ---- ext-state evolution along the draft: position i's mask
+        # sees counts/DFA state after consuming x_0..x_i
+        onehots = jax.nn.one_hot(jnp.clip(x, 0, V - 1), V,
+                                 dtype=jnp.int32)               # (B,K+1,V)
+        cum = jnp.cumsum(onehots, axis=1)
+        cnts = counts[:, None, :] + cum                         # (B,K+1,V)
+
+        def dfa(c, xi):
+            c2 = cbanks["table"][cid, c, jnp.clip(xi, 0, None)]
+            c2 = jnp.maximum(c2, 0)
+            return c2, c2
+
+        _, states = jax.lax.scan(dfa, cstate, x.T)              # (K+1, B)
+        states = states.T                                       # (B, K+1)
+        masked = jax.vmap(
+            lambda l, cnt, st: _ext_mask(l, cnt, bias, pres, freq,
+                                         st, cid, cbanks, eos),
+            in_axes=1, out_axes=1)(blk, cnts, states)
+
+        if temperature > 0.0:
+            from ..models.speculative import _filtered_probs, _sampled_verify
+
+            probs = jax.vmap(jax.vmap(lambda l: _filtered_probs(
+                l, temperature=temperature, top_k=top_k,
+                top_p=top_p)))(masked)
+            keys = jax.random.split(
+                jax.random.fold_in(rng, step0 + j), B)
+            g, accept = jax.vmap(_sampled_verify)(probs, draft, keys)
+            acc = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+        else:
+            g = jnp.argmax(masked, axis=-1).astype(jnp.int32)   # (B, K+1)
+            acc = jnp.cumprod((draft == g[:, :K]).astype(jnp.int32),
+                              axis=1)
+
+        a = jnp.sum(acc, axis=1)                                # (B,) 0..K
+        in_run = k_off[None, :] <= a[:, None]
+        no_eos_before = jnp.cumprod(jnp.concatenate(
+            [jnp.ones((B, 1), jnp.int32),
+             (g[:, :-1] != eos[:, None]).astype(jnp.int32)], axis=1),
+            axis=1)
+        ok = in_run & (no_eos_before == 1) & active[:, None]
+        emit = ok & (g != eos[:, None])
+        emitted = jnp.where(emit, g, jnp.asarray(-1, jnp.int32))
+        eos_hit = jnp.any(ok & (g == eos[:, None]), axis=1)
+
+        col2 = jnp.where(in_run & active[:, None], positions,
+                         jnp.asarray(DEAD, jnp.int32))
+        slot_pos = jax.lax.dynamic_update_slice(slot_pos, col2, (0, head))
+
+        widx = jnp.clip(pos + 1, 0, HB - (K + 1))[:, None] + k_off[None, :]
+        hist = hist.at[rows, widx].set(
+            jnp.where(in_run & active[:, None], g,
+                      jnp.take_along_axis(hist, widx, axis=1)))
+
+        # commit the accepted prefix x_0..x_a into the ext state (a
+        # dying row's state is garbage-after-latch; re-admission
+        # reseeds it via _prefill_row_ext / _ext_reset_row)
+        take = jnp.take_along_axis(
+            cum, a[:, None, None], axis=1)[:, 0]                # (B, V)
+        counts = counts + jnp.where(active[:, None], take, 0)
+        new_state = jnp.take_along_axis(states, a[:, None], axis=1)[:, 0]
+        cstate = jnp.where(active, new_state, cstate)
+
+        new_tok = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+        still = jnp.logical_and(active, ~eos_hit)
+        return (jnp.where(active, new_tok, tok),
+                jnp.where(active, pos + a + 1, pos),
+                still, slot_pos, hist, ck, cv, counts, cstate), emitted
+
+    (tok, pos, active, slot_pos, hist, ck, cv, counts, cstate), out = (
+        jax.lax.scan(body,
+                     (tok, pos, active, slot_pos, hist, ck, cv,
+                      counts, cstate),
+                     jnp.arange(chunk, dtype=jnp.int32)))
+    return tok, pos, active, slot_pos, hist, ck, cv, counts, cstate, out
+
+
 @partial(jax.jit, static_argnums=(1, 2, 9, 10, 11),
          donate_argnums=(3, 4, 5, 6, 14, 15))
 def _decode_chunk(params, cfg: DecoderConfig, chunk: int,
@@ -458,14 +587,12 @@ class ContinuousBatcher:
                  sampling_ext: bool = False, max_constraints: int = 8):
         if chunk < 1 or horizon < chunk:
             raise ValueError("need chunk >= 1 and horizon >= chunk")
-        if sampling_ext and spec_k:
-            raise ValueError(
-                "sampling_ext requires spec_k == 0: the speculative "
-                "verifier's acceptance law has no per-row grammar/"
-                "penalty composition")
         # spec_k works for greedy (argmax-agreement acceptance, token-
         # identical) AND sampled batchers (rejection-sampled acceptance
-        # preserving the filtered distribution exactly)
+        # preserving the filtered distribution exactly); composed with
+        # sampling_ext, every verify position applies the grammar/
+        # penalty mask before agreement (_decode_chunk_spec_ext) so
+        # constrained requests keep the speculative speedup
         self.params, self.cfg = params, cfg
         # multi-LoRA serving: stacked adapter banks
         # (models/lora.py::lora_banks; index 0 = base). Per-row adapter
@@ -822,6 +949,15 @@ class ContinuousBatcher:
                 np.int32(c), np.int32(eos_id), self.temperature,
                 self.top_k, self.top_p, rng, row_lora)
             self.head = max(self.head, len(ids))
+            if self.spec_k:
+                # speculative batchers draft from per-row history and
+                # deliver the prefill-sampled first token at admission
+                # (same contract as the plain path below)
+                self.hist = _hist_admit(
+                    self.hist, jnp.asarray(padded),
+                    jnp.asarray([len(ids)], np.int32), np.int32(row),
+                    self.tok)
+                return int(np.asarray(self.tok)[row])
             return None
         if self.sampling_ext:
             # plain admission into an ext batcher: the fast paths below
@@ -1081,6 +1217,20 @@ class ContinuousBatcher:
                     eos_vec[i] = self._slots[i].eos_id
 
                 def _step():
+                    if self.spec_k and self.sampling_ext:
+                        (self.tok, self.pos, self.active, self.slot_pos,
+                         self.hist, self.ck, self.cv, self.counts,
+                         self.cstate, out) = _decode_chunk_spec_ext(
+                            self.params, self.cfg, self.chunk, use_k,
+                            self.tok, self.pos, self.active, self.slot_pos,
+                            self.hist, np.int32(self.head),
+                            jnp.asarray(eos_vec), self.ck, self.cv,
+                            self.temperature, self.top_k, self.top_p,
+                            self.counts, self.bias, self.pres, self.freq,
+                            self.cstate, self.cid, self._cbanks,
+                            self.rng, np.int32(self.steps),
+                            self._lora(self._aid))
+                        return out  # (chunk, B, use_k+1)
                     if self.spec_k:
                         (self.tok, self.pos, self.active, self.slot_pos,
                          self.hist, self.ck, self.cv,

@@ -56,6 +56,37 @@ def crop_pairs(texts: Sequence[str], rng: np.random.Generator,
     return pairs
 
 
+def ict_pairs(texts: Sequence[str], rng: np.random.Generator,
+              *, min_words: int = 16,
+              max_query_words: int = 24) -> List[Tuple[str, str]]:
+    """Inverse Cloze Task pairs (Lee et al. 2019): pseudo-query = one
+    sentence, positive = its passage WITH THE SENTENCE REMOVED (90%) or
+    kept (10%, so the model still scores lexical overlap). Unlike
+    crop_pairs' symmetric views, this trains the asymmetric
+    question->passage geometry retrieval actually serves — the offline
+    analogue of the reference's pretrained query encoders."""
+    import re
+
+    pairs = []
+    for t in texts:
+        if len(t.split()) < min_words:
+            continue
+        sents = [s.strip() for s in re.split(r"(?<=[.!?;])\s+|\n+", t)
+                 if len(s.strip().split()) >= 3]
+        if len(sents) < 2:
+            continue
+        i = int(rng.integers(0, len(sents)))
+        q_words = sents[i].split()[:max_query_words]
+        if rng.random() < 0.9:
+            ctx = " ".join(sents[:i] + sents[i + 1:])
+        else:
+            ctx = " ".join(sents)
+        if not ctx.split():
+            continue
+        pairs.append((" ".join(q_words), ctx))
+    return pairs
+
+
 async def llm_query_pairs(texts: Sequence[str], llm,
                           *, max_pairs: int = 256) -> List[Tuple[str, str]]:
     """Synthesize a search query per chunk (query, chunk) — GPL recipe."""

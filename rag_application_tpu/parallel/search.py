@@ -224,6 +224,11 @@ def sharded_fused_hybrid(
         sparse_limit=spec.sparse_limit if has_sparse else 0,
         has_filter=filter_mask is not None,
         matryoshka_dims=() if cap_mode else spec.matryoshka_dims,
+        # shard-local RRF ranks are not globally comparable (a shard's
+        # rank-1 may be the global rank-50), so the sharded funnel
+        # always merges exact dense scores; final_fusion="rrf" is a
+        # single-chip serving feature (weak-encoder rescue)
+        final_fusion="dense",
     )
 
     # shard_map needs concrete arrays for every slot: absent planes get

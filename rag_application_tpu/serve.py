@@ -199,7 +199,7 @@ def main() -> None:
                 # =1: grammar-constrained / penalized / logit_bias
                 # requests share the batch too (llm/scheduler.py
                 # sampling_ext) instead of falling back to the solo
-                # fused path; incompatible with SPEC_K>0
+                # fused path; composes with SPEC_K>0 (masked verify)
                 sampling_ext=os.environ.get(
                     "RAGTPU_LOCAL_BATCH_EXT", "0") == "1",
                 # cap on concurrently-registered grammar banks (LRU

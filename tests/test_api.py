@@ -310,3 +310,38 @@ def test_stateless_chats_get_distinct_threads():
             "messages": [{"role": "user", "content": "second"}]})
         assert r1.json()["thread_id"] != r2.json()["thread_id"]
     with_server(fn)
+
+
+def test_chat_page_round_trip():
+    """L7 chat UI (api/chat_ui.py): GET /chat serves the page, and the
+    exact request it issues (fetch /v1/chat/completions stream:true,
+    SSE frames parsed for choices[0].delta.content) round-trips against
+    the stub provider — the in-CI equivalent of a browser session."""
+    async def fn(client, state):
+        r = await client.get("/chat")
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/html")
+        html = r.text
+        # the page must target the endpoints it claims to drive
+        for needle in ("/v1/chat/completions", "/chat/completions",
+                       "/v1/models", "getReader"):
+            assert needle in html, needle
+
+        acc = []
+        async with client.stream("POST", "/v1/chat/completions", json={
+            "model": "stub-model", "stream": True,
+            "messages": [{"role": "user", "content": "hello page"}],
+        }) as r:
+            assert r.headers["content-type"].startswith("text/event-stream")
+            async for line in r.aiter_lines():
+                if not line.startswith("data:"):
+                    continue
+                payload = line[5:].strip()
+                if payload == "[DONE]":
+                    continue
+                delta = json.loads(payload)["choices"][0]["delta"]
+                if delta.get("content"):
+                    acc.append(delta["content"])
+        assert "hello page" in "".join(acc)
+
+    with_server(fn)

@@ -227,9 +227,9 @@ def test_validation_errors():
             await ext.submit([40, 41], logit_bias=np.zeros(7, np.float32))
 
     asyncio.run(run())
-    with pytest.raises(ValueError, match="spec_k"):
-        ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16, horizon=64,
-                          chunk=2, spec_k=2, sampling_ext=True)
+    # spec_k + sampling_ext compose since r3 (_decode_chunk_spec_ext)
+    ContinuousBatcher(PARAMS, CFG, slots=2, prompt_pad=16, horizon=64,
+                      chunk=2, spec_k=2, sampling_ext=True)
 
 
 def test_local_llm_routes_ext_through_batcher():
@@ -325,3 +325,65 @@ def test_constraint_bank_full_of_pinned_slots_raises():
 
     outs = asyncio.run(run())
     assert outs[0] == _solo(prompts[0], 120, 16, eos_id=EOS, constraint=CON)
+
+
+def test_constrained_through_speculative_batcher_matches_solo():
+    """VERDICT r2 item 5: spec_k>0 composes with sampling_ext — the
+    verify block masks every position with the evolved DFA/penalty
+    state (_decode_chunk_spec_ext), so a constrained request keeps the
+    speculative speedup while staying greedy-identical to solo. The
+    JSON grammar makes drafts agree often (quoted keys repeat), so
+    tokens/step must exceed 1 for the constrained request."""
+    rng = np.random.default_rng(7)
+    prompts = _prompts(3, rng)
+
+    async def run():
+        b = _ext_batcher(spec_k=4, horizon=640)
+        cid = b.register_constraint(CON)
+        outs = await asyncio.gather(
+            b.submit(prompts[0], max_new=120, eos_id=EOS,
+                     constraint_id=cid),
+            b.submit(prompts[1], max_new=24),
+            b.submit(prompts[2], max_new=24, presence=0.7, frequency=1.3),
+        )
+        return b, outs
+
+    b, (con, plain, pen) = asyncio.run(run())
+    want = _solo(prompts[0], 120, 16, eos_id=EOS, constraint=CON)
+    assert con == want
+    doc = json.loads(ByteTok().decode(con))
+    assert set(doc) == {"name", "count", "kind"}
+    assert plain == _solo(prompts[1], 24, 16)
+    assert pen == _solo(prompts[2], 24, 16, presence=0.7, frequency=1.3)
+    # speculation must actually engage: >1 token per block step
+    assert b.tokens_out / max(b.steps, 1) > 1.0, (
+        b.tokens_out, b.steps)
+
+
+def test_spec_ext_row_reuse_and_eos_latch():
+    """Rows recycled between constrained spec requests must not leak
+    DFA state or counts (re-admission reseeds them)."""
+    rng = np.random.default_rng(8)
+    prompts = _prompts(4, rng)
+
+    async def run():
+        b = _ext_batcher(slots=2, spec_k=2, horizon=640)
+        cid = b.register_constraint(CON)
+        first = await asyncio.gather(
+            b.submit(prompts[0], max_new=120, eos_id=EOS,
+                     constraint_id=cid),
+            b.submit(prompts[1], max_new=6),
+        )
+        second = await asyncio.gather(
+            b.submit(prompts[2], max_new=120, eos_id=EOS,
+                     constraint_id=cid),
+            b.submit(prompts[3], max_new=8),
+        )
+        return first, second
+
+    first, second = asyncio.run(run())
+    assert first[0] == _solo(prompts[0], 120, 16, eos_id=EOS,
+                             constraint=CON)
+    assert second[0] == _solo(prompts[2], 120, 16, eos_id=EOS,
+                              constraint=CON)
+    assert second[1] == _solo(prompts[3], 8, 16)

@@ -69,3 +69,19 @@ def test_batches_feed_train_step():
         assert np.isfinite(float(m["loss"]))
         n += 1
     assert n == 2  # 20 pairs -> two full batches of 8
+
+
+def test_ict_pairs_asymmetric_views():
+    from rag_application_tpu.models.train_data import ict_pairs
+
+    rng = np.random.default_rng(0)
+    texts = ["The quick brown fox jumps. The lazy dog sleeps nearby. "
+             "A third sentence provides extra context for the passage. "
+             "And a fourth one pads it out beyond the minimum length."]
+    pairs = ict_pairs(texts, rng)
+    assert len(pairs) == 1
+    query, ctx = pairs[0]
+    assert 3 <= len(query.split()) <= 24
+    assert len(ctx.split()) > len(query.split())
+    # short texts yield nothing
+    assert ict_pairs(["too short"], rng) == []
