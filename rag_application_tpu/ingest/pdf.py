@@ -1139,15 +1139,16 @@ def extract_pages(data: bytes,
 # text. The reference rasterizes whole pages with pdf2image
 # (IndexerAPI/src/core/processors/utils.py:16-22); here the embedded
 # image itself is recovered instead, with no renderer: DCTDecode
-# streams ARE complete JPEG files (pass through untouched), and
+# streams ARE complete JPEG files (pass through untouched),
 # Flate/LZW raster data is wrapped into a PNG container (zlib + CRC,
-# stdlib) for the VLM. CCITT-fax / JBIG2 images would need real codec
-# implementations and return None (the pipeline then demands the
+# stdlib) for the VLM, and CCITT Group 3/4 fax rasters decode natively
+# (ingest/ccitt.py). JBIG2 would need a full arithmetic-coder
+# implementation and returns None (the pipeline then demands the
 # pdf_rasterizer hook).
 
 _IMG_PASSTHROUGH = {"DCTDecode": "image/jpeg", "DCT": "image/jpeg",
                     "JPXDecode": "image/jp2"}
-_IMG_UNSUPPORTED = {"CCITTFaxDecode", "CCF", "JBIG2Decode"}
+_IMG_UNSUPPORTED = {"JBIG2Decode"}  # CCITT decodes natively (ccitt.py)
 
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:
@@ -1248,6 +1249,18 @@ def _image_to_bytes(doc: PDFDocument,
         # data() applies any preceding transport filters (A85/AHx) and
         # stops at the image codec: these bytes are the image file
         return _IMG_PASSTHROUGH[last], s.data()
+    if last in ("CCITTFaxDecode", "CCF"):
+        # native Group 3/4 fax decode (ingest/ccitt.py) -> 1-bpc gray
+        from .ccitt import decode_ccitt_params
+
+        parms = doc.resolve(d.get("DecodeParms") or d.get("DP")) or {}
+        if isinstance(parms, list):
+            parms = doc.resolve(parms[-1]) or {}
+        parms = {k2: doc.resolve(v) for k2, v in parms.items()}
+        samples = decode_ccitt_params(s.data(), parms, w, h)
+        if samples is None:
+            return None
+        return "image/png", _make_png(samples, w, h, 1, "gray")
     if last in _IMG_UNSUPPORTED:
         return None
     try:
