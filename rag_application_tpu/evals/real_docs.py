@@ -277,28 +277,33 @@ def extractive_answer(query: str, context: str) -> str:
         for t in toks & q:
             df[t] = df.get(t, 0) + 1
     n = len(sents)
-    best, best_score = 0, -1.0
-    for i, (s, toks) in enumerate(zip(sents, sent_toks)):
-        if not toks:
-            continue
+
+    def weight(t: str) -> float:
         # smoothed IDF with a SMALL constant baseline: one rare term
         # ("Bangalore", ln n) must outvote two ubiquitous ones ("Vivek
         # Malipatel", ~2x0.25), but when the whole retrieved context
         # shares the query's subject (every sentence says "Guidewire")
         # the common terms still break the tie toward ANY match rather
         # than the longest sentence
-        overlap = sum(0.25 + max(np.log(n / (1.0 + df.get(t, 0))), 0.0)
-                      for t in q & toks)
-        score = overlap + 0.001 * min(len(s), 400)
+        return 0.25 + max(np.log(n / (1.0 + df.get(t, 0))), 0.0)
+
+    # score 3-sentence WINDOWS (the returned span): document layouts
+    # put the fact adjacent to the matching line (a resume's "Illinois
+    # Institute of Technology" header sits one line above "Master of
+    # Science in Computer Science") — the extractive analogue of a QA
+    # model's answer span. The center sentence counts double so the
+    # window stays anchored on the most-aligned line.
+    best, best_score = -1, 0.0
+    for i in range(n):
+        toks = sent_toks[i] | (sent_toks[i - 1] if i else set()) \
+            | (sent_toks[i + 1] if i + 1 < n else set())
+        overlap = (sum(weight(t) for t in q & toks)
+                   + sum(weight(t) for t in q & sent_toks[i]))
+        score = overlap + 0.001 * min(len(sents[i]), 400)
         if score > best_score:
             best, best_score = i, score
-    if best_score < 0:
+    if best < 0:
         return ""
-    # answer = a 3-sentence window around the best match: document
-    # layouts put the fact adjacent to the matching line (a resume's
-    # "Illinois Institute of Technology" header sits one line above
-    # "Master of Science in Computer Science") — the extractive span
-    # analogue of a QA model's answer window
     return " ".join(sents[max(best - 1, 0):best + 2])
 
 

@@ -82,6 +82,11 @@ def hybrid_search(
       filter_mask: (N-capacity,) bool payload filter, aligned to rows.
       use_matryoshka: disable the prefix cascade (isotropic embeddings
         gain nothing from it; the int8 branch then carries recall).
+
+    Note: this staged path always ranks the final union by exact dense
+    score (the reference's semantics). `FunnelConfig.final_fusion="rrf"`
+    is implemented in the production fused path (search/fused.py),
+    which Collection routes through.
     """
     f = funnel or FunnelConfig()
     k = k or f.final_limit
