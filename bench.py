@@ -344,18 +344,23 @@ def run():
         # relay inside the timed window, unlike the engine leg.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        # BENCH_E2E_STAGED: uploads kept in flight ahead of the scan
+        # (1 = classic double-buffer; >1 probes whether the relay
+        # pipelines concurrent device_puts)
+        depth = max(1, int(os.environ.get("BENCH_E2E_STAGED", "1")))
+        with ThreadPoolExecutor(max_workers=depth) as pool:
             t0 = time.time()
             outs = []
-            fut = pool.submit(searcher.prepare, *batches[0],
-                              upload_dtype=wire)
+            futs = [pool.submit(searcher.prepare, *batches[j],
+                                upload_dtype=wire)
+                    for j in range(min(depth, reps))]
             for i in range(reps):
-                nxt = (pool.submit(searcher.prepare, *batches[i + 1],
-                                   upload_dtype=wire)
-                       if i + 1 < reps else None)
+                if i + depth < reps:
+                    futs.append(pool.submit(
+                        searcher.prepare, *batches[i + depth],
+                        upload_dtype=wire))
                 outs.append(searcher.search_prepared(
-                    fut.result(), k, use_matryoshka=False))
-                fut = nxt
+                    futs[i].result(), k, use_matryoshka=False))
             float(jnp.sum(outs[-1][0]))
             e2e_dt = (time.time() - t0) / reps
         e2e_qps = batch / e2e_dt
