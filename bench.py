@@ -151,7 +151,15 @@ def run():
     gen_many = jax.jit(jax.vmap(
         lambda key: jax.random.normal(key, (100_000, d), dtype=jnp.float32)
         * scale_dev))
-    chunks_per_slab = 10 if (int8_only or n <= 2_000_000) else 5
+    # Slab sizing is an HBM budget: the capacity-mode int8 table at 10M
+    # x 768 is ~7.2 GiB, and dispatch is async, so several slabs' f32
+    # transients (2.9 GiB each at 1M rows) can be in flight at once —
+    # measured OOM at 10M with 1M-row slabs. Big capacity builds take
+    # 0.5M-row slabs and a host sync per slab to bound live transients
+    # (20 x ~30 ms RTT — noise next to generation itself).
+    big_capacity = int8_only and n > 4_000_000
+    chunks_per_slab = (5 if big_capacity
+                       else 10 if (int8_only or n <= 2_000_000) else 5)
     ci = 0
     remaining = n
     while remaining > 0:
@@ -159,6 +167,9 @@ def run():
         keys = jnp.stack([jax.random.fold_in(root, ci + j) for j in range(m)])
         slab = gen_many(keys).reshape(m * 100_000, d)
         dense.insert(slab[: min(m * 100_000, remaining)])
+        slab = None  # drop the f32 ref before the next slab allocates
+        if big_capacity:
+            float(jnp.sum(dense.live[:1]))  # drain in-flight transients
         ci += m
         remaining -= m * 100_000
     # force materialization (block_until_ready does not sync on the
