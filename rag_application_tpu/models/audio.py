@@ -108,11 +108,21 @@ def log_mel(x: np.ndarray, sr: int = SAMPLE_RATE, *, n_fft: int = N_FFT,
     return np.log(mels + 1e-6).astype(np.float32)
 
 
+def decode_audio(data: bytes) -> Tuple[np.ndarray, int]:
+    """Audio bytes (WAV or FLAC, by magic) -> (mono float32, rate).
+    FLAC decodes natively (ingest/flac.py); other compressed formats
+    still need the pipeline's audio_decoder hook."""
+    if data[:4] == b"fLaC":
+        from ..ingest.flac import decode_flac
+        return decode_flac(data)
+    return decode_wav(data)
+
+
 def wav_to_features(data: bytes, *, frames: int = N_FRAMES,
                     n_mels: int = N_MELS) -> np.ndarray:
-    """WAV bytes -> fixed-shape (frames, n_mels) normalized log-mel —
-    the encoder's audio input (static shape for XLA)."""
-    x, sr = decode_wav(data)
+    """WAV/FLAC bytes -> fixed-shape (frames, n_mels) normalized log-mel
+    — the encoder's audio input (static shape for XLA)."""
+    x, sr = decode_audio(data)
     m = log_mel(x, sr, n_mels=n_mels)
     if m.shape[0] >= frames:
         m = m[:frames]
