@@ -1141,14 +1141,13 @@ def extract_pages(data: bytes,
 # image itself is recovered instead, with no renderer: DCTDecode
 # streams ARE complete JPEG files (pass through untouched),
 # Flate/LZW raster data is wrapped into a PNG container (zlib + CRC,
-# stdlib) for the VLM, and CCITT Group 3/4 fax rasters decode natively
-# (ingest/ccitt.py). JBIG2 would need a full arithmetic-coder
-# implementation and returns None (the pipeline then demands the
-# pdf_rasterizer hook).
+# stdlib) for the VLM, CCITT Group 3/4 fax rasters decode natively
+# (ingest/ccitt.py), and generic-region JBIG2 decodes natively too
+# (ingest/jbig2.py: MQ coder in C). Only symbol/halftone-coded JBIG2
+# returns None (the pipeline then demands the pdf_rasterizer hook).
 
 _IMG_PASSTHROUGH = {"DCTDecode": "image/jpeg", "DCT": "image/jpeg",
                     "JPXDecode": "image/jp2"}
-_IMG_UNSUPPORTED = {"JBIG2Decode"}  # CCITT decodes natively (ccitt.py)
 
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:
@@ -1261,8 +1260,26 @@ def _image_to_bytes(doc: PDFDocument,
         if samples is None:
             return None
         return "image/png", _make_png(samples, w, h, 1, "gray")
-    if last in _IMG_UNSUPPORTED:
-        return None
+    if last == "JBIG2Decode":
+        # native generic-region JBIG2 (ingest/jbig2.py); symbol-coded
+        # streams return None -> pdf_rasterizer hook as before
+        from .jbig2 import decode_jbig2_params
+
+        parms = doc.resolve(d.get("DecodeParms") or d.get("DP")) or {}
+        if isinstance(parms, list):
+            parms = doc.resolve(parms[-1]) or {}
+        gstream = doc.resolve(parms.get("JBIG2Globals")) if isinstance(
+            parms, dict) else None
+        globals_data = b""
+        if gstream is not None and hasattr(gstream, "data"):
+            try:
+                globals_data = gstream.data()
+            except PDFError:
+                globals_data = b""
+        samples = decode_jbig2_params(s.data(), globals_data, w, h)
+        if samples is None:
+            return None
+        return "image/png", _make_png(samples, w, h, 1, "gray")
     try:
         samples = s.data()
         if d.get("ImageMask"):

@@ -415,7 +415,7 @@ class IngestPipeline:
                        for p in pages):
                 raise NonRetryableError(
                     "PDF has no extractable text and no convertible page "
-                    "images (CCITT/JBIG2 scan?); configure a "
+                    "images (symbol-coded JBIG2 scan?); configure a "
                     "pdf_rasterizer hook")
             if (not any(texts) and self.page_describer is None):
                 raise NonRetryableError(
