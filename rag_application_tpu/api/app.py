@@ -791,19 +791,69 @@ def build_app(config: Optional[Config] = None, *,
         if isinstance(raw, str):
             raw = [raw]
         texts = []
+        images = []  # per input row: (size,size,3) raster or None
+
+        def _data_url_bytes(url):
+            import base64
+
+            if not (isinstance(url, str) and url.startswith("data:")):
+                return None
+            try:
+                return base64.b64decode(url.split(",", 1)[1])
+            except (IndexError, ValueError):
+                return None
+
         for item in raw:
             if isinstance(item, str):
                 texts.append(item)
+                images.append(None)
             elif isinstance(item, list):  # message-style content blocks
                 texts.append(" ".join(
                     b.get("text", "") for b in item
                     if isinstance(b, dict) and b.get("type") == "text"))
+                img = None
+                for b in item:
+                    if not (isinstance(b, dict)
+                            and b.get("type") in ("image_url", "input_image")
+                            and state.embedder.supports_images):
+                        continue
+                    u = b.get("image_url")
+                    u = u.get("url") if isinstance(u, dict) else u
+                    data = _data_url_bytes(u)
+                    if data is None:
+                        continue
+                    from ..models.image import PNGError, png_to_input
+
+                    try:  # PNG rasters fuse with the text tokens;
+                        # other formats fall back to text-only
+                        img = png_to_input(
+                            data, state.embedder.state.model.image_size)
+                        break
+                    except PNGError:
+                        continue
+                images.append(img)
             else:
                 texts.append(str(item))
+                images.append(None)
         import asyncio as _asyncio
 
+        def _encode():
+            import numpy as _np
+
+            out = _np.zeros((len(texts), state.embedder.dim), _np.float32)
+            t_rows = [i for i, im in enumerate(images) if im is None]
+            i_rows = [i for i, im in enumerate(images) if im is not None]
+            if t_rows:
+                out[t_rows] = state.embedder.encode(
+                    [texts[i] for i in t_rows])
+            if i_rows:  # single-tower fusion: patches + caption tokens
+                out[i_rows] = state.embedder.encode_image(
+                    _np.stack([images[i] for i in i_rows]),
+                    texts=[texts[i] for i in i_rows])
+            return out
+
         vecs = await _asyncio.get_running_loop().run_in_executor(
-            None, state.embedder.encode, texts)
+            None, _encode)
         return {
             "object": "list",
             "model": body.get("model", "rag-tpu-encoder"),

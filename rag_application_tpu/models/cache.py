@@ -47,6 +47,10 @@ class EmbeddingCache:
         self.hits += 1
         return vec
 
+    def clear(self) -> None:
+        """Drop every entry (e.g. after the encoder's weights change)."""
+        self._store.clear()
+
     def put(self, text: str, vec: np.ndarray) -> None:
         k = self.key(text)
         # copy: callers pass views into whole batch arrays — asarray

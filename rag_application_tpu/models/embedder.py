@@ -138,3 +138,58 @@ class Embedder:
                 lambda p, i, m, a: self.state.model.apply(
                     p, i, m, None, None, a))
         return self._audio_forward_jit(params, ids, mask, feats)
+
+    # ------------------------------------------------------------- image
+
+    @property
+    def supports_images(self) -> bool:
+        return self.supports_audio  # same single multimodal tower
+
+    def encode_image(self, images: np.ndarray,
+                     texts: Optional[Sequence[str]] = None) -> np.ndarray:
+        """Raster images (N, S, S, 3) float in [0, 1] -> (N, out_dim)
+        unit vectors via the multimodal tower's patch branch (parity:
+        ImageBind ModalityType.VISION, imagebind_handler.py:23-32; the
+        v2 interleaved text+image embedding, model_handler.py:131-169).
+        Optional `texts` interleave caption tokens with the patches."""
+        if not self.supports_images:
+            raise ValueError(
+                "image embedding needs a MultimodalEncoder "
+                "(init_encoder(multimodal=True))")
+        model = self.state.model
+        imgs = np.asarray(images, dtype=np.float32)
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        s = model.image_size
+        if imgs.shape[1:] != (s, s, 3):
+            raise ValueError(
+                f"images must be (N, {s}, {s}, 3); got {imgs.shape}")
+        n = imgs.shape[0]
+        batch_texts = list(texts) if texts is not None else [""] * n
+        if len(batch_texts) != n:
+            raise ValueError(
+                f"texts must match the image batch: got {len(batch_texts)}"
+                f" captions for {n} images")
+        ids, mask = self.tokenizer.encode_batch(batch_texts, self.max_len)
+        if texts is None:
+            mask = np.zeros_like(mask)  # image-only: no text tokens attend
+        out = np.zeros((n, self.cfg.out_dim), dtype=np.float32)
+        for start in range(0, n, self.batch_size):
+            sl = slice(start, min(start + self.batch_size, n))
+            k = sl.stop - sl.start
+            pad = self.batch_size - k
+            b_ids = np.pad(ids[sl], ((0, pad), (0, 0)))
+            b_mask = np.pad(mask[sl], ((0, pad), (0, 0)))
+            b_imgs = np.pad(imgs[sl], ((0, pad), (0, 0), (0, 0), (0, 0)))
+            vecs = np.asarray(self._image_forward(
+                self.state.params, jnp.asarray(b_ids), jnp.asarray(b_mask),
+                jnp.asarray(b_imgs)))[:k]
+            out[sl] = vecs
+        return out
+
+    def _image_forward(self, params, ids, mask, imgs):
+        if not hasattr(self, "_image_forward_jit"):
+            self._image_forward_jit = jax.jit(
+                lambda p, i, m, im: self.state.model.apply(
+                    p, i, m, im, None, None))
+        return self._image_forward_jit(params, ids, mask, imgs)

@@ -1,0 +1,149 @@
+"""Image front-end: native PNG decode + raster prep for the multimodal
+tower (stdlib zlib + numpy — the image-side analogue of models/audio.py).
+
+The reference feeds raw image bytes to ImageBind's torchvision
+preprocessing (app/core/models/imagebind/imagebind_handler.py:23-32)
+and to the v2 interleaved-content embedding endpoint
+(model_handler.py:131-169). Here PNG (the container the PDF extractor
+itself emits, ingest/pdf.py::_make_png) decodes natively; JPEG bytes
+pass through untouched to VLM hooks but are not rasterized on-host
+(callers fall back to the text path).
+
+Supports non-interlaced 8-bit gray / gray+alpha / RGB / RGBA / palette
+PNGs with all five row filters, plus 1/2/4-bit gray and palette depths
+(what _make_png and common tooling produce).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["PNGError", "decode_png", "resize_raster", "png_to_input"]
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+class PNGError(ValueError):
+    """Malformed or unsupported PNG."""
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-row filters (PNG spec 9.2); returns (h, stride) bytes."""
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = raw[pos + 1:pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:                             # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):                     # Sub/Average/Paeth
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    v = row[x] + a
+                elif ftype == 3:
+                    v = row[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    v = row[x] + pr
+                cur[x] = v & 0xFF
+        else:
+            raise PNGError(f"bad filter type {ftype} on row {y}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) float32 RGB in [0, 1]."""
+    if data[:8] != _MAGIC:
+        raise PNGError("not a PNG (bad signature)")
+    pos = 8
+    w = h = bit_depth = ctype = interlace = 0
+    idat = bytearray()
+    palette: Optional[np.ndarray] = None
+    while pos + 8 <= len(data):
+        length = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length                           # incl. CRC
+        if tag == b"IHDR":
+            w, h, bit_depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w == 0 or h == 0:
+        raise PNGError("missing IHDR")
+    if interlace:
+        raise PNGError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise PNGError(f"bad color type {ctype}")
+    if bit_depth not in (1, 2, 4, 8) or (bit_depth != 8 and ctype not in
+                                         (0, 3)):
+        raise PNGError(f"unsupported bit depth {bit_depth}/color {ctype}")
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    except zlib.error as e:
+        raise PNGError(f"bad IDAT: {e}") from e
+    stride = (w * channels * bit_depth + 7) // 8
+    bpp = max(1, (channels * bit_depth + 7) // 8)
+    if len(raw) < h * (stride + 1):
+        raise PNGError("truncated pixel data")
+    rows = _unfilter(raw, h, stride, bpp)
+    if bit_depth < 8:
+        bits = np.unpackbits(rows, axis=1)
+        take = bits.reshape(h, -1, bit_depth)[:, :w]
+        vals = np.zeros((h, w), np.uint8)
+        for i in range(bit_depth):
+            vals = (vals << 1) | take[:, :, i]
+        if ctype == 0:                               # scale to 0..255
+            vals = (vals.astype(np.uint16)
+                    * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        px = vals[..., None]
+    else:
+        px = rows[:, :w * channels].reshape(h, w, channels)
+    if ctype == 3:
+        if palette is None:
+            raise PNGError("palette image without PLTE")
+        rgb = palette[np.minimum(px[..., 0], len(palette) - 1)]
+    elif channels == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif channels == 2:                              # gray+alpha
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    elif channels == 4:
+        rgb = px[..., :3]
+    else:
+        rgb = px
+    return rgb.astype(np.float32) / 255.0
+
+
+def resize_raster(img: np.ndarray, size: int) -> np.ndarray:
+    """(H, W, 3) -> (size, size, 3) by nearest-neighbor sampling (the
+    tower's patch conv is robust to resampling detail)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(size) * h) // size, h - 1)
+    xs = np.minimum((np.arange(size) * w) // size, w - 1)
+    return img[ys][:, xs]
+
+
+def png_to_input(data: bytes, size: int) -> np.ndarray:
+    """PNG bytes -> (size, size, 3) float32 tower input."""
+    return resize_raster(decode_png(data), size)
