@@ -344,7 +344,9 @@ def decode_flac_pcm(data: bytes) -> Tuple[np.ndarray, int, int]:
     if not chans[0]:
         raise FLACError("no audio frames")
     pcm = np.stack([np.concatenate(c) for c in chans], axis=1)
-    if 0 <= total < pcm.shape[0]:
+    # total_samples == 0 in STREAMINFO means "unknown" (streamed/pipe
+    # encodes) — only trim when a real count is present.
+    if 0 < total < pcm.shape[0]:
         pcm = pcm[:total]
     return pcm.astype(np.int32), sr, bps
 

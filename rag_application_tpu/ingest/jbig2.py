@@ -37,6 +37,12 @@ class JBIG2Error(ValueError):
     """Malformed stream or a JBIG2 feature outside the generic subset."""
 
 
+# Region/page dimensions come from untrusted segment payloads; bound the
+# allocation so a crafted header raises JBIG2Error (-> pdf_rasterizer
+# fallback) instead of a multi-GB MemoryError. 60 MP covers A0 @ 300dpi.
+MAX_PIXELS = 60_000_000
+
+
 # ------------------------------------------------------- native decoder
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -90,6 +96,8 @@ def decode_generic(data: bytes, w: int, h: int, *, template: int = 0,
     """Decode one generic region to an (h, w) uint8 bitmap (1 = black)."""
     if w <= 0 or h <= 0:
         raise JBIG2Error(f"bad region size {w}x{h}")
+    if w * h > MAX_PIXELS:
+        raise JBIG2Error(f"region too large ({w}x{h} > {MAX_PIXELS} px)")
     if mmr:
         from .ccitt import CCITTError, decode_ccitt
         try:
@@ -217,6 +225,9 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     if page_w == 0 or page_h in (0, 0xFFFFFFFF):     # striped/absent page
         page_w = max([page_w] + [x + b.shape[1] for x, _y, _o, b in regions])
         page_h = max(y + b.shape[0] for _x, y, _o, b in regions)
+    if page_w * page_h > MAX_PIXELS:
+        raise JBIG2Error(
+            f"page too large ({page_w}x{page_h} > {MAX_PIXELS} px)")
     page = np.full((page_h, page_w), page_default, np.uint8)
     for x, y, op, bmp in regions:
         h, w = bmp.shape

@@ -31,10 +31,23 @@ class PNGError(ValueError):
     """Malformed or unsupported PNG."""
 
 
+# Client-supplied PNGs on /v1/embeddings: bound the decode work so a
+# crafted header can't pin an executor thread (the tower downsamples to
+# image_size anyway; 24 MP covers any real page render).
+MAX_PIXELS = 24_000_000
+
+
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Undo per-row filters (PNG spec 9.2); returns (h, stride) bytes."""
+    """Undo per-row filters (PNG spec 9.2); returns (h, stride) bytes.
+
+    None/Up are whole-row vector ops; Sub is a per-lane cumsum (addition
+    mod 256 is linear, so int64 cumsum & 0xFF is exact); Average/Paeth
+    keep only the serial a=cur[x-bpp] dependency, stepping x in units of
+    bpp with the bpp lanes vectorized.
+    """
     out = np.zeros((h, stride), np.uint8)
     pos = 0
+    npad = (-stride) % bpp
     for y in range(h):
         ftype = raw[pos]
         row = raw[pos + 1:pos + 1 + stride].astype(np.int32)
@@ -44,23 +57,36 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             cur = row
         elif ftype == 2:                             # Up
             cur = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):                     # Sub/Average/Paeth
-            cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if ftype == 1:
-                    v = row[x] + a
-                elif ftype == 3:
-                    v = row[x] + ((a + b) >> 1)
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c)
-                    v = row[x] + pr
-                cur[x] = v & 0xFF
+        elif ftype == 1:                             # Sub: cumsum per lane
+            lanes = np.concatenate([row, np.zeros(npad, np.int32)])
+            lanes = lanes.reshape(-1, bpp)
+            cur = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF)
+            cur = cur.reshape(-1)[:stride].astype(np.int32)
+        elif ftype in (3, 4):                        # Average/Paeth
+            rowp = np.concatenate([row, np.zeros(npad, np.int32)])
+            prevp = np.concatenate([prev, np.zeros(npad, np.int32)])
+            rowl = rowp.reshape(-1, bpp)
+            prevl = prevp.reshape(-1, bpp)
+            curl = np.zeros_like(rowl)
+            a = np.zeros(bpp, np.int32)
+            c0 = np.zeros(bpp, np.int32)
+            if ftype == 3:
+                for k in range(rowl.shape[0]):
+                    a = (rowl[k] + ((a + prevl[k]) >> 1)) & 0xFF
+                    curl[k] = a
+            else:
+                for k in range(rowl.shape[0]):
+                    b = prevl[k]
+                    p = a + b - c0
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - c0)
+                    pr = np.where((pa <= pb) & (pa <= pc), a,
+                                  np.where(pb <= pc, b, c0))
+                    a = (rowl[k] + pr) & 0xFF
+                    curl[k] = a
+                    c0 = b
+            cur = curl.reshape(-1)[:stride]
         else:
             raise PNGError(f"bad filter type {ftype} on row {y}")
         out[y] = cur.astype(np.uint8)
@@ -68,7 +94,20 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (H, W, 3) float32 RGB in [0, 1]."""
+    """PNG bytes -> (H, W, 3) float32 RGB in [0, 1].
+
+    Every malformed-input failure surfaces as PNGError so callers'
+    text-only fallback applies (api/app.py catches PNGError only).
+    """
+    try:
+        return _decode_png(data)
+    except PNGError:
+        raise
+    except (struct.error, ValueError, IndexError, OverflowError) as e:
+        raise PNGError(f"malformed PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _MAGIC:
         raise PNGError("not a PNG (bad signature)")
     pos = 8
@@ -91,6 +130,8 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w == 0 or h == 0:
         raise PNGError("missing IHDR")
+    if w * h > MAX_PIXELS:
+        raise PNGError(f"PNG too large ({w}x{h} > {MAX_PIXELS} px)")
     if interlace:
         raise PNGError("interlaced PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)

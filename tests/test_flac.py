@@ -99,3 +99,17 @@ def test_truncated_stream_rejected():
     blob = encode_flac(_sig(4096, 1, 16), 16000)
     with pytest.raises(FLACError):
         decode_flac_pcm(blob[:len(blob) // 2])
+
+
+def test_unknown_total_samples_decodes_fully():
+    """STREAMINFO total_samples == 0 means 'unknown' (streamed/pipe
+    encodes) — the decode must NOT truncate to zero samples."""
+    pcm = _sig(2500, 1, 16)
+    blob = bytearray(encode_flac(pcm, 16000, block_size=1024))
+    # STREAMINFO body starts at byte 8; body[10:18] packs sr/ch/bps/total,
+    # total = low 36 bits. Zero them.
+    bits = int.from_bytes(blob[18:26], "big")
+    blob[18:26] = (bits & ~((1 << 36) - 1)).to_bytes(8, "big")
+    out, sr, bps = decode_flac_pcm(bytes(blob))
+    assert out.shape[0] == 2500
+    np.testing.assert_array_equal(out[:, 0], pcm[:, 0])

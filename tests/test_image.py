@@ -130,3 +130,41 @@ def test_embeddings_endpoint_image_blocks():
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_malformed_png_raises_pngerror_not_struct_error():
+    """Truncated IHDR / bad PLTE must surface as PNGError so the
+    endpoint's text-only fallback applies (not an unhandled 500)."""
+    magic = b"\x89PNG\r\n\x1a\n"
+    # truncated IHDR body (struct.error inside)
+    bad1 = magic + b"\x00\x00\x00\x0dIHDR" + b"\x00\x00\x00\x10"
+    with pytest.raises(PNGError):
+        decode_png(bad1)
+    # PLTE whose length is not a multiple of 3 (reshape ValueError)
+    import struct as _s
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    bad2 = (magic + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0" * 4
+            + _s.pack(">I", 4) + b"PLTE" + b"\x01\x02\x03\x04" + b"\0" * 4)
+    with pytest.raises(PNGError):
+        decode_png(bad2)
+    # absurd declared dimensions rejected before allocation
+    ihdr3 = _s.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bad3 = (magic + _s.pack(">I", len(ihdr3)) + b"IHDR" + ihdr3 + b"\0" * 4)
+    with pytest.raises(PNGError):
+        decode_png(bad3)
+
+
+def test_unfilter_vectorized_matches_all_filters():
+    """Force every encoder filter type through a PIL encode (optimize
+    picks Paeth/Sub/Avg on gradients) and roundtrip exactly."""
+    rng = np.random.default_rng(7)
+    # smooth gradient -> PIL picks predictive filters
+    y = np.linspace(0, 255, 64)[:, None]
+    x = np.linspace(0, 255, 48)[None, :]
+    arr = np.stack([(y + x) / 2, y * np.ones_like(x), np.ones_like(y) * x],
+                   axis=-1).astype(np.uint8)
+    arr[20:30] = rng.integers(0, 256, (10, 48, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, "PNG", optimize=True)
+    out = decode_png(buf.getvalue())
+    np.testing.assert_allclose(out, arr / 255.0, atol=1e-6)

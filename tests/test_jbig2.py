@@ -157,3 +157,12 @@ def test_garbage_rejected():
         decode_embedded(b"\x00\x01\x02")
     with pytest.raises(JBIG2Error):
         decode_embedded(b"")
+
+
+def test_huge_declared_dimensions_rejected():
+    """Untrusted segment dims must raise JBIG2Error (-> rasterizer
+    fallback), not a multi-GB MemoryError."""
+    from rag_application_tpu.ingest.jbig2 import decode_generic
+
+    with pytest.raises(JBIG2Error):
+        decode_generic(b"\x00" * 16, 100_000, 100_000)
