@@ -2,11 +2,15 @@
 
 Covers the subset scanner pipelines actually emit for bilevel pages:
 generic regions — MQ-arithmetic coded with templates 0-3 + TPGDON, or
-MMR (T.6, reusing ingest/ccitt.py) — composited onto the page bitmap
-with the segment's external combination operator, plus the embedded
-segment-header format (T.88 §7.2) and JBIG2Globals. Symbol/text
-regions, halftones, and refinement raise :class:`JBIG2Error`, so the
-pipeline falls back to the ``pdf_rasterizer`` hook exactly as before.
+MMR (T.6, reusing ingest/ccitt.py) — plus symbol dictionaries (T.88
+§6.5) and text regions (§6.4) in their arithmetic-coded form (the
+jbig2enc default; Annex-A integer decoding + shared-stream generic
+bitmaps run in C). Regions composite onto the page bitmap with the
+segment's external combination operator; the embedded segment-header
+format (§7.2) and JBIG2Globals are handled. Huffman-coded variants,
+refinement/aggregate symbols, halftones raise :class:`JBIG2Error`, so
+the pipeline falls back to the ``pdf_rasterizer`` hook exactly as
+before.
 
 The per-pixel MQ loop lives in C (native/jbig2.c, ctypes) — a 300-dpi
 page is ~8M pixels x 16 context loads. The encoder here (MQ encoder +
@@ -25,12 +29,13 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-from typing import Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 __all__ = ["JBIG2Error", "decode_embedded", "decode_generic",
-           "decode_jbig2_params", "encode_embedded", "encode_generic"]
+           "decode_jbig2_params", "encode_embedded", "encode_generic",
+           "encode_symbol_text"]
 
 
 class JBIG2Error(ValueError):
@@ -85,6 +90,21 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_byte),
             ctypes.c_char_p]
+        lib.jbig2_mq_new.restype = ctypes.c_void_p
+        lib.jbig2_mq_new.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        lib.jbig2_mq_free.argtypes = [ctypes.c_void_p]
+        lib.jbig2_int_decode.restype = ctypes.c_int
+        lib.jbig2_int_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.jbig2_iaid_decode.restype = ctypes.c_int
+        lib.jbig2_iaid_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.jbig2_generic_into.restype = ctypes.c_int
+        lib.jbig2_generic_into.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_byte)]
         _lib_handle = lib
     return _lib_handle
 
@@ -124,10 +144,268 @@ def decode_generic(data: bytes, w: int, h: int, *, template: int = 0,
     return np.frombuffer(out.raw, np.uint8).reshape(h, w).copy()
 
 
+# ------------------------------------- arithmetic decoder (shared MQ)
+
+class _ArithDecoder:
+    """One MQ stream + the Annex-A integer/ID decoders over it, used by
+    symbol dictionaries (T.88 6.5) and text regions (6.4). Per-bit and
+    per-pixel loops run in C; this class owns the context banks."""
+
+    def __init__(self, data: bytes):
+        self._data = data                 # keep alive for the C pointer
+        self._h = _lib().jbig2_mq_new(data, len(data))
+        if not self._h:
+            raise JBIG2Error("MQ decoder allocation failed")
+        self._int_cx: dict = {}
+        self._gb_cx = ctypes.create_string_buffer(1 << 16)
+        self._iaid_cx: Optional[ctypes.Array] = None
+
+    def close(self) -> None:
+        if self._h:
+            _lib().jbig2_mq_free(self._h)
+            self._h = None
+
+    def __enter__(self) -> "_ArithDecoder":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def decode_int(self, name: str) -> Optional[int]:
+        """One Annex A.2 integer from the ``name`` class; None = OOB."""
+        cx = self._int_cx.get(name)
+        if cx is None:
+            cx = self._int_cx[name] = ctypes.create_string_buffer(512)
+        out = ctypes.c_int32()
+        rc = _lib().jbig2_int_decode(self._h, cx, ctypes.byref(out))
+        return int(out.value) if rc == 1 else None
+
+    def decode_iaid(self, symcodelen: int) -> int:
+        if self._iaid_cx is None:
+            self._iaid_cx = ctypes.create_string_buffer(
+                1 << (symcodelen + 1))
+        return int(_lib().jbig2_iaid_decode(self._h, self._iaid_cx,
+                                            symcodelen))
+
+    def decode_generic(self, w: int, h: int, *, template: int,
+                       at: List[Tuple[int, int]]) -> np.ndarray:
+        """One bitmap on the shared stream with the shared GB bank."""
+        if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+            raise JBIG2Error(f"bad shared-region size {w}x{h}")
+        at_c = (ctypes.c_byte * 8)()
+        for i, (ax, ay) in enumerate(at):
+            at_c[2 * i], at_c[2 * i + 1] = ax, ay
+        out = ctypes.create_string_buffer(w * h)
+        rc = _lib().jbig2_generic_into(self._h, self._gb_cx, out, w, h,
+                                       template, 0, at_c)
+        if rc != 0:
+            raise JBIG2Error(f"shared generic decode failed (rc={rc})")
+        return np.frombuffer(out.raw, np.uint8).reshape(h, w).copy()
+
+
+# --------------------------------------------------- symbol dictionary
+
+_MAX_SYMBOLS = 100_000
+
+
+def _decode_symbol_dict(payload: bytes,
+                        input_syms: List[np.ndarray]) -> List[np.ndarray]:
+    """Symbol dictionary segment (type 0) -> exported symbol bitmaps
+    (T.88 6.5; arithmetic, REFAGG=0 — what jbig2enc-style scanner
+    pipelines emit). Huffman/refinement variants raise (-> rasterizer
+    hook fallback)."""
+    if len(payload) < 2:
+        raise JBIG2Error("short symbol dictionary")
+    flags = struct.unpack(">H", payload[:2])[0]
+    sdhuff = flags & 1
+    refagg = (flags >> 1) & 1
+    ctx_used = (flags >> 8) & 1
+    ctx_retained = (flags >> 9) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise JBIG2Error("Huffman symbol dictionary (unsupported)")
+    if refagg:
+        raise JBIG2Error("refinement/aggregate symbols (unsupported)")
+    if ctx_used or ctx_retained:
+        raise JBIG2Error("cross-segment context retention (unsupported)")
+    pos = 2
+    nat = 4 if template == 0 else 1
+    at = []
+    for i in range(nat):
+        ax, ay = struct.unpack(">bb", payload[pos:pos + 2])
+        at.append((ax, ay))
+        pos += 2
+    num_ex, num_new = struct.unpack(">II", payload[pos:pos + 8])
+    pos += 8
+    if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS + len(input_syms):
+        raise JBIG2Error(f"symbol counts out of range ({num_new}/{num_ex})")
+
+    new_syms: List[np.ndarray] = []
+    budget = MAX_PIXELS
+    with _ArithDecoder(payload[pos:]) as dec:
+        hc_height = 0
+        while len(new_syms) < num_new:
+            dh = dec.decode_int("IADH")
+            if dh is None:
+                raise JBIG2Error("OOB height-class delta")
+            hc_height += dh
+            if not 0 < hc_height <= 1 << 20:
+                raise JBIG2Error(f"bad height class {hc_height}")
+            sym_width = 0
+            while True:
+                dw = dec.decode_int("IADW")
+                if dw is None:
+                    break                    # end of height class
+                sym_width += dw
+                if not 0 < sym_width <= 1 << 20:
+                    raise JBIG2Error(f"bad symbol width {sym_width}")
+                if len(new_syms) >= num_new:
+                    raise JBIG2Error("too many symbols in dictionary")
+                budget -= sym_width * hc_height
+                if budget < 0:
+                    raise JBIG2Error("symbol dictionary exceeds pixel budget")
+                new_syms.append(dec.decode_generic(
+                    sym_width, hc_height, template=template, at=at))
+        # export flags: alternating skip/export run lengths, skip first
+        # (6.5.10: CUREXFLAG starts 0)
+        all_syms = list(input_syms) + new_syms
+        exported: List[np.ndarray] = []
+        i, exflag = 0, 0
+        while i < len(all_syms):
+            run = dec.decode_int("IAEX")
+            if run is None or run < 0:
+                raise JBIG2Error("bad export run length")
+            if exflag:
+                exported.extend(all_syms[i:i + run])
+            i += run
+            exflag ^= 1
+    if len(exported) != num_ex:
+        raise JBIG2Error(
+            f"exported {len(exported)} symbols, header said {num_ex}")
+    return exported
+
+
+# --------------------------------------------------------- text region
+
+def _decode_text_region(payload: bytes, syms: List[np.ndarray]
+                        ) -> Tuple[int, int, int, np.ndarray]:
+    """Text region segment (types 4-6) -> (x, y, ext_op, bitmap)
+    (T.88 6.4; arithmetic, SBREFINE=0)."""
+    w, h, x, y, ext_op = _region_info(payload)
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise JBIG2Error(f"bad text region size {w}x{h}")
+    pos = 17
+    if len(payload) < pos + 6:
+        raise JBIG2Error("short text region")
+    flags = struct.unpack(">H", payload[pos:pos + 2])[0]
+    pos += 2
+    sbhuff = flags & 1
+    sbrefine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3           # 0 BL, 1 TL, 2 BR, 3 TR
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32                     # signed 5-bit
+    if sbhuff:
+        raise JBIG2Error("Huffman text region (unsupported)")
+    if sbrefine:
+        raise JBIG2Error("refinement text region (unsupported)")
+    num_instances = struct.unpack(">I", payload[pos:pos + 4])[0]
+    pos += 4
+    if num_instances > 10 * _MAX_SYMBOLS:
+        raise JBIG2Error(f"instance count out of range ({num_instances})")
+    if not syms:
+        raise JBIG2Error("text region with no symbols")
+    strips = 1 << log_strips
+    symcodelen = max(1, (len(syms) - 1).bit_length())
+
+    region = np.full((h, w), def_pixel, np.uint8)
+
+    def draw(sym: np.ndarray, s: int, t: int) -> None:
+        """Blit with the strip coordinate mapped per REFCORNER /
+        TRANSPOSED (6.4.5 step 3c viii)."""
+        sh, sw = sym.shape
+        # corner encoding: 0 BL, 1 TL, 2 BR, 3 TR -> LEFT={0,1}, TOP={1,3}
+        if transposed:
+            # S runs vertically, T horizontally
+            ry = s if ref_corner in (1, 3) else s - sh + 1
+            rx = t if ref_corner in (0, 1) else t - sw + 1
+        else:
+            rx = s if ref_corner in (0, 1) else s - sw + 1
+            ry = t if ref_corner in (1, 3) else t - sh + 1
+        x0, y0 = max(rx, 0), max(ry, 0)
+        x1, y1 = min(rx + sw, w), min(ry + sh, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        view = region[y0:y1, x0:x1]
+        part = sym[y0 - ry:y1 - ry, x0 - rx:x1 - rx]
+        if comb_op == 0:
+            view |= part
+        elif comb_op == 1:
+            view &= part
+        elif comb_op == 2:
+            view ^= part
+        else:
+            view[...] = 1 - (view ^ part)
+
+    with _ArithDecoder(payload[pos:]) as dec:
+        dt0 = dec.decode_int("IADT")
+        if dt0 is None:
+            raise JBIG2Error("OOB strip T")
+        strip_t = -dt0 * strips
+        first_s = 0
+        n_inst = 0
+        while n_inst < num_instances:
+            dt = dec.decode_int("IADT")
+            if dt is None:
+                raise JBIG2Error("OOB strip delta")
+            strip_t += dt * strips
+            dfs = dec.decode_int("IAFS")
+            if dfs is None:
+                raise JBIG2Error("OOB first S")
+            first_s += dfs
+            cur_s = first_s
+            first = True
+            while True:
+                if not first:
+                    ids = dec.decode_int("IADS")
+                    if ids is None:
+                        break               # end of strip
+                    cur_s += ids + ds_offset
+                first = False
+                if n_inst >= num_instances:
+                    break
+                cur_t = 0 if strips == 1 else dec.decode_int("IAIT")
+                if cur_t is None:
+                    raise JBIG2Error("OOB T offset")
+                t_i = strip_t + cur_t
+                sid = dec.decode_iaid(symcodelen)
+                if not 0 <= sid < len(syms):
+                    raise JBIG2Error(f"symbol id {sid} out of range")
+                sym = syms[sid]
+                sh, sw = sym.shape
+                if (not transposed) and ref_corner in (2, 3):
+                    cur_s += sw - 1         # pre-advance (3c vi)
+                elif transposed and ref_corner in (0, 2):
+                    cur_s += sh - 1
+                draw(sym, cur_s, t_i)
+                if (not transposed) and ref_corner in (0, 1):
+                    cur_s += sw - 1         # post-advance (3c x)
+                elif transposed and ref_corner in (1, 3):
+                    cur_s += sh - 1
+                n_inst += 1
+    return x, y, ext_op, region
+
+
 # ----------------------------------------------------- segment parsing
 
-def _parse_segments(data: bytes) -> Iterator[Tuple[int, int, int, bytes]]:
-    """Embedded-format segment stream -> (number, type, page, payload)."""
+def _parse_segments(data: bytes
+                    ) -> Iterator[Tuple[int, int, int, bytes, List[int]]]:
+    """Embedded-format segment stream ->
+    (number, type, page, payload, referred-segment numbers)."""
     pos, n = 0, len(data)
     while pos < n:
         if pos + 11 > n:
@@ -144,7 +422,11 @@ def _parse_segments(data: bytes) -> Iterator[Tuple[int, int, int, bytes]]:
         else:
             pos += 1
         ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
-        pos += count * ref_size
+        refs = []
+        for _ in range(count):
+            chunk = data[pos:pos + ref_size]
+            refs.append(int.from_bytes(chunk, "big"))
+            pos += ref_size
         if flags & 0x40:
             page = struct.unpack(">I", data[pos:pos + 4])[0]
             pos += 4
@@ -159,7 +441,7 @@ def _parse_segments(data: bytes) -> Iterator[Tuple[int, int, int, bytes]]:
             raise JBIG2Error("unknown-length segment (unsupported)")
         if pos + length > n:
             raise JBIG2Error("segment data past end of stream")
-        yield num, stype, page, data[pos:pos + length]
+        yield num, stype, page, data[pos:pos + length], refs
         pos += length
 
 
@@ -171,8 +453,7 @@ def _region_info(payload: bytes) -> Tuple[int, int, int, int, int]:
 
 
 _UNSUPPORTED_TYPES = {
-    0: "symbol dictionary", 4: "text region", 5: "text region",
-    6: "text region", 7: "text region", 16: "pattern dictionary",
+    7: "text region (unknown subtype)", 16: "pattern dictionary",
     20: "halftone region", 22: "halftone region", 23: "halftone region",
     40: "refinement region", 42: "refinement region",
     43: "refinement region",
@@ -181,19 +462,40 @@ _UNSUPPORTED_TYPES = {
 
 def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """PDF-embedded JBIG2 (+ optional JBIG2Globals) -> page bitmap
-    (height, width) uint8, 1 = black ink."""
+    (height, width) uint8, 1 = black ink.
+
+    Covers generic regions (36/38/39), symbol dictionaries (0) and
+    text regions (4/5/6) — the segments scanner pipelines emit.
+    Halftone/refinement (and Huffman-coded variants) raise, keeping the
+    pdf_rasterizer-hook fallback."""
     segments = list(_parse_segments(globals_data)) if globals_data else []
     segments += list(_parse_segments(data))
 
     page_w = page_h = 0
     page_default = 0
     regions: List[Tuple[int, int, int, np.ndarray]] = []
-    for _num, stype, _page, payload in segments:
+    # segment number -> exported symbols of that symbol dictionary
+    sym_dicts: Dict[int, List[np.ndarray]] = {}
+    for num, stype, _page, payload, refs in segments:
         if stype == 48:                              # page info
             if len(payload) < 17:
                 raise JBIG2Error("short page info segment")
             page_w, page_h = struct.unpack(">II", payload[:8])
             page_default = (payload[16] >> 2) & 1
+        elif stype == 0:                             # symbol dictionary
+            inputs: List[np.ndarray] = []
+            for r in refs:
+                inputs.extend(sym_dicts.get(r, []))
+            sym_dicts[num] = _decode_symbol_dict(payload, inputs)
+        elif stype in (4, 5, 6):                     # text region
+            syms: List[np.ndarray] = []
+            for r in refs:
+                syms.extend(sym_dicts.get(r, []))
+            if not syms:                             # unreferenced dicts
+                for exported in sym_dicts.values():
+                    syms.extend(exported)
+            x, y, op, bmp = _decode_text_region(payload, syms)
+            regions.append((x, y, op, bmp))
         elif stype in (36, 38, 39):                  # generic region
             w, h, x, y, op = _region_info(payload)
             gflags = payload[17]
@@ -366,16 +668,13 @@ class _MQEncoder:
         return bytes(self.out[1:])
 
 
-def encode_generic(bitmap: np.ndarray, *, template: int = 0,
-                   tpgdon: bool = False) -> bytes:
-    """MQ-encode a (h, w) 0/1 bitmap as generic-region data (nominal
-    AT pixels) — the exact inverse of decode_generic."""
+def _generic_encode_into(enc: "_MQEncoder", cx: dict, bitmap: np.ndarray,
+                         *, template: int = 0, tpgdon: bool = False) -> None:
+    """MQ-encode one bitmap on a caller's stream + GB context bank."""
     bitmap = np.asarray(bitmap, np.uint8)
     h, w = bitmap.shape
     tmpl = sorted(_CODING_TEMPLATE[template] + _NOMINAL_AT[template],
                   key=lambda p: (p[1], p[0]))
-    enc = _MQEncoder()
-    cx = {}
 
     def bit_at(px: int, py: int) -> int:
         if 0 <= px < w and 0 <= py < h:
@@ -399,11 +698,156 @@ def encode_generic(bitmap: np.ndarray, *, template: int = 0,
                 ctx = (ctx << 1) | bit_at(x + dx, y + dy)
             enc.encode(cx.setdefault(ctx, [0, 0]), int(bitmap[y, x]))
         prev = bitmap[y]
+
+
+def encode_generic(bitmap: np.ndarray, *, template: int = 0,
+                   tpgdon: bool = False) -> bytes:
+    """MQ-encode a (h, w) 0/1 bitmap as generic-region data (nominal
+    AT pixels) — the exact inverse of decode_generic."""
+    enc = _MQEncoder()
+    _generic_encode_into(enc, {}, bitmap, template=template, tpgdon=tpgdon)
     return enc.flush()
 
 
-def _segment(num: int, stype: int, page: int, payload: bytes) -> bytes:
-    return (struct.pack(">IB", num, stype) + b"\x00"  # no referred segs
+class _ArithEncoder:
+    """One MQ stream + Annex-A integer/ID encoders over it — the exact
+    inverse of `_ArithDecoder`, for symbol/text fixtures."""
+
+    def __init__(self):
+        self.enc = _MQEncoder()
+        self._int_cx: Dict[str, dict] = {}
+        self._iaid_cx: dict = {}
+        self.gb_cx: dict = {}
+
+    def encode_int(self, name: str, v: Optional[int]) -> None:
+        """A.2 inverse; v=None encodes OOB (sign=1, magnitude 0)."""
+        cxs = self._int_cx.setdefault(name, {})
+        prev = 1
+
+        def bit(b: int) -> None:
+            nonlocal prev
+            self.enc.encode(cxs.setdefault(prev, [0, 0]), b)
+            prev = ((prev << 1) | b if prev < 256
+                    else (((prev << 1) | b) & 511) | 256)
+
+        if v is None:
+            s, av = 1, 0
+        else:
+            s, av = (1, -v) if v < 0 else (0, v)
+        bit(s)
+        for bound, prefix, nbits, off in (
+                (4, (0,), 2, 0), (20, (1, 0), 4, 4),
+                (84, (1, 1, 0), 6, 20), (340, (1, 1, 1, 0), 8, 84),
+                (4436, (1, 1, 1, 1, 0), 12, 340),
+                (None, (1, 1, 1, 1, 1), 32, 4436)):
+            if bound is None or av < bound:
+                for p in prefix:
+                    bit(p)
+                rem = av - off
+                for i in range(nbits - 1, -1, -1):
+                    bit((rem >> i) & 1)
+                return
+
+    def encode_iaid(self, sid: int, symcodelen: int) -> None:
+        prev = 1
+        for i in range(symcodelen - 1, -1, -1):
+            b = (sid >> i) & 1
+            self.enc.encode(self._iaid_cx.setdefault(prev, [0, 0]), b)
+            prev = (prev << 1) | b
+
+    def encode_generic(self, bitmap: np.ndarray, *,
+                       template: int = 0) -> None:
+        _generic_encode_into(self.enc, self.gb_cx, bitmap,
+                             template=template)
+
+    def flush(self) -> bytes:
+        return self.enc.flush()
+
+
+def encode_symbol_text(symbols: List[np.ndarray],
+                       placements: List[Tuple[int, int, int]],
+                       page_w: int, page_h: int) -> bytes:
+    """Fixture encoder for the symbol-coded path: wrap glyph bitmaps +
+    (sym_id, x, y) top-left placements as page info + symbol dictionary
+    (type 0) + immediate lossless text region (type 6, referring to the
+    dictionary) + end-of-page — the exact structure jbig2enc-style
+    scanners emit, inverse of `_decode_symbol_dict`/`_decode_text_region`.
+    """
+    n = len(symbols)
+    if n == 0:
+        raise JBIG2Error("no symbols")
+    symbols = [np.asarray(s, np.uint8) for s in symbols]
+
+    # ---- symbol dictionary: group by height (ascending), widths within
+    order = sorted(range(n), key=lambda i: (symbols[i].shape[0],
+                                            symbols[i].shape[1], i))
+    export_id = {orig: pos for pos, orig in enumerate(order)}
+    senc = _ArithEncoder()
+    hc_height = 0
+    i = 0
+    while i < n:
+        h = symbols[order[i]].shape[0]
+        senc.encode_int("IADH", h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < n and symbols[order[i]].shape[0] == h:
+            w = symbols[order[i]].shape[1]
+            senc.encode_int("IADW", w - sym_width)
+            sym_width = w
+            senc.encode_generic(symbols[order[i]])
+            i += 1
+        senc.encode_int("IADW", None)                # end height class
+    senc.encode_int("IAEX", 0)                       # skip none
+    senc.encode_int("IAEX", n)                       # export all
+    sd_flags = 0                                     # arith, template 0
+    at = b"".join(struct.pack(">bb", ax, ay) for ax, ay in _NOMINAL_AT[0])
+    sd_payload = (struct.pack(">H", sd_flags) + at
+                  + struct.pack(">II", n, n) + senc.flush())
+
+    # ---- text region: strips of height 1, TOPLEFT corners
+    symcodelen = max(1, (n - 1).bit_length())
+    tenc = _ArithEncoder()
+    by_pos = sorted(placements, key=lambda p: (p[2], p[1]))
+    tenc.encode_int("IADT", 0)                       # STRIPT = 0
+    prev_t = 0
+    first_s = 0
+    j = 0
+    while j < len(by_pos):
+        t = by_pos[j][2]
+        tenc.encode_int("IADT", t - prev_t)
+        prev_t = t
+        cur_s = None
+        while j < len(by_pos) and by_pos[j][2] == t:
+            sid, x, _y = by_pos[j]
+            wj = symbols[sid].shape[1]
+            if cur_s is None:
+                tenc.encode_int("IAFS", x - first_s)
+                first_s = x
+            else:
+                tenc.encode_int("IADS", x - cur_s)
+            tenc.encode_iaid(export_id[sid], symcodelen)
+            cur_s = x + wj - 1                       # TL post-advance
+            j += 1
+        tenc.encode_int("IADS", None)                # end of strip
+    tr_flags = 1 << 4                                # REFCORNER=TOPLEFT
+    region_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
+    tr_payload = (region_info + struct.pack(">H", tr_flags)
+                  + struct.pack(">I", len(by_pos)) + tenc.flush())
+
+    page_info = (struct.pack(">IIII", page_w, page_h, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 0, 1, sd_payload)
+            + _segment(2, 6, 1, tr_payload, refs=(1,))
+            + _segment(3, 49, 1, b""))
+
+
+def _segment(num: int, stype: int, page: int, payload: bytes,
+             refs: Tuple[int, ...] = ()) -> bytes:
+    if len(refs) > 4:
+        raise JBIG2Error("fixture encoder supports <= 4 referred segments")
+    rts = bytes([len(refs) << 5]) + bytes(refs)      # short form, 1B refs
+    return (struct.pack(">IB", num, stype) + rts
             + bytes([page]) + struct.pack(">I", len(payload)) + payload)
 
 

@@ -171,27 +171,21 @@ static int build_template(int gbtemplate, const signed char *at, Pt *tmpl) {
     return n;
 }
 
-/* out: w*h bytes, 0/1. Returns 0 on success. */
-int jbig2_generic_decode(const uint8_t *data, long n, int w, int h,
-                         int gbtemplate, int tpgdon, const signed char *at,
-                         uint8_t *out) {
-    MQ mq;
+/* core loop over a caller-provided MQ state + GB context bank (so a
+ * symbol dictionary's bitmaps share one arithmetic stream, T.88 6.5.8) */
+static int generic_into(MQ *mq, uint8_t *cx, uint8_t *out, int w, int h,
+                        int gbtemplate, int tpgdon, const signed char *at) {
     Pt tmpl[16];
-    uint8_t *cx;
     int ntmpl, x, y, k, ltp = 0;
     uint32_t ctx;
     static const uint32_t sltp_ctx[4] = {0x9B25, 0x0795, 0x00E5, 0x0195};
-    long cx_size;
     if (gbtemplate < 0 || gbtemplate > 3 || w <= 0 || h <= 0) return -1;
     ntmpl = build_template(gbtemplate, at, tmpl);
-    cx_size = 1L << ntmpl;
-    cx = (uint8_t *)calloc((size_t)cx_size, 1);
-    if (!cx) return -2;
-    mq_init(&mq, data, n);
+    (void)ntmpl;
     memset(out, 0, (size_t)w * h);
     for (y = 0; y < h; y++) {
         if (tpgdon) {
-            ltp ^= mq_decode(&mq, &cx[sltp_ctx[gbtemplate]]);
+            ltp ^= mq_decode(mq, &cx[sltp_ctx[gbtemplate]]);
             if (ltp) {
                 if (y > 0) memcpy(out + (size_t)y * w, out + (size_t)(y - 1) * w, w);
                 continue;
@@ -206,9 +200,88 @@ int jbig2_generic_decode(const uint8_t *data, long n, int w, int h,
                     bit = out[(size_t)py * w + px];
                 ctx = (ctx << 1) | bit;
             }
-            out[(size_t)y * w + x] = (uint8_t)mq_decode(&mq, &cx[ctx]);
+            out[(size_t)y * w + x] = (uint8_t)mq_decode(mq, &cx[ctx]);
         }
     }
-    free(cx);
     return 0;
+}
+
+/* out: w*h bytes, 0/1. Returns 0 on success. */
+int jbig2_generic_decode(const uint8_t *data, long n, int w, int h,
+                         int gbtemplate, int tpgdon, const signed char *at,
+                         uint8_t *out) {
+    MQ mq;
+    uint8_t *cx;
+    int rc;
+    if (gbtemplate < 0 || gbtemplate > 3 || w <= 0 || h <= 0) return -1;
+    cx = (uint8_t *)calloc(1L << 16, 1);
+    if (!cx) return -2;
+    mq_init(&mq, data, n);
+    rc = generic_into(&mq, cx, out, w, h, gbtemplate, tpgdon, at);
+    free(cx);
+    return rc;
+}
+
+/* --------------------- resumable decoder handle (symbol/text regions)
+ *
+ * A symbol dictionary (T.88 6.5) interleaves Annex-A integer decisions
+ * (IADH/IADW/IAEX/...) with per-symbol generic-region bitmaps on ONE
+ * arithmetic stream; the Python side (ingest/jbig2.py) drives the
+ * control flow and calls back here for every per-pixel / per-bit loop.
+ */
+
+void *jbig2_mq_new(const uint8_t *data, long n) {
+    MQ *m = (MQ *)malloc(sizeof(MQ));
+    if (!m) return 0;
+    mq_init(m, data, n);
+    return m;
+}
+
+void jbig2_mq_free(void *h) { free(h); }
+
+/* Annex A.2 integer decoding; cx is the caller's 512-byte context bank
+ * for one IAx class. Returns 1 = value in *out, 0 = OOB. */
+int jbig2_int_decode(void *h, uint8_t *cx, int32_t *out) {
+    MQ *m = (MQ *)h;
+    uint32_t prev = 1;
+    int s, i, nbits;
+    int64_t v = 0, off = 0;
+#define IBIT()                                                       \
+    ({                                                               \
+        int _b = mq_decode(m, &cx[prev]);                            \
+        prev = prev < 256 ? ((prev << 1) | (uint32_t)_b)             \
+                          : (((((prev << 1) | (uint32_t)_b)) & 511)  \
+                             | 256);                                 \
+        _b;                                                          \
+    })
+    s = IBIT();
+    if (!IBIT()) { nbits = 2; off = 0; }
+    else if (!IBIT()) { nbits = 4; off = 4; }
+    else if (!IBIT()) { nbits = 6; off = 20; }
+    else if (!IBIT()) { nbits = 8; off = 84; }
+    else if (!IBIT()) { nbits = 12; off = 340; }
+    else { nbits = 32; off = 4436; }
+    for (i = 0; i < nbits; i++) v = (v << 1) | (uint32_t)IBIT();
+#undef IBIT
+    v += off;
+    if (s && v == 0) return 0; /* OOB */
+    *out = (int32_t)(s ? -v : v);
+    return 1;
+}
+
+/* Annex A.3 symbol-ID decoding; cx sized 1 << (symcodelen + 1). */
+int jbig2_iaid_decode(void *h, uint8_t *cx, int symcodelen) {
+    MQ *m = (MQ *)h;
+    uint32_t prev = 1;
+    int i;
+    for (i = 0; i < symcodelen; i++)
+        prev = (prev << 1) | (uint32_t)mq_decode(m, &cx[prev]);
+    return (int)(prev - (1U << symcodelen));
+}
+
+/* One generic region on the shared stream with the caller's GB context
+ * bank (64 KiB covers every template). */
+int jbig2_generic_into(void *h, uint8_t *cx, uint8_t *out, int w, int hh,
+                       int gbtemplate, int tpgdon, const signed char *at) {
+    return generic_into((MQ *)h, cx, out, w, hh, gbtemplate, tpgdon, at);
 }

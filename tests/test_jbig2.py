@@ -87,16 +87,67 @@ def test_embedded_xnor_composition_inverts():
     np.testing.assert_array_equal(page, 1 - bm)
 
 
-def test_symbol_coded_stream_unsupported():
-    bm = text_like()
-    blob = bytearray(encode_embedded(bm))
-    # retag the region segment (offset: after 30-byte page-info segment,
-    # segment type byte is at +4 of the next header) as a text region
-    assert blob[11 + 19 + 4] == 39
-    blob[11 + 19 + 4] = 6
-    with pytest.raises(JBIG2Error, match="text region"):
+def test_symbol_text_roundtrip():
+    """Symbol-dictionary + text-region page (the dominant real-world
+    scanned-PDF coding) roundtrips bit-exact through the fixture
+    encoder (T.88 6.4/6.5 arithmetic path)."""
+    from rag_application_tpu.ingest.jbig2 import encode_symbol_text
+
+    rng = np.random.default_rng(7)
+    glyphs = [
+        (rng.random((12, 8)) < 0.5).astype(np.uint8),   # two height
+        (rng.random((12, 10)) < 0.4).astype(np.uint8),  # classes +
+        (rng.random((9, 7)) < 0.6).astype(np.uint8),    # mixed widths
+        (rng.random((9, 9)) < 0.3).astype(np.uint8),
+    ]
+    placements = [(0, 3, 2), (1, 15, 2), (2, 30, 4), (3, 40, 4),
+                  (0, 3, 20), (2, 16, 22), (1, 28, 20), (3, 2, 11)]
+    page = decode_embedded(encode_symbol_text(glyphs, placements, 56, 36))
+    ref = np.zeros((36, 56), np.uint8)
+    for sid, x, y in placements:
+        g = glyphs[sid]
+        ref[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    np.testing.assert_array_equal(page, ref)
+
+
+def test_symbol_text_single_symbol_and_reuse():
+    from rag_application_tpu.ingest.jbig2 import encode_symbol_text
+
+    glyph = np.zeros((6, 5), np.uint8)
+    glyph[1:5, 1:4] = 1
+    # one symbol stamped many times (SYMCODELEN edge: 1 symbol)
+    placements = [(0, 5 * i, 3 * i) for i in range(6)]
+    page = decode_embedded(encode_symbol_text([glyph], placements, 40, 24))
+    ref = np.zeros((24, 40), np.uint8)
+    for _sid, x, y in placements:
+        ref[y:y + 6, x:x + 5] |= glyph
+    np.testing.assert_array_equal(page, ref)
+
+
+def test_huffman_symbol_streams_unsupported():
+    """Huffman-coded symbol dictionaries / text regions raise (-> the
+    rasterizer-hook fallback), never decode garbage."""
+    from rag_application_tpu.ingest.jbig2 import _segment, encode_symbol_text
+
+    glyph = np.ones((4, 4), np.uint8)
+    blob = bytearray(encode_symbol_text([glyph], [(0, 0, 0)], 8, 8))
+    # symbol dict payload starts after the 30-byte page-info segment
+    # + its 11-byte header: flip SDHUFF (bit 0 = low byte of u16 flags)
+    sd_flags_lo = 30 + 11 + 1
+    assert blob[sd_flags_lo - 1] == 0 and blob[sd_flags_lo] == 0
+    blob[sd_flags_lo] |= 1
+    with pytest.raises(JBIG2Error, match="Huffman"):
         decode_embedded(bytes(blob))
-    assert decode_jbig2_params(bytes(blob), b"", 96, 64) is None
+    assert decode_jbig2_params(bytes(blob), b"", 8, 8) is None
+
+    # a Huffman text region referencing a valid dict also raises
+    page_info = struct.pack(">IIII", 8, 8, 0, 0) + b"\x01\x00\x00"
+    region = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
+    tr = region + struct.pack(">H", 1) + struct.pack(">I", 1)  # SBHUFF=1
+    stream = (_segment(0, 48, 1, page_info) + _segment(1, 6, 1, tr)
+              + _segment(2, 49, 1, b""))
+    with pytest.raises(JBIG2Error, match="no symbols|Huffman"):
+        decode_embedded(stream)
 
 
 def test_params_adapter_black_is_zero():
@@ -106,6 +157,61 @@ def test_params_adapter_black_is_zero():
     rows = np.unpackbits(
         np.frombuffer(samples, np.uint8).reshape(16, 2), axis=1)
     np.testing.assert_array_equal(rows, 1 - bm)  # ink -> 0
+
+
+def _scanned_pdf(jb: bytes, w: int, h: int) -> bytes:
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+            b"<< /Im0 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >>"),
+        4: (f"<< /Subtype /Image /Width {w} /Height {h} /BitsPerComponent 1 "
+            f"/ColorSpace /DeviceGray /Filter /JBIG2Decode "
+            f"/Length {len(jb)} >>\nstream\n".encode() + jb
+            + b"\nendstream"),
+        5: b"<< /Length 0 >>\nstream\n\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, len(objs) + 1):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF").encode()
+    return bytes(out)
+
+
+def test_pdf_scanned_symbol_coded_page_to_png():
+    """A scanned PDF whose page is symbol-coded (dictionary + text
+    region — what jbig2enc emits for real scans) decodes natively to a
+    PNG for the VLM hook."""
+    from rag_application_tpu.ingest.jbig2 import encode_symbol_text
+    from rag_application_tpu.ingest.pdf import extract_page_images
+
+    glyph_a = np.zeros((10, 8), np.uint8)
+    glyph_a[2:8, 2:6] = 1
+    glyph_b = np.zeros((10, 6), np.uint8)
+    glyph_b[1:9, 2:4] = 1
+    placements = [(0, 4, 4), (1, 16, 4), (0, 26, 4), (1, 4, 18)]
+    jb = encode_symbol_text([glyph_a, glyph_b], placements, 40, 32)
+    images = extract_page_images(_scanned_pdf(jb, 40, 32))
+    assert len(images) == 1 and images[0] is not None
+    mime, png = images[0]
+    assert mime == "image/png" and png[:8] == b"\x89PNG\r\n\x1a\n"
+    idat_at = png.index(b"IDAT")
+    length = struct.unpack(">I", png[idat_at - 4:idat_at])[0]
+    raw = zlib.decompress(png[idat_at + 4:idat_at + 4 + length])
+    rows = np.frombuffer(raw, np.uint8).reshape(32, 40 // 8 + 1)[:, 1:]
+    bits = np.unpackbits(rows, axis=1)[:, :40]
+    ref = np.zeros((32, 40), np.uint8)
+    for sid, x, y in placements:
+        g = [glyph_a, glyph_b][sid]
+        ref[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    np.testing.assert_array_equal(bits, 1 - ref)  # gray: 0 = black
 
 
 def test_pdf_scanned_jbig2_page_to_png():
