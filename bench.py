@@ -96,6 +96,29 @@ def run():
     log(f"[bench] backend={jax.default_backend()} n={n} d={d} batch={batch}")
     rng = np.random.default_rng(0)
 
+    def probe_relay():
+        """(rtt_ms, mbps): one tiny sync + one 4 MB upload+sum. Run
+        right before each tracked build so its regression flag can tell
+        relay degradation from a code regression (VERDICT r3 #10)."""
+        t0 = time.time()
+        float(jnp.sum(jnp.ones((8,), jnp.float32)))
+        rtt_ms = (time.time() - t0) * 1e3
+        blob = np.ones((1 << 20,), np.float32)  # 4 MB
+        t0 = time.time()
+        dev = jax.device_put(blob)
+        float(jnp.sum(dev[:8]))
+        mbps = 4.0 / max(time.time() - t0, 1e-9)
+        return round(rtt_ms, 1), round(mbps, 1)
+
+    def attribute(flagged: bool, rtt_ms: float, mbps: float) -> str:
+        if not flagged:
+            return ""
+        degraded = rtt_ms > 150.0 or mbps < 8.0
+        return ("  ** REGRESSION (relay: probe rtt "
+                f"{rtt_ms} ms, {mbps} MB/s)" if degraded
+                else "  ** REGRESSION (code: relay probe healthy, rtt "
+                f"{rtt_ms} ms, {mbps} MB/s)")
+
     # ---------------- build ----------------
     # The synthetic corpus is generated ON DEVICE (spectrally-decaying
     # gaussian) — the test harness attaches over a slow relay, and 1M x
@@ -138,6 +161,7 @@ def run():
     dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(128, 256),
                                    store_bf16=not int8_only,
                                    initial_capacity=cap))
+    probe_dense = probe_relay()
     t0 = time.time()
     root = jax.random.PRNGKey(0)
     # Slab generation: vmap the SAME per-100k chunk draws (identical
@@ -185,6 +209,7 @@ def run():
     sparse = SparseIndex(SparseConfig(
         candidate_pool=int(os.environ.get("BENCH_POOL", 16)),
         max_postings_per_term=int(os.environ.get("BENCH_POSTINGS", 128))))
+    probe_sparse = probe_relay()
     t0 = time.time()
     # Register the synthetic vocab so text queries analyze to the same ids.
     sparse.analyzer.vocab = {f"w{t}": t for t in range(vocab)}
@@ -197,9 +222,10 @@ def run():
     # 33.9 -> 149.5 s unnoticed while QPS got all the attention). Targets
     # at the 1M default: dense <= 30 s, sparse <= 40 s; scale with n.
     scale_n = max(1.0, n / 1_000_000)
-    for name, val, target in (("dense", t_dense_build, 30.0 * scale_n),
-                              ("sparse", t_sparse_build, 40.0 * scale_n)):
-        flag = "" if val <= target else "  ** REGRESSION (relay or code)"
+    for name, val, target, probe in (
+            ("dense", t_dense_build, 30.0 * scale_n, probe_dense),
+            ("sparse", t_sparse_build, 40.0 * scale_n, probe_sparse)):
+        flag = attribute(val > target, *probe)
         log(f"[bench] build tracked: {name} {val:.1f}s "
             f"(target <= {target:.0f}s){flag}")
 
@@ -392,6 +418,114 @@ def run():
         e2e_qps = -1.0
         log(f"[bench] e2e leg failed ({type(e).__name__}) — continuing")
 
+    # --- tokens-wire e2e: the honest user-facing number. Real clients
+    # send TEXT (reference app/api/v1/endpoints/query.py:19-35); int32
+    # token ids cross the relay (doc_len x 4 B = 96 B/query vs 1536 B
+    # f16 vectors) and the device runs encoder forward + funnel in ONE
+    # dispatch (FusedSearcher.search_tokens). Corpus for this leg: the
+    # encoder's own embeddings of the same token docs — row-aligned
+    # with the BM25 postings, so the sparse branch is shared. Skipped
+    # when a second dense table won't fit HBM (capacity runs).
+    tokens_extras = {}
+    if (os.environ.get("BENCH_E2E_TOKENS", "1") == "1"
+            and not int8_only and n <= 2_000_000):
+        try:
+            from rag_application_tpu.config import EncoderConfig
+            from rag_application_tpu.models.encoder import init_encoder
+
+            doc_len = tokens.shape[1]
+            ecfg = EncoderConfig(vocab_size=vocab, hidden_dim=256,
+                                 num_layers=4, num_heads=8, mlp_dim=1024,
+                                 max_len=doc_len, out_dim=d,
+                                 dtype="bfloat16")
+            enc = init_encoder(ecfg, max_len=doc_len)
+            enc_fwd = jax.jit(enc.model.apply)
+            t0 = time.time()
+            dense_t = DenseIndex(IndexConfig(
+                dim=d, matryoshka_dims=(), initial_capacity=cap))
+            eb = 100_000
+            for s in range(0, n, eb):
+                ids_dev = jnp.asarray(tokens[s:s + eb].astype(np.int32))
+                vec = enc_fwd(enc.params, ids_dev,
+                              jnp.ones_like(ids_dev, dtype=bool))
+                dense_t.insert(vec)
+            float(jnp.sum(dense_t.inv_norms[-1]))
+            t_tok_build = time.time() - t0
+            log(f"[bench] tokens-leg corpus (encode 1M docs on device): "
+                f"{t_tok_build:.1f}s")
+            searcher_t = FusedSearcher(dense_t, sparse, funnel,
+                                       scan_impl="pallas",
+                                       scan_block_rows=scan_block,
+                                       scan_approx_sheet=True,
+                                       scan_q_block=q_block,
+                                       scan_strips=scan_strips)
+            searcher_t.bind_encoder(enc.model, enc.params, pad_id=-1)
+
+            # queries: corpus docs with ~20% of tokens resampled
+            def noisy_tokens(idx, seed):
+                r = np.random.default_rng(seed)
+                t = tokens[idx].astype(np.int32).copy()
+                flip = r.random(t.shape) < 0.2
+                t[flip] = r.integers(0, vocab, int(flip.sum()))
+                return t
+
+            tok_batches = []
+            for r in range(reps):
+                b_idx = rng.integers(0, n, size=batch)
+                b_tok = noisy_tokens(b_idx, 500 + r)
+                b_txt = [" ".join(f"w{t}" for t in row) for row in b_tok]
+                tok_batches.append((b_tok, b_txt))
+            warm = searcher_t.search_tokens_prepared(
+                searcher_t.prepare_tokens(*tok_batches[0]), k,
+                use_matryoshka=False)
+            float(jnp.sum(warm[0]))
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                t0 = time.time()
+                outs = []
+                futs = [pool.submit(searcher_t.prepare_tokens,
+                                    *tok_batches[0])]
+                for i in range(reps):
+                    if i + 1 < reps:
+                        futs.append(pool.submit(
+                            searcher_t.prepare_tokens, *tok_batches[i + 1]))
+                    outs.append(searcher_t.search_tokens_prepared(
+                        futs[i].result(), k, use_matryoshka=False))
+                float(jnp.sum(outs[-1][0]))
+                tok_dt = (time.time() - t0) / reps
+            tok_qps = batch / tok_dt
+            log(f"[bench] e2e tokens-wire (int32 ids up, encoder+funnel "
+                f"1 dispatch): {tok_dt*1e3:.2f} ms/batch -> "
+                f"{tok_qps:,.0f} QPS")
+
+            # recall vs the exact bf16 oracle on the SAME corpus
+            ev_tok = tok_batches[0][0][:n_eval]
+            qv = enc_fwd(enc.params, jnp.asarray(ev_tok),
+                         jnp.ones_like(jnp.asarray(ev_tok), dtype=bool))
+            qvn = qv.astype(jnp.float32)
+            qvn = qvn / jnp.linalg.norm(qvn, axis=-1, keepdims=True)
+            tv, ti = blocked_topk(
+                dense_t.vecs, qvn.astype(dense_t.vecs.dtype), k,
+                block_size=dense_t.cfg.block_size, valid_n=dense_t.size,
+                approx=False)
+            ti = np.asarray(ti)
+            got_t = np.asarray(outs[0][1])[:n_eval]
+            tok_recall = float(np.mean(
+                [np.isin(ti[i], got_t[i]).mean() for i in range(n_eval)]))
+            log(f"[bench] tokens-wire recall@10 vs exact dense: "
+                f"{tok_recall:.4f}")
+            tokens_extras = {
+                "e2e_tokens_qps": round(tok_qps, 1),
+                "e2e_tokens_recall_at_10": round(tok_recall, 4),
+                "e2e_tokens_wire_bytes_per_query": int(doc_len * 4),
+                "tokens_corpus_encode_s": round(t_tok_build, 1),
+            }
+            del dense_t, searcher_t  # release the second table's HBM
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] tokens-wire leg failed ({type(e).__name__}: {e})"
+                " — continuing")
+
     # single-query latency (one batch of 1, fully synced; dominated by
     # the relay RTT on this attach — report both)
     try:
@@ -540,6 +674,20 @@ def run():
              "realdocs_answer_hit": "answer_hit_rate",
              "realdocs_n_chunks": "n_chunks",
              "realdocs_ingest_s": "ingest_s"}, timeout_s=1200))
+        # trained-encoder variant (VERDICT r3 #4): fine-tune the
+        # in-repo encoder on the ingested corpus, grade side by side.
+        # Training runs on the bench backend when it's a real chip.
+        steps = os.environ.get("BENCH_REALDOCS_TRAIN", "300")
+        if steps != "0":
+            env_t = {"REALDOCS_TRAIN_STEPS": steps}
+            if jax.default_backend() == "tpu" and not os.environ.get(
+                    "BENCH_PLATFORM"):
+                env_t["REALDOCS_PLATFORM"] = "tpu"
+            realdocs_extras.update(child(
+                "eval_real_docs.py", env_t,
+                {"realdocs_trained_recall_at_5": "retrieval_recall_at_k",
+                 "realdocs_trained_answer_hit": "answer_hit_rate",
+                 "realdocs_train_steps": "train_steps"}, timeout_s=2400))
 
     dec_mode = os.environ.get("BENCH_DECODER", "0" if small else "1")
     dec_extras = {}
@@ -593,12 +741,17 @@ def run():
         "p50_batch_ms": round(dt * 1e3, 2),
         "e2e_relay_qps": round(e2e_qps, 1),
         "e2e_wire": wire,
+        **tokens_extras,
         **({"e2e_wire_recall_at_10": round(e2e_wire_recall, 4)}
            if e2e_wire_recall >= 0 else {}),
         "p50_single_query_ms": round(p50_single, 1),
         "sync_rtt_ms": round(rtt * 1e3, 1),
         "dense_build_s": round(t_dense_build, 1),
         "sparse_build_s": round(t_sparse_build, 1),
+        "build_probe_dense": {"rtt_ms": probe_dense[0],
+                              "mbps": probe_dense[1]},
+        "build_probe_sparse": {"rtt_ms": probe_sparse[0],
+                               "mbps": probe_sparse[1]},
         "index_dense_gib": round(dense_bytes / 2**30, 3),
         "index_sparse_gib": round(sparse_bytes / 2**30, 3),
         "qdrant_equiv_dense_gib": round(qdrant_equiv / 2**30, 3),

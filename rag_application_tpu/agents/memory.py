@@ -255,3 +255,38 @@ class ThreadCheckpointer:
 
     def list_checkpoints(self, thread_id: str) -> List[str]:
         return [e["checkpoint_id"] for e in self._load_history(thread_id)]
+
+    def list_threads(self) -> List[Dict[str, Any]]:
+        """Every stored thread with last-update time and a title (the
+        first user message) — the server-side thread list the L7 chat
+        page renders (parity: the reference's AgentChatUI persists
+        threads via the LangGraph SDK, agent-chat-ui/package.json:1-24).
+
+        Disk mode note: thread ids round-trip through the sanitized
+        filename, so ids are reported as stored (alnum/-/_ ids — the
+        server-generated `chat-<hex>` form — come back verbatim)."""
+        ids: List[str] = []
+        if self.directory:
+            for fn in os.listdir(self.directory):
+                if fn.endswith(".json"):
+                    ids.append(fn[:-5])
+        ids.extend(t for t in self._mem if t not in ids)
+        out = []
+        for tid in ids:
+            history = self._load_history(tid)
+            if not history:
+                continue
+            msgs = history[-1]["state"].get("messages", [])
+            title = next((m.get("content", "") for m in msgs
+                          if m.get("role") == "user"), "")
+            out.append({"thread_id": tid,
+                        "updated_at": history[-1]["ts"],
+                        "checkpoints": len(history),
+                        "title": title[:80]})
+        out.sort(key=lambda t: -t["updated_at"])
+        return out
+
+    def thread_messages(self, thread_id: str) -> List[Dict[str, Any]]:
+        """Latest message list of a thread ([] if unknown)."""
+        state = self.load(thread_id)
+        return list(state.get("messages", [])) if state else []

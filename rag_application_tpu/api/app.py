@@ -962,6 +962,34 @@ def build_app(config: Optional[Config] = None, *,
             "checkpoint_id": out["checkpoint_id"],
         }
 
+    # -------- server-side thread history for the L7 chat page (the
+    # reference's AgentChatUI persists threads via the LangGraph SDK;
+    # here the ThreadCheckpointer that already backs agent resume is
+    # exposed so /chat reloads conversations across page loads) --------
+
+    @router.route("GET", "/chat/threads")
+    async def chat_threads(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        return {"threads": state.checkpointer.list_threads()}
+
+    @router.route("GET", "/chat/threads/{thread_id}")
+    async def chat_thread_messages(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        tid = req.params["thread_id"]
+        msgs = [m for m in state.checkpointer.thread_messages(tid)
+                if m.get("role") in ("user", "assistant")
+                and m.get("content")]
+        return {"thread_id": tid, "messages": msgs}
+
+    @router.route("DELETE", "/chat/threads/{thread_id}")
+    async def chat_thread_delete(req: Request):
+        if (deny := _auth(req)) is not None:
+            return deny
+        state.checkpointer.drop_thread(req.params["thread_id"])
+        return {"ok": True}
+
     @router.route("POST", "/copilotkit")
     async def copilotkit(req: Request):
         """Remote-agent endpoint for UI runtimes (parity in role with the

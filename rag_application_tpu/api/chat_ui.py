@@ -6,9 +6,14 @@ API. This is the native equivalent at the same API boundary: one static
 HTML page — no build step, no dependencies — that drives the
 OpenAI-compatible `/v1/chat/completions` SSE stream (agent mode uses
 `/chat/completions`, the knowledge-tools agent route) with fetch +
-ReadableStream, renders the conversation, and keeps the thread
-client-side. An optional bearer key (localStorage) covers deployments
-started with an API key.
+ReadableStream and renders the conversation. Agent-mode threads are
+SERVER-SIDE: the page lists/loads/deletes them through
+`/chat/threads[/{id}]` (backed by the same ThreadCheckpointer that
+powers agent resume), so conversations survive page reloads — the
+parity point with the reference's LangGraph-SDK thread persistence.
+Plain OpenAI mode stays stateless client-side, like the API it calls.
+An optional bearer key (localStorage) covers deployments started with
+an API key.
 """
 
 CHAT_HTML = """<!DOCTYPE html>
@@ -62,6 +67,10 @@ CHAT_HTML = """<!DOCTYPE html>
   <h1>rag_application_tpu</h1>
   <span class="spacer"></span>
   <label class="sw"><input type="checkbox" id="agent"> knowledge agent</label>
+  <select id="thread" title="thread (agent mode)">
+    <option value="">new thread</option>
+  </select>
+  <button id="delthread" type="button" title="delete thread">&#x2715;</button>
   <select id="model" title="model"><option>loading…</option></select>
   <input type="password" id="key" placeholder="API key (optional)" size="14">
 </header>
@@ -114,6 +123,61 @@ async function loadModels() {
 }
 loadModels();
 
+// --- server-side threads (agent mode): the conversation persists in
+// the ThreadCheckpointer behind GET/DELETE /chat/threads — reload the
+// page, pick the thread, continue where you left off.
+const threadSel = document.getElementById("thread");
+const delThread = document.getElementById("delthread");
+let threadId = null;   // null = fresh; assigned client-side on first send
+
+function newThreadId() {
+  const hex = [...crypto.getRandomValues(new Uint8Array(6))]
+    .map(b => b.toString(16).padStart(2, "0")).join("");
+  return "chat-" + hex;
+}
+
+async function loadThreads(keep) {
+  try {
+    const r = await fetch("/chat/threads", {headers: headers()});
+    const data = await r.json();
+    threadSel.innerHTML = "<option value=''>new thread</option>";
+    for (const t of (data.threads || [])) {
+      const o = document.createElement("option");
+      o.value = t.thread_id;
+      o.textContent = (t.title || t.thread_id).slice(0, 40);
+      threadSel.appendChild(o);
+    }
+    threadSel.value = keep || "";
+  } catch (e) { /* endpoint may be auth-gated; selector stays empty */ }
+}
+loadThreads();
+
+threadSel.addEventListener("change", async () => {
+  log.innerHTML = "";
+  history.length = 0;
+  threadId = threadSel.value || null;
+  if (!threadId) return;
+  try {
+    const r = await fetch("/chat/threads/" + threadId,
+                          {headers: headers()});
+    const data = await r.json();
+    for (const m of (data.messages || [])) {
+      bubble(m.role === "user" ? "user" : "assistant", m.content);
+      history.push({role: m.role, content: m.content});
+    }
+  } catch (e) { bubble("error", String(e)); }
+});
+
+delThread.addEventListener("click", async () => {
+  if (!threadId) { log.innerHTML = ""; history.length = 0; return; }
+  await fetch("/chat/threads/" + threadId,
+              {method: "DELETE", headers: headers()});
+  threadId = null;
+  log.innerHTML = "";
+  history.length = 0;
+  loadThreads();
+});
+
 async function ask(text) {
   history.push({role: "user", content: text});
   bubble("user", text);
@@ -122,10 +186,14 @@ async function ask(text) {
   try {
     const url = agentSw.checked ? "/chat/completions"
                                 : "/v1/chat/completions";
+    const isNewThread = agentSw.checked && !threadId;
+    if (isNewThread) threadId = newThreadId();
+    const body = {model: modelSel.value || "default",
+                  messages: history, stream: true};
+    if (agentSw.checked) body.thread_id = threadId;
     const r = await fetch(url, {
       method: "POST", headers: headers(),
-      body: JSON.stringify({model: modelSel.value || "default",
-                            messages: history, stream: true}),
+      body: JSON.stringify(body),
     });
     if (!r.ok) throw new Error("HTTP " + r.status + " " + await r.text());
     const reader = r.body.getReader();
@@ -151,6 +219,7 @@ async function ask(text) {
       }
     }
     history.push({role: "assistant", content: acc});
+    if (agentSw.checked) loadThreads(threadId);
   } catch (e) {
     out.remove();
     bubble("error", String(e));

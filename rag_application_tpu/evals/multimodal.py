@@ -164,7 +164,12 @@ def train_multimodal(embedder, scenes: List[Scene], *, steps: int = 300,
         e_t = model.apply(p, b_ids, b_mask)
         e_i = model.apply(p, b_ids, zmask, b_imgs, None, None)
         e_a = model.apply(p, b_ids, zmask, None, None, b_auds)
-        return info_nce(e_t, e_i) + info_nce(e_t, e_a)
+        # the direct image<->audio pair term: purely text-transitive
+        # alignment left image->audio at R@5 0.575 (r3 measured) —
+        # ImageBind binds ALL modality pairs into one space
+        # (imagebind_handler.py:23-32), so bind this one directly too
+        return (info_nce(e_t, e_i) + info_nce(e_t, e_a)
+                + info_nce(e_i, e_a))
 
     tx = optax.adam(lr)
     opt_state = tx.init(params)

@@ -381,19 +381,15 @@ class FusedSearcher:
             sparse_queries = self.sparse.encode_queries(list(query_texts))
         return q, sparse_queries
 
-    def search_prepared(self, prepared, k: int = 10, *, filter_mask=None,
-                        use_matryoshka: bool = True,
-                        funnel: Optional[FunnelConfig] = None):
-        """Execute the fused funnel on pre-staged query tensors."""
-        from ..utils.observability import METRICS
-
-        q, sparse_queries = prepared
-        METRICS.inc("search_queries", q.shape[0])
+    def _build_spec(self, k: int, *, use_sparse: bool,
+                    use_matryoshka: bool, has_filter: bool,
+                    funnel: Optional[FunnelConfig]):
+        """(spec, sparse_arrays) shared by the vector-wire and
+        tokens-wire execution paths."""
         f = funnel or self.funnel
         d = self.dense
         if d.vecs is None:  # capacity mode: prefix views unavailable
             use_matryoshka = False
-        use_sparse = sparse_queries is not None
         sparse_arrays = None
         sparse_pool = 1024
         if use_sparse:
@@ -405,7 +401,7 @@ class FusedSearcher:
         spec = FusedSpec.from_funnel(
             f, d.cfg.matryoshka_dims, k=k, block_size=d.cfg.block_size,
             use_sparse=use_sparse, use_matryoshka=use_matryoshka,
-            has_filter=filter_mask is not None, sparse_pool=sparse_pool,
+            has_filter=has_filter, sparse_pool=sparse_pool,
             recall_target=d.cfg.approx_recall_target,
             scan_impl=impl,
         )._replace(scan_block_rows=block_rows,
@@ -420,6 +416,21 @@ class FusedSearcher:
             raise ValueError(
                 "no funnel branch available: enable matryoshka (needs the "
                 "bf16 plane), int8 (store_int8=True), or the sparse index")
+        return spec, sparse_arrays
+
+    def search_prepared(self, prepared, k: int = 10, *, filter_mask=None,
+                        use_matryoshka: bool = True,
+                        funnel: Optional[FunnelConfig] = None):
+        """Execute the fused funnel on pre-staged query tensors."""
+        from ..utils.observability import METRICS
+
+        q, sparse_queries = prepared
+        METRICS.inc("search_queries", q.shape[0])
+        d = self.dense
+        spec, sparse_arrays = self._build_spec(
+            k, use_sparse=sparse_queries is not None,
+            use_matryoshka=use_matryoshka,
+            has_filter=filter_mask is not None, funnel=funnel)
         scores, ids = fused_hybrid(
             d.vecs, d.int8, d.inv_norms, d.live,
             np.int32(d.size), q,
@@ -429,6 +440,77 @@ class FusedSearcher:
             int8_recip=getattr(d, "int8_recip", None),
         )
         return scores, ids
+
+    # ------------------------------------------------------ tokens wire
+    #
+    # Real clients send TEXT, not vectors (reference:
+    # app/api/v1/endpoints/query.py:19-35). Uploading int32 token ids
+    # instead of f16 vectors cuts wire bytes ~6x at 768-d (T=32 -> 128 B
+    # vs 1536 B/query) and moves the encoder forward onto the device in
+    # the SAME dispatch as the funnel — the serving-path composition
+    # measured by bench.py's e2e_tokens leg.
+
+    def bind_encoder(self, model, params, *, pad_id: int = 0) -> None:
+        """Attach the on-device query encoder for the tokens-wire path.
+        `model.apply(params, ids, mask)` must yield (Q, dim) embeddings
+        (models/encoder.py::TextEncoder)."""
+        self._enc_model = model
+        self._enc_params = params
+        self._enc_pad = pad_id
+        self._tok_jit = {}
+
+    def prepare_tokens(self, token_ids, query_texts=None):
+        """Upload int32 token ids (+ host-side sparse query encoding)."""
+        ids = jax.device_put(jnp.asarray(token_ids, dtype=jnp.int32))
+        sparse_queries = None
+        if (self.sparse is not None and query_texts is not None
+                and len(self.sparse) > 0):
+            sparse_queries = self.sparse.encode_queries(list(query_texts))
+        return ids, sparse_queries
+
+    def search_tokens_prepared(self, prepared, k: int = 10, *,
+                               filter_mask=None, use_matryoshka: bool = True,
+                               funnel: Optional[FunnelConfig] = None):
+        """ONE dispatch: encoder forward + the fused funnel."""
+        if getattr(self, "_enc_model", None) is None:
+            raise ValueError("call bind_encoder(model, params) first")
+        ids, sparse_queries = prepared
+        d = self.dense
+        spec, sparse_arrays = self._build_spec(
+            k, use_sparse=sparse_queries is not None,
+            use_matryoshka=use_matryoshka,
+            has_filter=filter_mask is not None, funnel=funnel)
+        fn = self._tok_jit.get(spec)
+        if fn is None:
+            model, pad = self._enc_model, self._enc_pad
+
+            def program(params, ids, vecs, int8, inv_norms, live, size,
+                        fm, sparse_arrays, sparse_queries, prefix_int8,
+                        int8_recip):
+                mask = ids != pad
+                q = model.apply(params, ids, mask).astype(jnp.float32)
+                return fused_core(vecs, int8, inv_norms, live, size, q,
+                                  fm, sparse_arrays, sparse_queries, spec,
+                                  prefix_int8=prefix_int8,
+                                  int8_recip=int8_recip)
+
+            fn = self._tok_jit[spec] = jax.jit(program)
+        return fn(self._enc_params, ids, d.vecs, d.int8, d.inv_norms,
+                  d.live, np.int32(d.size),
+                  jnp.asarray(filter_mask) if filter_mask is not None
+                  else None,
+                  sparse_arrays, sparse_queries, d.prefix_int8,
+                  getattr(d, "int8_recip", None))
+
+    def search_tokens(self, token_ids, query_texts=None, k: int = 10, *,
+                      filter_mask=None, use_matryoshka: bool = True,
+                      funnel: Optional[FunnelConfig] = None):
+        """Text-in search: token ids cross the wire, the device encodes
+        and retrieves in one program."""
+        prepared = self.prepare_tokens(token_ids, query_texts)
+        return self.search_tokens_prepared(
+            prepared, k, filter_mask=filter_mask,
+            use_matryoshka=use_matryoshka, funnel=funnel)
 
     def search(self, query_embeddings, query_texts=None, k: int = 10, *,
                filter_mask=None, use_matryoshka: bool = True,

@@ -345,3 +345,40 @@ def test_chat_page_round_trip():
         assert "hello page" in "".join(acc)
 
     with_server(fn)
+
+
+def test_chat_threads_server_side():
+    """Agent-mode threads persist server-side: the page's thread
+    endpoints list, reload, and delete a conversation created through
+    /chat/completions (the reference's LangGraph-SDK thread parity)."""
+    async def fn(client, state):
+        html = (await client.get("/chat")).text
+        for needle in ("/chat/threads", "thread_id", "delthread"):
+            assert needle in html, needle
+
+        r = await client.post("/chat/completions", json={
+            "model": "stub-model",
+            "thread_id": "chat-testthread01",
+            "messages": [{"role": "user", "content": "remember me"}],
+        })
+        assert r.status_code == 200
+        assert r.json()["thread_id"] == "chat-testthread01"
+
+        r = await client.get("/chat/threads")
+        threads = r.json()["threads"]
+        mine = [t for t in threads if t["thread_id"] == "chat-testthread01"]
+        assert mine and "remember me" in mine[0]["title"]
+
+        r = await client.get("/chat/threads/chat-testthread01")
+        msgs = r.json()["messages"]
+        assert msgs[0]["role"] == "user"
+        assert msgs[0]["content"] == "remember me"
+        assert any(m["role"] == "assistant" for m in msgs)
+
+        r = await client.delete("/chat/threads/chat-testthread01")
+        assert r.json()["ok"]
+        r = await client.get("/chat/threads")
+        assert not any(t["thread_id"] == "chat-testthread01"
+                       for t in r.json()["threads"])
+
+    with_server(fn)

@@ -167,3 +167,44 @@ def test_final_fusion_rrf_without_sparse_matches_dense(setup, rng):
     _, ids_a = base.search(noisy, None, 3)
     _, ids_b = rrf.search(noisy, None, 3)
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+def test_tokens_wire_matches_vector_wire():
+    """search_tokens (int32 ids up, encoder+funnel in one dispatch)
+    returns exactly what encode-on-host + search returns."""
+    import jax.numpy as jnp
+
+    from rag_application_tpu.config import (EncoderConfig, FunnelConfig,
+                                            IndexConfig)
+    from rag_application_tpu.index.dense import DenseIndex
+    from rag_application_tpu.models.encoder import init_encoder
+    from rag_application_tpu.search.fused import FusedSearcher
+
+    rng = np.random.default_rng(5)
+    cfg = EncoderConfig(vocab_size=256, hidden_dim=32, num_layers=1,
+                        num_heads=4, mlp_dim=64, max_len=12, out_dim=32,
+                        dtype="float32")
+    enc = init_encoder(cfg, max_len=12)
+    docs = rng.integers(1, 256, (300, 12)).astype(np.int32)
+    mask = docs != 0
+    vecs = np.asarray(enc.model.apply(enc.params, jnp.asarray(docs),
+                                      jnp.asarray(mask)))
+    dense = DenseIndex(IndexConfig(dim=32, matryoshka_dims=(),
+                                   initial_capacity=512, block_size=128))
+    dense.insert(vecs)
+    funnel = FunnelConfig(matryoshka_limits=(), dense_limit=16,
+                          quantized_limit=32, sparse_limit=0, final_limit=5)
+    searcher = FusedSearcher(dense, None, funnel, scan_impl="xla")
+    searcher.bind_encoder(enc.model, enc.params, pad_id=0)
+
+    q_tok = docs[:8]
+    s_tok, i_tok = searcher.search_tokens(q_tok, k=5, use_matryoshka=False)
+    # host-side encode -> the classic vector path
+    qv = np.asarray(enc.model.apply(enc.params, jnp.asarray(q_tok),
+                                    jnp.asarray(q_tok != 0)))
+    s_vec, i_vec = searcher.search(qv, None, k=5, use_matryoshka=False)
+    np.testing.assert_array_equal(np.asarray(i_tok), np.asarray(i_vec))
+    np.testing.assert_allclose(np.asarray(s_tok), np.asarray(s_vec),
+                               rtol=1e-5)
+    # self-retrieval sanity
+    assert (np.asarray(i_tok)[:, 0] == np.arange(8)).all()
