@@ -44,15 +44,18 @@ def build_lib(src: str, so: str, force: bool = False) -> str:
             except OSError:
                 current = None
         if force or not os.path.exists(so) or current != digest:
-            tmp = so + ".tmp"
+            # pid-unique temp names: concurrent test processes (pytest
+            # -n / xdist) may build the same .so at once — os.replace
+            # keeps the winner atomic either way
+            tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
                 ["cc", "-O3", "-fPIC", "-shared", "-o", tmp, src],
                 check=True, capture_output=True,
             )
             os.replace(tmp, so)
-            with open(stamp + ".tmp", "w") as f:
+            with open(f"{stamp}.{os.getpid()}.tmp", "w") as f:
                 f.write(digest)
-            os.replace(stamp + ".tmp", stamp)
+            os.replace(f"{stamp}.{os.getpid()}.tmp", stamp)
     return so
 
 
