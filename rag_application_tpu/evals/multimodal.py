@@ -130,7 +130,7 @@ def render_audio(scene: Scene, *,
 
 def train_multimodal(embedder, scenes: List[Scene], *, steps: int = 300,
                      batch: int = 16, lr: float = 3e-3, seed: int = 0,
-                     temperature: float = 0.1,
+                     temperature: float = 0.1, ia_weight: float = 0.5,
                      log_every: int = 0) -> None:
     """Contrastively align the tower's three modality views in place
     (InfoNCE text<->image + text<->audio, shared single tower — the
@@ -167,9 +167,11 @@ def train_multimodal(embedder, scenes: List[Scene], *, steps: int = 300,
         # the direct image<->audio pair term: purely text-transitive
         # alignment left image->audio at R@5 0.575 (r3 measured) —
         # ImageBind binds ALL modality pairs into one space
-        # (imagebind_handler.py:23-32), so bind this one directly too
+        # (imagebind_handler.py:23-32), so bind this one directly too;
+        # down-weighted, because at full weight it competes with the
+        # text anchors and costs text->audio recall (r4 sweep)
         return (info_nce(e_t, e_i) + info_nce(e_t, e_a)
-                + info_nce(e_i, e_a))
+                + ia_weight * info_nce(e_i, e_a))
 
     tx = optax.adam(lr)
     opt_state = tx.init(params)
@@ -208,7 +210,7 @@ def _recall_at_k(queries: np.ndarray, gallery: np.ndarray,
 
 def evaluate_multimodal(*, steps: int = 300, train_frac: float = 0.75,
                         seed: int = 0, k: Tuple[int, ...] = (1, 5),
-                        embedder=None,
+                        embedder=None, ia_weight: float = 0.5,
                         log_every: int = 0) -> Dict[str, float]:
     """Train on a scene subset, grade retrieval on held-out scenes."""
     from ..config import EncoderConfig
@@ -232,7 +234,7 @@ def evaluate_multimodal(*, steps: int = 300, train_frac: float = 0.75,
 
     if steps:
         train_multimodal(embedder, train, steps=steps, seed=seed,
-                         log_every=log_every)
+                         ia_weight=ia_weight, log_every=log_every)
 
     model = embedder.state.model
     t_rng = np.random.default_rng(seed + 1)          # unseen noise draws
@@ -260,5 +262,7 @@ if __name__ == "__main__":
     if os.environ.get("RAGTPU_PLATFORM", "cpu") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     steps = int(os.environ.get("MM_STEPS", "300"))
-    res = evaluate_multimodal(steps=steps, log_every=50)
+    res = evaluate_multimodal(
+        steps=steps, ia_weight=float(os.environ.get("MM_IA_WEIGHT", "0.5")),
+        log_every=50)
     print(json.dumps(res))
