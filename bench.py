@@ -84,8 +84,8 @@ def run():
     # default; latency-sensitive serving uses smaller request
     # micro-batches anyway (search/batcher.py).
     batch = int(os.environ.get("BENCH_BATCH", 8192))
-    n_eval = 128  # queries used for recall measurement (sampling std
-    # of recall@10 over 1280 pairs ~ 0.005)
+    n_eval = min(128, batch)  # queries used for recall measurement
+    # (sampling std of recall@10 over 1280 pairs ~ 0.005)
     k = 10
 
     from rag_application_tpu.config import FunnelConfig, IndexConfig, SparseConfig
@@ -280,6 +280,16 @@ def run():
     float(jnp.sum(scores))
     t_compile = time.time() - t0
     log(f"[bench] first query batch (incl compile): {t_compile:.1f}s")
+    from rag_application_tpu.ops.fused_topk import fused_scan_topk
+
+    scan_path = getattr(fused_scan_topk, "last_path", "unknown")
+    log(f"[bench] scan kernel path: {scan_path}")
+    if int8_only:
+        # the r2 capacity regression was exactly this path silently
+        # falling back to the general f32-tile reduce — fail loudly
+        assert dense.vecs is None and dense.int8_recip is not None
+        assert scan_path == "packed_scaled", \
+            f"capacity mode expected packed_scaled, got {scan_path}"
 
     # ---------------- recall ----------------
     # Oracle: exact full-precision dense top-10 for n_eval queries,
@@ -703,7 +713,11 @@ def run():
             "tune_speculative.py", {},
             {"spec_speedup": "speedup",
              "spec_tokens_per_step": "tokens_per_step",
-             "spec_identical": "identical"}))
+             "spec_identical": "identical",
+             # the corrected greedy invariant (docs/decoder.md bf16-TPU
+             # tie caveat): divergence allowed only at f32-margin ties
+             "spec_identical_or_tie": "identical_or_tie",
+             "spec_divergence_f32_margin": "divergence_f32_margin"}))
         if dec_mode == "full":
             dec_extras.update(child(
                 "tune_decoder.py", shapes,

@@ -93,7 +93,44 @@ def main() -> None:
         lambda i: generate_lookup_stats(params, cfg, ids, plen, NEW, eos,
                                         0, jax.random.fold_in(key, 0), K),
         "spec")
-    identical = bool((np.asarray(out_p) == np.asarray(out_s)).all())
+    a_p = np.asarray(out_p)[0]
+    a_s = np.asarray(out_s)[0]
+    identical = bool((a_p == a_s).all())
+
+    # Corrected invariant (VERDICT r3 #3, measured root cause in
+    # examples/diag_spec.py): bf16-TPU greedy speculation may diverge
+    # from the plain loop ONLY at near-ties — the (1,K+1) and (1,1)
+    # forwards round logits differently by ~1-2 ulps, so when the top-2
+    # margin sits inside that noise either argmax is valid. Verify by
+    # scoring the agreed prefix with an f32-reference forward: the two
+    # chosen tokens' logits must sit within noise of each other.
+    divergence_margin = None
+    tie_divergence_ok = True
+    if not identical:
+        from rag_application_tpu.models.decoder import (
+            init_kv_cache, prefill)
+
+        div = int(np.argmax(a_p != a_s))
+        prefix = np.concatenate([np.asarray(ids)[0], a_p[:div]])
+        from dataclasses import replace as _dc_replace
+
+        f32_cfg = _dc_replace(cfg, dtype="float32")
+        p32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+        L = prefix.shape[0]
+        ck, cv = init_kv_cache(f32_cfg, 1, L + 1)
+        logits, _, _ = prefill(p32, f32_cfg,
+                               jnp.asarray(prefix[None, :], jnp.int32),
+                               jnp.asarray([L], jnp.int32), ck, cv)
+        l32 = np.asarray(logits[0], dtype=np.float32)
+        divergence_margin = float(abs(l32[int(a_p[div])]
+                                      - l32[int(a_s[div])]))
+        top2 = np.sort(l32)[-2:]
+        tie_divergence_ok = divergence_margin <= 0.1
+        log(f"first divergence at {div}: f32 margin between chosen "
+            f"tokens {divergence_margin:.4f} (top-2 gap "
+            f"{top2[1]-top2[0]:.4f}) -> "
+            f"{'tie (expected bf16 rounding)' if tie_divergence_ok else 'REAL DIVERGENCE'}")
+
     st = int(np.asarray(steps))
     log(f"plain {plain_s*1e3:.0f} ms, spec {spec_s*1e3:.0f} ms, "
         f"steps {st} (tokens/step {NEW/st:.2f}), identical={identical}")
@@ -105,6 +142,9 @@ def main() -> None:
         "steps": st,
         "tokens_per_step": round(NEW / st, 3),
         "identical": identical,
+        "identical_or_tie": bool(identical or tie_divergence_ok),
+        **({"divergence_f32_margin": round(divergence_margin, 4)}
+           if divergence_margin is not None else {}),
     }))
 
 

@@ -69,8 +69,18 @@ class UserSpace:
             from ..search.batcher import MicroBatcher
 
             col = self.collection
+            # RAGTPU_TOKENS_WIRE=1: text requests skip the host-side
+            # encode — token ids upload and the device runs encoder
+            # forward + funnel in ONE dispatch (collection
+            # hybrid_search_text_batch; result-identical to
+            # encode-then-search)
+            tokens_wire = os.environ.get("RAGTPU_TOKENS_WIRE", "0") == "1"
+            if tokens_wire:
+                col.bind_query_encoder(embedder)
 
             def run(embs, texts, limit):
+                if embs is None and tokens_wire:
+                    return col.hybrid_search_text_batch(texts, limit)
                 if embs is None:
                     embs = embedder.encode(texts)
                 return col.hybrid_search_batch(embs, texts, limit)

@@ -130,7 +130,7 @@ def render_audio(scene: Scene, *,
 
 def train_multimodal(embedder, scenes: List[Scene], *, steps: int = 300,
                      batch: int = 16, lr: float = 3e-3, seed: int = 0,
-                     temperature: float = 0.1, ia_weight: float = 0.5,
+                     temperature: float = 0.1, ia_weight: float = 0.25,
                      log_every: int = 0) -> None:
     """Contrastively align the tower's three modality views in place
     (InfoNCE text<->image + text<->audio, shared single tower — the
@@ -160,7 +160,7 @@ def train_multimodal(embedder, scenes: List[Scene], *, steps: int = 300,
             + optax.softmax_cross_entropy_with_integer_labels(
                 logits.T, labels).mean())
 
-    def loss_fn(p, b_ids, b_mask, b_imgs, b_auds, zmask):
+    def loss_fn(p, b_ids, b_mask, b_imgs, b_auds, zmask, ia_w):
         e_t = model.apply(p, b_ids, b_mask)
         e_i = model.apply(p, b_ids, zmask, b_imgs, None, None)
         e_a = model.apply(p, b_ids, zmask, None, None, b_auds)
@@ -168,27 +168,33 @@ def train_multimodal(embedder, scenes: List[Scene], *, steps: int = 300,
         # alignment left image->audio at R@5 0.575 (r3 measured) —
         # ImageBind binds ALL modality pairs into one space
         # (imagebind_handler.py:23-32), so bind this one directly too;
-        # down-weighted, because at full weight it competes with the
-        # text anchors and costs text->audio recall (r4 sweep)
+        # down-weighted AND warm-ramped: at full weight from step 0 it
+        # competes with the text anchors and costs text->audio recall
+        # (r4 sweep: 1.0 -> t->a 0.725; 0.25+ramp -> 0.95)
         return (info_nce(e_t, e_i) + info_nce(e_t, e_a)
-                + ia_weight * info_nce(e_i, e_a))
+                + ia_w * info_nce(e_i, e_a))
 
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(p, o, b_ids, b_mask, b_imgs, b_auds, zmask):
+    def step(p, o, b_ids, b_mask, b_imgs, b_auds, zmask, ia_w):
         loss, grads = jax.value_and_grad(loss_fn)(
-            p, b_ids, b_mask, b_imgs, b_auds, zmask)
+            p, b_ids, b_mask, b_imgs, b_auds, zmask, ia_w)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
     for it in range(steps):
         pick = rng.choice(len(scenes), size=batch, replace=False)
+        # ramp the pair term over the first half of training: the text
+        # anchors establish the shared space before the direct
+        # image<->audio pull tightens it
+        ia_w = ia_weight * min(1.0, (it + 1) / (0.5 * steps))
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(ids[pick]),
             jnp.asarray(mask[pick]), jnp.asarray(imgs[pick]),
-            jnp.asarray(auds[pick]), jnp.asarray(zero_mask))
+            jnp.asarray(auds[pick]), jnp.asarray(zero_mask),
+            jnp.float32(ia_w))
         if log_every and (it + 1) % log_every == 0:
             print(f"[multimodal] step {it + 1}/{steps} "
                   f"loss {float(loss):.3f}", flush=True)
@@ -210,7 +216,7 @@ def _recall_at_k(queries: np.ndarray, gallery: np.ndarray,
 
 def evaluate_multimodal(*, steps: int = 300, train_frac: float = 0.75,
                         seed: int = 0, k: Tuple[int, ...] = (1, 5),
-                        embedder=None, ia_weight: float = 0.5,
+                        embedder=None, ia_weight: float = 0.25,
                         log_every: int = 0) -> Dict[str, float]:
     """Train on a scene subset, grade retrieval on held-out scenes."""
     from ..config import EncoderConfig
@@ -263,6 +269,6 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
     steps = int(os.environ.get("MM_STEPS", "300"))
     res = evaluate_multimodal(
-        steps=steps, ia_weight=float(os.environ.get("MM_IA_WEIGHT", "0.5")),
+        steps=steps, ia_weight=float(os.environ.get("MM_IA_WEIGHT", "0.25")),
         log_every=50)
     print(json.dumps(res))

@@ -304,7 +304,12 @@ def extractive_answer(query: str, context: str) -> str:
             best, best_score = i, score
     if best < 0:
         return ""
-    return " ".join(sents[max(best - 1, 0):best + 2])
+    # return the anchored window ±2: scoring stays sharp on 3-sentence
+    # windows, but document layouts (tables, spec sheets, bullet lists)
+    # often put the fact two lines from the best-matching line — the r4
+    # per-question analysis showed 5/28 needles in-context but one
+    # sentence outside the returned span
+    return " ".join(sents[max(best - 2, 0):best + 3])
 
 
 async def evaluate_real_docs(stack: RealDocsStack, *, k: int = 5,

@@ -10,11 +10,18 @@ lookup: match the current bigram earlier in the history, propose its
 continuation) and verifies K drafts + 1 token in ONE decoder step.
 Accepted drafts cost one step instead of one step each; rejected
 drafts cost nothing extra (the correction token came out of the same
-verify pass). Greedy output is TOKEN-IDENTICAL to `decoder.generate`,
-and sampled output (temperature > 0) draws from the IDENTICAL filtered
-distribution via rejection-sampled acceptance (`_sampled_verify`;
-Monte-Carlo-pinned in tests/test_speculative.py) — drafting changes
-the schedule, never the distribution.
+verify pass). Greedy output is argmax-identical to `decoder.generate`
+in exact arithmetic (bit-exact on the CPU backend, bf16 included); on
+the bf16 TPU the (1, K+1) and (1, 1) forwards compile to
+differently-fused programs whose logits agree to ~1-2 ulps, so greedy
+outputs may diverge where the top-2 margin is inside that noise — at
+such ties either token is an argmax up to hardware rounding (measured:
+every observed divergence had margin 0.0-0.03125, examples/diag_spec.py;
+docs/decoder.md "bf16-TPU tie caveat"). Sampled output (temperature >
+0) draws from the IDENTICAL filtered distribution via rejection-sampled
+acceptance (`_sampled_verify`; Monte-Carlo-pinned in
+tests/test_speculative.py) — drafting changes the schedule, never the
+distribution.
 
 TPU-first design:
   * the whole generate loop is ONE `lax.while_loop` dispatch (like
@@ -114,7 +121,8 @@ def generate_lookup_stats(params: Dict[str, Any], cfg: DecoderConfig,
     steps taken (scalar int32) — tokens-per-step is the speedup.
 
     temperature == 0: greedy — accept drafts the argmax agrees with;
-    output is token-identical to `decoder.generate` at temperature 0.
+    output is argmax-identical to `decoder.generate` at temperature 0
+    up to bf16-TPU tie rounding (module docstring).
     temperature > 0: SAMPLED speculation — each draft is accepted with
     the target probability of that token and rejections resample from
     the residual (`_sampled_verify`), so every emitted token is an
@@ -236,9 +244,10 @@ def generate_lookup(params: Dict[str, Any], cfg: DecoderConfig,
     """Generation with prompt-lookup drafts, fused in one dispatch.
     Same contract as `decoder.generate`: returns (tokens (1, max_new)
     int32, pad after eos; n_generated (1,)). Greedy at temperature 0 is
-    token-identical to the plain loop; temperature > 0 draws from the
-    identical filtered distribution via rejection-sampled verification
-    (`rng` seeds it)."""
+    argmax-identical to the plain loop up to bf16-TPU tie rounding
+    (module docstring); temperature > 0 draws from the identical
+    filtered distribution via rejection-sampled verification (`rng`
+    seeds it)."""
     out, n, _ = generate_lookup_stats(params, cfg, ids, prompt_len,
                                       max_new, eos_id, pad_id, rng,
                                       k_spec, temperature, top_k, top_p)

@@ -281,14 +281,23 @@ def fused_scan_topk(
     if block_rows % (strips * LANES):
         raise ValueError(
             f"block_rows {block_rows} not divisible by strips*{LANES}")
+    use_packed = (int8_mode and inv_norms is None
+                  and _packed_fits(d_load, block_rows))
+    use_packed_scaled = int8_mode and inv_norms is not None
+    # telemetry for bench/perf assertions: which reduce variant this
+    # trace selected (the capacity-mode bench asserts packed_scaled is
+    # actually engaged rather than assuming it)
+    fused_scan_topk.last_path = (
+        "packed_scaled" if use_packed_scaled
+        else "packed" if use_packed
+        else "int8_general" if int8_mode else "f32")
     kernel = functools.partial(
         _scan_kernel,
         valid_n=valid_n,
         block_rows=block_rows,
         int8_mode=int8_mode,
-        packed=(int8_mode and inv_norms is None
-                and _packed_fits(d_load, block_rows)),
-        packed_scaled=(int8_mode and inv_norms is not None),
+        packed=use_packed,
+        packed_scaled=use_packed_scaled,
         strips=strips,
     )
 

@@ -459,14 +459,18 @@ class FusedSearcher:
         self._enc_pad = pad_id
         self._tok_jit = {}
 
-    def prepare_tokens(self, token_ids, query_texts=None):
-        """Upload int32 token ids (+ host-side sparse query encoding)."""
+    def prepare_tokens(self, token_ids, query_texts=None, attn_mask=None):
+        """Upload int32 token ids (+ host-side sparse query encoding).
+        `attn_mask` overrides the default `ids != pad_id` mask (real
+        tokenizers emit one; bench token matrices have no pad)."""
         ids = jax.device_put(jnp.asarray(token_ids, dtype=jnp.int32))
+        if attn_mask is not None:
+            attn_mask = jax.device_put(jnp.asarray(attn_mask, dtype=bool))
         sparse_queries = None
         if (self.sparse is not None and query_texts is not None
                 and len(self.sparse) > 0):
             sparse_queries = self.sparse.encode_queries(list(query_texts))
-        return ids, sparse_queries
+        return ids, attn_mask, sparse_queries
 
     def search_tokens_prepared(self, prepared, k: int = 10, *,
                                filter_mask=None, use_matryoshka: bool = True,
@@ -474,7 +478,7 @@ class FusedSearcher:
         """ONE dispatch: encoder forward + the fused funnel."""
         if getattr(self, "_enc_model", None) is None:
             raise ValueError("call bind_encoder(model, params) first")
-        ids, sparse_queries = prepared
+        ids, attn_mask, sparse_queries = prepared
         d = self.dense
         spec, sparse_arrays = self._build_spec(
             k, use_sparse=sparse_queries is not None,
@@ -484,10 +488,10 @@ class FusedSearcher:
         if fn is None:
             model, pad = self._enc_model, self._enc_pad
 
-            def program(params, ids, vecs, int8, inv_norms, live, size,
-                        fm, sparse_arrays, sparse_queries, prefix_int8,
-                        int8_recip):
-                mask = ids != pad
+            def program(params, ids, amask, vecs, int8, inv_norms, live,
+                        size, fm, sparse_arrays, sparse_queries,
+                        prefix_int8, int8_recip):
+                mask = (ids != pad) if amask is None else amask
                 q = model.apply(params, ids, mask).astype(jnp.float32)
                 return fused_core(vecs, int8, inv_norms, live, size, q,
                                   fm, sparse_arrays, sparse_queries, spec,
@@ -495,19 +499,20 @@ class FusedSearcher:
                                   int8_recip=int8_recip)
 
             fn = self._tok_jit[spec] = jax.jit(program)
-        return fn(self._enc_params, ids, d.vecs, d.int8, d.inv_norms,
-                  d.live, np.int32(d.size),
+        return fn(self._enc_params, ids, attn_mask, d.vecs, d.int8,
+                  d.inv_norms, d.live, np.int32(d.size),
                   jnp.asarray(filter_mask) if filter_mask is not None
                   else None,
                   sparse_arrays, sparse_queries, d.prefix_int8,
                   getattr(d, "int8_recip", None))
 
     def search_tokens(self, token_ids, query_texts=None, k: int = 10, *,
-                      filter_mask=None, use_matryoshka: bool = True,
+                      attn_mask=None, filter_mask=None,
+                      use_matryoshka: bool = True,
                       funnel: Optional[FunnelConfig] = None):
         """Text-in search: token ids cross the wire, the device encodes
         and retrieves in one program."""
-        prepared = self.prepare_tokens(token_ids, query_texts)
+        prepared = self.prepare_tokens(token_ids, query_texts, attn_mask)
         return self.search_tokens_prepared(
             prepared, k, filter_mask=filter_mask,
             use_matryoshka=use_matryoshka, funnel=funnel)

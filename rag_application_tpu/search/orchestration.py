@@ -198,9 +198,13 @@ class SearchOrchestrator:
                                  graph: Dict[str, Any]) -> str:
         """Parity: _prepare_combined_context
         (search_orchestration_workflow.py:65-166)."""
+        # 1600 covers the chunker's max chunk (~0.75 x 2048 chars); the
+        # old 800-char cap silently cut retrieved chunks in half — 6 of
+        # 28 realdocs needles were retrieved into the top-5 hits but
+        # absent from the combined context (r4 per-question analysis)
         passages = "\n\n".join(
             f"[{h.payload.get('document_id')}#{h.payload.get('chunk_index')}]"
-            f" {str(h.payload.get('text', ''))[:800]}" for h in hits)
+            f" {str(h.payload.get('text', ''))[:1600]}" for h in hits)
         ents = "\n".join(
             f"- {e.get('text')} ({e.get('entity_type')}): "
             f"{str(e.get('entity_profile', ''))[:150]}"

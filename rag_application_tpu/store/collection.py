@@ -207,6 +207,10 @@ class Collection:
             filter_mask=jnp.asarray(mask) if mask is not None else None,
             use_matryoshka=use_matryoshka,
         )
+        return self._join_hits(scores_d, rows_d, funnel, query_texts)
+
+    def _join_hits(self, scores_d, rows_d, funnel, query_texts
+                   ) -> List[List[SearchHit]]:
         scores = np.asarray(scores_d)
         rows = np.asarray(rows_d)
         valid = np.isfinite(scores)
@@ -229,6 +233,47 @@ class Collection:
             out = [[hits[j] for j in order]
                    for hits, order in zip(out, orders)]
         return out
+
+    # ------------------------------------------------------- tokens wire
+
+    def bind_query_encoder(self, embedder) -> None:
+        """Enable `hybrid_search_text_batch`: queries tokenize on host
+        and the device runs encoder forward + funnel in ONE dispatch
+        (FusedSearcher.search_tokens — ~6x fewer wire bytes than f16
+        vectors on a remote attach, one dispatch instead of two)."""
+        self._fused.bind_encoder(embedder.state.model,
+                                 embedder.state.params)
+        self._query_tokenizer = embedder.tokenizer
+        self._query_max_len = embedder.max_len
+
+    def hybrid_search_text_batch(
+        self,
+        query_texts: Sequence[str],
+        limit: int = 10,
+        *,
+        funnel: Optional[FunnelConfig] = None,
+        adaptive: bool = True,
+        use_matryoshka: bool = True,
+        **filters,
+    ) -> List[List[SearchHit]]:
+        """Text-in hybrid search over the tokens wire (requires
+        `bind_query_encoder`). Results match encode-then-
+        `hybrid_search_batch` exactly (tests/test_store.py)."""
+        if getattr(self, "_query_tokenizer", None) is None:
+            raise ValueError("call bind_query_encoder(embedder) first")
+        if funnel is None:
+            funnel = (adaptive_funnel(self.dense.size, self.cfg.funnel)
+                      if adaptive else self.cfg.funnel)
+        ids, amask = self._query_tokenizer.encode_batch(
+            list(query_texts), self._query_max_len)
+        mask = self.payloads.filter_mask(self.dense.capacity, **filters)
+        scores_d, rows_d = self._fused.search_tokens(
+            ids, list(query_texts), limit, attn_mask=amask,
+            filter_mask=jnp.asarray(mask) if mask is not None else None,
+            use_matryoshka=use_matryoshka, funnel=funnel,
+        )
+        return self._join_hits(scores_d, rows_d, funnel,
+                               list(query_texts))
 
 
 class VectorStore:

@@ -152,3 +152,40 @@ def test_checkpoint_consistent_under_concurrent_writes(rng, tmp_path):
         stop.set()
         t.join()
     assert not errors
+
+
+def test_hybrid_search_text_batch_matches_encode_then_search():
+    """Tokens-wire Collection search (bind_query_encoder +
+    hybrid_search_text_batch): identical hits to host-encode +
+    hybrid_search_batch — the serve micro-batcher's RAGTPU_TOKENS_WIRE
+    path."""
+    from rag_application_tpu.config import EncoderConfig
+    from rag_application_tpu.models.embedder import Embedder
+    from rag_application_tpu.models.encoder import init_encoder
+
+    rng = np.random.default_rng(11)
+    ecfg = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1,
+                         num_heads=4, mlp_dim=64, max_len=16, out_dim=32,
+                         dtype="float32")
+    state = init_encoder(ecfg, max_len=16)
+    emb = Embedder(cfg=ecfg, state=state, batch_size=4, max_len=16)
+
+    col = Collection("user_tok", small_config())
+    texts = [f"document about topic{i} and subject{i % 3}"
+             for i in range(12)]
+    vecs = emb.encode(texts)
+    col.store_document_vectors(
+        "doc-1", [{"text": t, "page": i} for i, t in enumerate(texts)],
+        vecs)
+
+    col.bind_query_encoder(emb)
+    queries = ["document about topic3", "subject2 document"]
+    classic = col.hybrid_search_batch(emb.encode(queries), queries, 4)
+    tok = col.hybrid_search_text_batch(queries, 4)
+    for a, b in zip(classic, tok):
+        assert [h.row for h in a] == [h.row for h in b]
+        np.testing.assert_allclose([h.score for h in a],
+                                   [h.score for h in b], rtol=1e-5)
+    # filters ride along
+    filt = col.hybrid_search_text_batch(queries, 4, page=3)
+    assert all(h.payload["page"] == 3 for hits in filt for h in hits)
