@@ -8,9 +8,12 @@ jbig2enc default; Annex-A integer decoding + shared-stream generic
 bitmaps run in C). Regions composite onto the page bitmap with the
 segment's external combination operator; the embedded segment-header
 format (§7.2) and JBIG2Globals are handled. Huffman-coded variants,
-refinement/aggregate symbols, halftones raise :class:`JBIG2Error`, so
-the pipeline falls back to the ``pdf_rasterizer`` hook exactly as
-before.
+refinement/aggregate symbols raise :class:`JBIG2Error`, so the
+pipeline falls back to the ``pdf_rasterizer`` hook exactly as before.
+Halftone regions (T.88 §6.6) and their pattern dictionaries (§6.7) are
+decoded natively in their arithmetic-coded form: the gray-code
+bitplanes ride the shared MQ stream and each grid cell stamps its
+pattern onto the region.
 
 The per-pixel MQ loop lives in C (native/jbig2.c, ctypes) — a 300-dpi
 page is ~8M pixels x 16 context loads. The encoder here (MQ encoder +
@@ -35,7 +38,7 @@ import numpy as np
 
 __all__ = ["JBIG2Error", "decode_embedded", "decode_generic",
            "decode_jbig2_params", "encode_embedded", "encode_generic",
-           "encode_symbol_text"]
+           "encode_halftone", "encode_symbol_text"]
 
 
 class JBIG2Error(ValueError):
@@ -285,6 +288,109 @@ def _decode_symbol_dict(payload: bytes,
     return exported
 
 
+# ------------------------------------------- pattern dict + halftones
+
+def _decode_pattern_dict(payload: bytes) -> List[np.ndarray]:
+    """Pattern dictionary segment (type 16) -> list of (HDPH, HDPW)
+    pattern bitmaps (T.88 6.7). The patterns arrive as ONE collective
+    bitmap of width (GRAYMAX+1)*HDPW decoded with AT1 = (-HDPW, 0) —
+    the left-neighbour-pattern prediction — then split."""
+    if len(payload) < 7:
+        raise JBIG2Error("short pattern dictionary")
+    flags = payload[0]
+    if flags & 1:
+        raise JBIG2Error("MMR pattern dictionary (unsupported)")
+    template = (flags >> 1) & 3
+    hdpw, hdph = payload[1], payload[2]
+    graymax = struct.unpack(">I", payload[3:7])[0]
+    if hdpw == 0 or hdph == 0:
+        raise JBIG2Error(f"bad pattern size {hdpw}x{hdph}")
+    if hdpw > 127:
+        raise JBIG2Error("pattern wider than the AT1 reach (127)")
+    if (graymax + 1) * hdpw * hdph > MAX_PIXELS:
+        raise JBIG2Error(f"pattern dictionary too large (graymax "
+                         f"{graymax}, {hdpw}x{hdph})")
+    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+    if template != 0:
+        at = at[:1]
+    with _ArithDecoder(payload[7:]) as dec:
+        coll = dec.decode_generic((graymax + 1) * hdpw, hdph,
+                                  template=template, at=at)
+    return [coll[:, i * hdpw:(i + 1) * hdpw].copy()
+            for i in range(graymax + 1)]
+
+
+def _decode_halftone_region(payload: bytes, patterns: List[np.ndarray]
+                            ) -> Tuple[int, int, int, np.ndarray]:
+    """Halftone region segment (types 20/22/23) -> (x, y, ext_op,
+    bitmap) (T.88 6.6; arithmetic, HENABLESKIP=0). The grayscale image
+    is Annex C.5 gray-coded bitplanes, MSB first, all on one MQ stream
+    with shared GB stats; each grid cell (m, n) stamps
+    ``patterns[gray[m, n]]`` at the 8.8 fixed-point grid position."""
+    w, h, x, y, ext_op = _region_info(payload)
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise JBIG2Error(f"bad halftone region size {w}x{h}")
+    if not patterns:
+        raise JBIG2Error("halftone region with no pattern dictionary")
+    if len(payload) < 38:
+        raise JBIG2Error("short halftone region")
+    flags = payload[17]
+    if flags & 1:
+        raise JBIG2Error("MMR halftone region (unsupported)")
+    template = (flags >> 1) & 3
+    if (flags >> 3) & 1:
+        raise JBIG2Error("HENABLESKIP halftone region (unsupported)")
+    comb_op = (flags >> 4) & 7
+    def_pixel = (flags >> 7) & 1
+    hgw, hgh = struct.unpack(">II", payload[18:26])
+    hgx, hgy = struct.unpack(">ii", payload[26:34])
+    hrx, hry = struct.unpack(">HH", payload[34:38])
+    if hgw == 0 or hgh == 0 or hgw * hgh > MAX_PIXELS:
+        raise JBIG2Error(f"bad halftone grid {hgw}x{hgh}")
+    bits = max(1, (len(patterns) - 1).bit_length())   # HBPP (6.6.5.1)
+
+    at = [(3 if template <= 1 else 2, -1), (-3, -1), (2, -2), (-2, -2)]
+    if template != 0:
+        at = at[:1]
+    gray = np.zeros((hgh, hgw), np.int32)
+    with _ArithDecoder(payload[38:]) as dec:
+        prev: Optional[np.ndarray] = None
+        for j in range(bits - 1, -1, -1):             # MSB plane first
+            plane = dec.decode_generic(hgw, hgh, template=template,
+                                       at=at)
+            if prev is not None:
+                plane = plane ^ prev                  # gray -> binary
+            gray |= plane.astype(np.int32) << j
+            prev = plane
+    gray = np.minimum(gray, len(patterns) - 1)
+
+    region = np.full((h, w), def_pixel, np.uint8)
+    ph, pw = patterns[0].shape
+    for m in range(hgh):
+        row = gray[m]
+        for n in range(hgw):
+            px = (hgx + m * hry + n * hrx) >> 8       # 6.6.5.2 grid walk
+            py = (hgy + m * hrx - n * hry) >> 8
+            pat = patterns[int(row[n])]
+            x0, y0 = max(px, 0), max(py, 0)
+            x1, y1 = min(px + pw, w), min(py + ph, h)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            view = region[y0:y1, x0:x1]
+            part = pat[y0 - py:y1 - py, x0 - px:x1 - px]
+            if comb_op == 0:
+                view |= part
+            elif comb_op == 1:
+                view &= part
+            elif comb_op == 2:
+                view ^= part
+            elif comb_op == 3:
+                view[...] = 1 - (view ^ part)
+            else:
+                view[...] = part
+    return x, y, ext_op, region
+
+
 # --------------------------------------------------------- text region
 
 def _decode_text_region(payload: bytes, syms: List[np.ndarray]
@@ -453,8 +559,7 @@ def _region_info(payload: bytes) -> Tuple[int, int, int, int, int]:
 
 
 _UNSUPPORTED_TYPES = {
-    7: "text region (unknown subtype)", 16: "pattern dictionary",
-    20: "halftone region", 22: "halftone region", 23: "halftone region",
+    7: "text region (unknown subtype)",
     40: "refinement region", 42: "refinement region",
     43: "refinement region",
 }
@@ -464,10 +569,11 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """PDF-embedded JBIG2 (+ optional JBIG2Globals) -> page bitmap
     (height, width) uint8, 1 = black ink.
 
-    Covers generic regions (36/38/39), symbol dictionaries (0) and
-    text regions (4/5/6) — the segments scanner pipelines emit.
-    Halftone/refinement (and Huffman-coded variants) raise, keeping the
-    pdf_rasterizer-hook fallback."""
+    Covers generic regions (36/38/39), symbol dictionaries (0), text
+    regions (4/5/6), pattern dictionaries (16) and halftone regions
+    (20/22/23) — the segments scanner pipelines emit. Refinement (and
+    Huffman-coded variants) raise, keeping the pdf_rasterizer-hook
+    fallback."""
     segments = list(_parse_segments(globals_data)) if globals_data else []
     segments += list(_parse_segments(data))
 
@@ -476,6 +582,8 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     regions: List[Tuple[int, int, int, np.ndarray]] = []
     # segment number -> exported symbols of that symbol dictionary
     sym_dicts: Dict[int, List[np.ndarray]] = {}
+    # segment number -> patterns of that pattern dictionary
+    pat_dicts: Dict[int, List[np.ndarray]] = {}
     for num, stype, _page, payload, refs in segments:
         if stype == 48:                              # page info
             if len(payload) < 17:
@@ -487,6 +595,17 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             for r in refs:
                 inputs.extend(sym_dicts.get(r, []))
             sym_dicts[num] = _decode_symbol_dict(payload, inputs)
+        elif stype == 16:                            # pattern dictionary
+            pat_dicts[num] = _decode_pattern_dict(payload)
+        elif stype in (20, 22, 23):                  # halftone region
+            pats: List[np.ndarray] = []
+            for r in refs:
+                pats.extend(pat_dicts.get(r, []))
+            if not pats:                             # unreferenced dicts
+                for plist in pat_dicts.values():
+                    pats.extend(plist)
+            x, y, op, bmp = _decode_halftone_region(payload, pats)
+            regions.append((x, y, op, bmp))
         elif stype in (4, 5, 6):                     # text region
             syms: List[np.ndarray] = []
             for r in refs:
@@ -669,11 +788,13 @@ class _MQEncoder:
 
 
 def _generic_encode_into(enc: "_MQEncoder", cx: dict, bitmap: np.ndarray,
-                         *, template: int = 0, tpgdon: bool = False) -> None:
+                         *, template: int = 0, tpgdon: bool = False,
+                         at: Optional[List[Tuple[int, int]]] = None) -> None:
     """MQ-encode one bitmap on a caller's stream + GB context bank."""
     bitmap = np.asarray(bitmap, np.uint8)
     h, w = bitmap.shape
-    tmpl = sorted(_CODING_TEMPLATE[template] + _NOMINAL_AT[template],
+    tmpl = sorted(_CODING_TEMPLATE[template] + list(at or
+                                                    _NOMINAL_AT[template]),
                   key=lambda p: (p[1], p[0]))
 
     def bit_at(px: int, py: int) -> int:
@@ -755,10 +876,10 @@ class _ArithEncoder:
             self.enc.encode(self._iaid_cx.setdefault(prev, [0, 0]), b)
             prev = (prev << 1) | b
 
-    def encode_generic(self, bitmap: np.ndarray, *,
-                       template: int = 0) -> None:
+    def encode_generic(self, bitmap: np.ndarray, *, template: int = 0,
+                       at: Optional[List[Tuple[int, int]]] = None) -> None:
         _generic_encode_into(self.enc, self.gb_cx, bitmap,
-                             template=template)
+                             template=template, at=at)
 
     def flush(self) -> bytes:
         return self.enc.flush()
@@ -839,6 +960,71 @@ def encode_symbol_text(symbols: List[np.ndarray],
     return (_segment(0, 48, 1, page_info)
             + _segment(1, 0, 1, sd_payload)
             + _segment(2, 6, 1, tr_payload, refs=(1,))
+            + _segment(3, 49, 1, b""))
+
+
+def encode_halftone(gray: np.ndarray, patterns: List[np.ndarray],
+                    *, page_w: int, page_h: int,
+                    hgx: int = 0, hgy: int = 0,
+                    hrx: Optional[int] = None,
+                    hry: int = 0) -> bytes:
+    """Fixture encoder for the halftone path: wrap a (HGH, HGW) gray
+    index image + pattern bitmaps as page info + pattern dictionary
+    (type 16) + immediate lossless halftone region (type 23, referring
+    to the dictionary) + end-of-page — the exact inverse of
+    `_decode_pattern_dict`/`_decode_halftone_region`."""
+    patterns = [np.asarray(p, np.uint8) for p in patterns]
+    if not patterns:
+        raise JBIG2Error("no patterns")
+    ph, pw = patterns[0].shape
+    if any(p.shape != (ph, pw) for p in patterns):
+        raise JBIG2Error("patterns must share one size")
+    if pw > 127:
+        raise JBIG2Error("pattern wider than the AT1 reach (127)")
+    gray = np.asarray(gray, np.int32)
+    hgh, hgw = gray.shape
+    n = len(patterns)
+    if gray.min() < 0 or gray.max() >= n:
+        raise JBIG2Error("gray indices out of pattern range")
+
+    # ---- pattern dictionary: one collective bitmap, AT1 = (-HDPW, 0)
+    pd_at = [(-pw, 0), (-3, -1), (2, -2), (-2, -2)]
+    penc = _ArithEncoder()
+    penc.encode_generic(np.hstack(patterns), at=pd_at)
+    pd_payload = (bytes([0, pw, ph]) + struct.pack(">I", n - 1)
+                  + penc.flush())
+
+    # ---- halftone region: default grid = pattern-sized cells. The
+    # 6.6.5.2 walk gives x = HGX+n*HRX, y = HGY+m*HRX when HRY=0, so
+    # one vector sets BOTH strides — square patterns tile exactly
+    # (the common scanner case); pass hrx/hry for skewed grids.
+    if hrx is None:
+        if ph != pw:
+            raise JBIG2Error("default grid needs square patterns")
+        hrx = pw << 8                                # 8.8 fixed point
+        hry = 0
+    bits = max(1, (n - 1).bit_length())
+    planes = []
+    for j in range(bits - 1, -1, -1):                # MSB first
+        b = (gray >> j) & 1
+        b_next = (gray >> (j + 1)) & 1               # 0 for the MSB
+        planes.append((b ^ b_next).astype(np.uint8))  # gray code
+    ht_at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+    henc = _ArithEncoder()
+    for plane in planes:
+        henc.encode_generic(plane, at=ht_at)
+    region_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
+    ht_payload = (region_info + bytes([0])
+                  + struct.pack(">II", hgw, hgh)
+                  + struct.pack(">ii", hgx << 8, hgy << 8)
+                  + struct.pack(">HH", hrx, hry)
+                  + henc.flush())
+
+    page_info = (struct.pack(">IIII", page_w, page_h, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 16, 1, pd_payload)
+            + _segment(2, 23, 1, ht_payload, refs=(1,))
             + _segment(3, 49, 1, b""))
 
 

@@ -272,3 +272,54 @@ def test_huge_declared_dimensions_rejected():
 
     with pytest.raises(JBIG2Error):
         decode_generic(b"\x00" * 16, 100_000, 100_000)
+
+
+def test_halftone_roundtrip():
+    """Pattern-dictionary + halftone-region page (T.88 6.6/6.7
+    arithmetic path) roundtrips bit-exact through the fixture encoder:
+    gray-code bitplanes on one MQ stream, grid cells stamp patterns."""
+    from rag_application_tpu.ingest.jbig2 import encode_halftone
+
+    rng = np.random.default_rng(11)
+    # 6 gray levels of increasing ink density, 4x4 square cells
+    patterns = [(rng.random((4, 4)) < (lvl / 5.0)).astype(np.uint8)
+                for lvl in range(6)]
+    gray = rng.integers(0, 6, size=(7, 9))          # HGH x HGW grid
+    page = decode_embedded(encode_halftone(
+        gray, patterns, page_w=9 * 4, page_h=7 * 4))
+    ref = np.zeros((7 * 4, 9 * 4), np.uint8)
+    for m in range(7):
+        for n in range(9):
+            ref[m * 4:(m + 1) * 4, n * 4:(n + 1) * 4] |= \
+                patterns[int(gray[m, n])]
+    np.testing.assert_array_equal(page, ref)
+
+
+def test_halftone_two_patterns_single_plane():
+    """HBPP edge: 2 patterns -> one bitplane, no gray-code chaining."""
+    from rag_application_tpu.ingest.jbig2 import encode_halftone
+
+    white = np.zeros((3, 3), np.uint8)
+    black = np.ones((3, 3), np.uint8)
+    gray = np.array([[0, 1, 0], [1, 0, 1]])
+    page = decode_embedded(encode_halftone(
+        gray, [white, black], page_w=9, page_h=6))
+    ref = np.kron(gray, np.ones((3, 3), np.int64)).astype(np.uint8)
+    np.testing.assert_array_equal(page, ref)
+
+
+def test_halftone_mmr_and_skip_unsupported():
+    """MMR pattern dicts and HENABLESKIP regions raise (-> rasterizer
+    fallback), they must not misdecode."""
+    from rag_application_tpu.ingest.jbig2 import encode_halftone
+
+    pats = [np.zeros((3, 3), np.uint8), np.ones((3, 3), np.uint8)]
+    blob = bytearray(encode_halftone(
+        np.array([[0, 1]]), pats, page_w=6, page_h=3))
+    # segment 1 payload starts after its 11-byte header + page-info
+    # segment (11 + 19); flip the pattern dictionary's HDMMR bit
+    pd_payload_off = (11 + 19) + 11
+    blob2 = bytearray(blob)
+    blob2[pd_payload_off] |= 1
+    with pytest.raises(JBIG2Error):
+        decode_embedded(bytes(blob2))
