@@ -274,9 +274,7 @@ class IngestPipeline:
             return
         if kind == "media":
             # audio embeds through the multimodal tower's spectrogram
-            # branch (parity: ImageBind audio, imagebind_handler.py:23-32);
-            # video remains declared-but-stub like the reference, failing
-            # into the ledger instead of silently dropping
+            # branch (parity: ImageBind audio, imagebind_handler.py:23-32)
             is_audio = (mime or "").startswith("audio/") or any(
                 p["filename"].lower().endswith(s)
                 for s in (".wav", ".mp3", ".flac", ".ogg", ".m4a"))
@@ -288,9 +286,34 @@ class IngestPipeline:
                     priority=task_priority(TaskType.AUDIO_CHUNK, 0),
                 ))
                 return
+            # video: MJPEG-AVI frames extract natively (ingest/video.py)
+            # and ride the scanned-page VLM path, one described frame
+            # per page; other codecs keep the reference's stub behavior
+            # (file_processors video branch returns None) by failing
+            # into the ledger instead of silently dropping
+            is_video = (mime or "").startswith("video/") or any(
+                p["filename"].lower().endswith(s)
+                for s in (".avi", ".mp4", ".mkv", ".mov"))
+            if is_video and self.page_describer is not None:
+                from .video import VideoError, extract_frames
+                try:
+                    frames = extract_frames(p["data"])
+                except VideoError as e:
+                    raise NonRetryableError(
+                        f"video {p['filename']}: {e}") from e
+                for i, jpeg in enumerate(frames):
+                    await self.queue.put(Task(
+                        TaskType.UNSTRUCTURED_PAGE,
+                        {"document_id": document_id, "page_number": i + 1,
+                         "text": "", "image": jpeg},
+                        priority=task_priority(TaskType.UNSTRUCTURED_PAGE, i),
+                    ))
+                return
             raise NonRetryableError(
                 f"no processor for media file {p['filename']}"
-                + (" (audio needs a multimodal encoder)" if is_audio else ""))
+                + (" (audio needs a multimodal encoder)" if is_audio else "")
+                + (" (video needs a page_describer VLM hook)"
+                   if is_video else ""))
         if kind == "direct":
             try:
                 text = p["data"].decode("utf-8")
