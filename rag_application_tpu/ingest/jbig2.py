@@ -10,10 +10,12 @@ segment's external combination operator; the embedded segment-header
 format (§7.2) and JBIG2Globals are handled. Huffman-coded variants,
 refinement/aggregate symbols raise :class:`JBIG2Error`, so the
 pipeline falls back to the ``pdf_rasterizer`` hook exactly as before.
-Halftone regions (T.88 §6.6) and their pattern dictionaries (§6.7) are
-decoded natively in their arithmetic-coded form: the gray-code
-bitplanes ride the shared MQ stream and each grid cell stamps its
-pattern onto the region.
+Halftone regions (T.88 §6.6) and their pattern dictionaries (§6.7)
+decode natively in their arithmetic-coded form (gray-code bitplanes on
+the shared MQ stream), and page refinement regions (§6.3, types
+40/42/43) refine against the materialized page content — only
+Huffman-coded variants, TPGRON, and refinement *inside* symbol coding
+(REFAGG/SBREFINE) remain on the hook.
 
 The per-pixel MQ loop lives in C (native/jbig2.c, ctypes) — a 300-dpi
 page is ~8M pixels x 16 context loads. The encoder here (MQ encoder +
@@ -38,7 +40,7 @@ import numpy as np
 
 __all__ = ["JBIG2Error", "decode_embedded", "decode_generic",
            "decode_jbig2_params", "encode_embedded", "encode_generic",
-           "encode_halftone", "encode_symbol_text"]
+           "encode_halftone", "encode_refined_page", "encode_symbol_text"]
 
 
 class JBIG2Error(ValueError):
@@ -108,6 +110,12 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_byte)]
+        lib.jbig2_refine_into.restype = ctypes.c_int
+        lib.jbig2_refine_into.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_byte), ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib_handle = lib
     return _lib_handle
 
@@ -161,6 +169,7 @@ class _ArithDecoder:
             raise JBIG2Error("MQ decoder allocation failed")
         self._int_cx: dict = {}
         self._gb_cx = ctypes.create_string_buffer(1 << 16)
+        self._gr_cx: Optional[ctypes.Array] = None
         self._iaid_cx: Optional[ctypes.Array] = None
 
     def close(self) -> None:
@@ -203,6 +212,28 @@ class _ArithDecoder:
                                        template, 0, at_c)
         if rc != 0:
             raise JBIG2Error(f"shared generic decode failed (rc={rc})")
+        return np.frombuffer(out.raw, np.uint8).reshape(h, w).copy()
+
+    def decode_refine(self, w: int, h: int, ref: np.ndarray, *,
+                      template: int,
+                      at: List[Tuple[int, int]],
+                      dx: int = 0, dy: int = 0) -> np.ndarray:
+        """One refinement bitmap (6.3.5) against ``ref`` on the shared
+        stream with the shared GR stats bank (13-bit contexts)."""
+        if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+            raise JBIG2Error(f"bad refinement size {w}x{h}")
+        if self._gr_cx is None:
+            self._gr_cx = ctypes.create_string_buffer(1 << 13)
+        ref = np.ascontiguousarray(np.asarray(ref, np.uint8))
+        at_c = (ctypes.c_byte * 4)()
+        for i, (ax, ay) in enumerate(at[:2]):
+            at_c[2 * i], at_c[2 * i + 1] = ax, ay
+        out = ctypes.create_string_buffer(w * h)
+        rc = _lib().jbig2_refine_into(
+            self._h, self._gr_cx, out, w, h, template, at_c,
+            ref.tobytes(), ref.shape[1], ref.shape[0], dx, dy)
+        if rc != 0:
+            raise JBIG2Error(f"refinement decode failed (rc={rc})")
         return np.frombuffer(out.raw, np.uint8).reshape(h, w).copy()
 
 
@@ -560,9 +591,31 @@ def _region_info(payload: bytes) -> Tuple[int, int, int, int, int]:
 
 _UNSUPPORTED_TYPES = {
     7: "text region (unknown subtype)",
-    40: "refinement region", 42: "refinement region",
-    43: "refinement region",
 }
+
+
+def _composite(page: np.ndarray, x: int, y: int, op: int,
+               bmp: np.ndarray) -> None:
+    """One region onto the page with its external combination operator
+    (T.88 7.4.8.5; 4 = REPLACE)."""
+    page_h, page_w = page.shape
+    h, w = bmp.shape
+    if y + h > page_h or x + w > page_w:
+        bmp = bmp[:max(0, page_h - y), :max(0, page_w - x)]
+        h, w = bmp.shape
+        if h == 0 or w == 0:
+            return
+    view = page[y:y + h, x:x + w]
+    if op == 0:
+        view |= bmp
+    elif op == 1:
+        view &= bmp
+    elif op == 2:
+        view ^= bmp
+    elif op == 3:
+        view[...] = 1 - (view ^ bmp)
+    else:                                            # REPLACE
+        view[...] = bmp
 
 
 def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
@@ -570,20 +623,41 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     (height, width) uint8, 1 = black ink.
 
     Covers generic regions (36/38/39), symbol dictionaries (0), text
-    regions (4/5/6), pattern dictionaries (16) and halftone regions
-    (20/22/23) — the segments scanner pipelines emit. Refinement (and
-    Huffman-coded variants) raise, keeping the pdf_rasterizer-hook
-    fallback."""
+    regions (4/5/6), pattern dictionaries (16), halftone regions
+    (20/22/23) and page-refinement regions (40/42/43) — the segments
+    scanner pipelines emit. Huffman-coded variants raise, keeping the
+    pdf_rasterizer-hook fallback."""
     segments = list(_parse_segments(globals_data)) if globals_data else []
     segments += list(_parse_segments(data))
 
     page_w = page_h = 0
     page_default = 0
     regions: List[Tuple[int, int, int, np.ndarray]] = []
+    page_arr: Optional[np.ndarray] = None
     # segment number -> exported symbols of that symbol dictionary
     sym_dicts: Dict[int, List[np.ndarray]] = {}
     # segment number -> patterns of that pattern dictionary
     pat_dicts: Dict[int, List[np.ndarray]] = {}
+
+    def materialize_page() -> np.ndarray:
+        """Flush collected regions onto an eager page bitmap — needed
+        as soon as a segment (refinement) must READ page content; the
+        deferred path stays for striped/absent page headers whose size
+        is only known after all regions decode."""
+        nonlocal page_arr
+        if page_arr is None:
+            if page_w == 0 or page_h in (0, 0xFFFFFFFF):
+                raise JBIG2Error(
+                    "refinement region before a sized page info segment")
+            if page_w * page_h > MAX_PIXELS:
+                raise JBIG2Error(
+                    f"page too large ({page_w}x{page_h} > {MAX_PIXELS} px)")
+            page_arr = np.full((page_h, page_w), page_default, np.uint8)
+        for rx, ry, rop, rbmp in regions:
+            _composite(page_arr, rx, ry, rop, rbmp)
+        regions.clear()
+        return page_arr
+
     for num, stype, _page, payload, refs in segments:
         if stype == 48:                              # page info
             if len(payload) < 17:
@@ -636,11 +710,43 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             bmp = decode_generic(payload[pos:], w, h, template=template,
                                  tpgdon=tpgdon, at=at, mmr=mmr)
             regions.append((x, y, op, bmp))
+        elif stype in (40, 42, 43):                  # refinement region
+            w, h, x, y, op = _region_info(payload)
+            if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+                raise JBIG2Error(f"bad refinement region size {w}x{h}")
+            if len(payload) < 18:
+                raise JBIG2Error("short refinement region")
+            rflags = payload[17]
+            template = rflags & 1
+            if (rflags >> 1) & 1:
+                raise JBIG2Error("TPGRON refinement (unsupported)")
+            pos = 18
+            rat = [(-1, -1), (-1, -1)]
+            if template == 0:
+                rat = [struct.unpack(">bb", payload[pos:pos + 2]),
+                       struct.unpack(">bb", payload[pos + 2:pos + 4])]
+                pos += 4
+            # reference = the page contents under the region (7.4.7.2:
+            # no intermediate-region refs -> refine against the page)
+            cur = materialize_page()
+            ref = np.zeros((h, w), np.uint8)
+            x1 = min(x + w, cur.shape[1])
+            y1 = min(y + h, cur.shape[0])
+            if x < x1 and y < y1:
+                ref[:y1 - y, :x1 - x] = cur[y:y1, x:x1]
+            with _ArithDecoder(payload[pos:]) as dec:
+                bmp = dec.decode_refine(w, h, ref, template=template,
+                                        at=rat)
+            regions.append((x, y, op, bmp))
         elif stype in _UNSUPPORTED_TYPES:
             raise JBIG2Error(
                 f"unsupported JBIG2 feature: {_UNSUPPORTED_TYPES[stype]}")
         # 49-53 (end-of-*, profiles, tables), 62 (extension): no-ops here
 
+    if page_arr is not None:                         # eager path engaged
+        for x, y, op, bmp in regions:
+            _composite(page_arr, x, y, op, bmp)
+        return page_arr
     if not regions:
         raise JBIG2Error("no decodable regions")
     if page_w == 0 or page_h in (0, 0xFFFFFFFF):     # striped/absent page
@@ -651,23 +757,7 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             f"page too large ({page_w}x{page_h} > {MAX_PIXELS} px)")
     page = np.full((page_h, page_w), page_default, np.uint8)
     for x, y, op, bmp in regions:
-        h, w = bmp.shape
-        if y + h > page_h or x + w > page_w:
-            bmp = bmp[:max(0, page_h - y), :max(0, page_w - x)]
-            h, w = bmp.shape
-            if h == 0 or w == 0:
-                continue
-        view = page[y:y + h, x:x + w]
-        if op == 0:
-            view |= bmp
-        elif op == 1:
-            view &= bmp
-        elif op == 2:
-            view ^= bmp
-        elif op == 3:
-            view[...] = 1 - (view ^ bmp)
-        else:                                        # REPLACE
-            view[...] = bmp
+        _composite(page, x, y, op, bmp)
     return page
 
 
@@ -839,6 +929,7 @@ class _ArithEncoder:
         self._int_cx: Dict[str, dict] = {}
         self._iaid_cx: dict = {}
         self.gb_cx: dict = {}
+        self.gr_cx: dict = {}
 
     def encode_int(self, name: str, v: Optional[int]) -> None:
         """A.2 inverse; v=None encodes OOB (sign=1, magnitude 0)."""
@@ -880,6 +971,42 @@ class _ArithEncoder:
                        at: Optional[List[Tuple[int, int]]] = None) -> None:
         _generic_encode_into(self.enc, self.gb_cx, bitmap,
                              template=template, at=at)
+
+    def encode_refine(self, bitmap: np.ndarray, ref: np.ndarray, *,
+                      template: int = 0,
+                      at: Optional[List[Tuple[int, int]]] = None,
+                      dx: int = 0, dy: int = 0) -> None:
+        """Inverse of `_ArithDecoder.decode_refine` — context bits are
+        coding-template pixels (already-coded target) then
+        reference-template pixels, in the C decoder's list order."""
+        bitmap = np.asarray(bitmap, np.uint8)
+        ref = np.asarray(ref, np.uint8)
+        at = at or [(-1, -1), (-1, -1)]
+        if template == 0:
+            ct = [(0, -1), (1, -1), (-1, 0), tuple(at[0])]
+            rt = [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+                  (-1, 1), (0, 1), (1, 1), tuple(at[1])]
+        else:
+            ct = [(-1, -1), (0, -1), (1, -1), (-1, 0)]
+            rt = [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]
+        h, w = bitmap.shape
+        rh, rw = ref.shape
+        cx = self.gr_cx
+        for y in range(h):
+            for x in range(w):
+                ctx = 0
+                for ddx, ddy in ct:
+                    px, py = x + ddx, y + ddy
+                    bit = (int(bitmap[py, px])
+                           if 0 <= px < w and 0 <= py < h else 0)
+                    ctx = (ctx << 1) | bit
+                for ddx, ddy in rt:
+                    px, py = x + ddx - dx, y + ddy - dy
+                    bit = (int(ref[py, px])
+                           if 0 <= px < rw and 0 <= py < rh else 0)
+                    ctx = (ctx << 1) | bit
+                self.enc.encode(cx.setdefault(ctx, [0, 0]),
+                                int(bitmap[y, x]))
 
     def flush(self) -> bytes:
         return self.enc.flush()
@@ -960,6 +1087,37 @@ def encode_symbol_text(symbols: List[np.ndarray],
     return (_segment(0, 48, 1, page_info)
             + _segment(1, 0, 1, sd_payload)
             + _segment(2, 6, 1, tr_payload, refs=(1,))
+            + _segment(3, 49, 1, b""))
+
+
+def encode_refined_page(base: np.ndarray, final: np.ndarray, *,
+                        template: int = 0) -> bytes:
+    """Fixture encoder for the refinement path: page info + a generic
+    region carrying ``base`` (the lossy pass) + an immediate lossless
+    refinement region (type 43, REPLACE) that corrects the page to
+    ``final`` — the exact structure a lossy-then-refine encoder emits,
+    inverse of the type-40/42/43 branch in `decode_embedded`."""
+    base = np.asarray(base, np.uint8)
+    final = np.asarray(final, np.uint8)
+    if base.shape != final.shape:
+        raise JBIG2Error("base/final size mismatch")
+    h, w = base.shape
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
+    g_at = b"".join(struct.pack(">bb", ax, ay) for ax, ay in _NOMINAL_AT[0])
+    g_payload = (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+                 + bytes([0]) + g_at + encode_generic(base))
+    renc = _ArithEncoder()
+    r_at = [(-1, -1), (-1, -1)]
+    renc.encode_refine(final, base, template=template, at=r_at)
+    r_flags = bytes([template & 1])
+    r_head = struct.pack(">IIII", w, h, 0, 0) + bytes([4])  # REPLACE
+    r_payload = r_head + r_flags
+    if template == 0:
+        r_payload += b"".join(struct.pack(">bb", ax, ay) for ax, ay in r_at)
+    r_payload += renc.flush()
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 39, 1, g_payload)
+            + _segment(2, 43, 1, r_payload)
             + _segment(3, 49, 1, b""))
 
 

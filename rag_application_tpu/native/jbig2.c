@@ -285,3 +285,60 @@ int jbig2_generic_into(void *h, uint8_t *cx, uint8_t *out, int w, int hh,
                        int gbtemplate, int tpgdon, const signed char *at) {
     return generic_into((MQ *)h, cx, out, w, hh, gbtemplate, tpgdon, at);
 }
+
+/* --------------------------------------- refinement decoding (6.3.5)
+ *
+ * Context: coding-template pixels from the in-progress bitmap, then
+ * reference-template pixels from the reference bitmap shifted by
+ * (-dx, -dy), MSB-first in the listed order (same convention as
+ * pdf.js/jbig2dec). Template 0 appends AT1 to the coding list and AT2
+ * to the reference list. TPGRON is handled by the caller (unsupported
+ * upstream -> raises before reaching here). cx needs 1 << 13 bytes. */
+int jbig2_refine_into(void *h, uint8_t *cx, uint8_t *out, int w, int hh,
+                      int grtemplate, const signed char *at,
+                      const uint8_t *ref, int rw, int rh,
+                      int dx, int dy) {
+    static const Pt c0[] = {{0, -1}, {1, -1}, {-1, 0}};
+    static const Pt r0[] = {{0, -1}, {1, -1}, {-1, 0}, {0, 0},
+                            {1, 0},  {-1, 1}, {0, 1},  {1, 1}};
+    static const Pt c1[] = {{-1, -1}, {0, -1}, {1, -1}, {-1, 0}};
+    static const Pt r1[] = {{0, -1}, {-1, 0}, {0, 0}, {1, 0},
+                            {0, 1},  {1, 1}};
+    Pt ct[8], rt[16];
+    int nc, nr, x, y, k;
+    uint32_t ctx;
+    MQ *m = (MQ *)h;
+    if (w <= 0 || hh <= 0 || (grtemplate != 0 && grtemplate != 1))
+        return -1;
+    if (grtemplate == 0) {
+        for (nc = 0; nc < 3; nc++) ct[nc] = c0[nc];
+        ct[nc].x = at[0]; ct[nc].y = at[1]; nc++;
+        for (nr = 0; nr < 8; nr++) rt[nr] = r0[nr];
+        rt[nr].x = at[2]; rt[nr].y = at[3]; nr++;
+    } else {
+        for (nc = 0; nc < 4; nc++) ct[nc] = c1[nc];
+        for (nr = 0; nr < 6; nr++) rt[nr] = r1[nr];
+    }
+    memset(out, 0, (size_t)w * hh);
+    for (y = 0; y < hh; y++) {
+        for (x = 0; x < w; x++) {
+            ctx = 0;
+            for (k = 0; k < nc; k++) {
+                int px = x + ct[k].x, py = y + ct[k].y;
+                uint32_t bit = 0;
+                if (px >= 0 && px < w && py >= 0 && py < hh)
+                    bit = out[(size_t)py * w + px];
+                ctx = (ctx << 1) | bit;
+            }
+            for (k = 0; k < nr; k++) {
+                int px = x + rt[k].x - dx, py = y + rt[k].y - dy;
+                uint32_t bit = 0;
+                if (px >= 0 && px < rw && py >= 0 && py < rh)
+                    bit = ref[(size_t)py * rw + px];
+                ctx = (ctx << 1) | bit;
+            }
+            out[(size_t)y * w + x] = (uint8_t)mq_decode(m, &cx[ctx]);
+        }
+    }
+    return 0;
+}
