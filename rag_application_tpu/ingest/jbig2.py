@@ -8,14 +8,13 @@ jbig2enc default; Annex-A integer decoding + shared-stream generic
 bitmaps run in C). Regions composite onto the page bitmap with the
 segment's external combination operator; the embedded segment-header
 format (§7.2) and JBIG2Globals are handled. Huffman-coded variants,
-refinement/aggregate symbols raise :class:`JBIG2Error`, so the
-pipeline falls back to the ``pdf_rasterizer`` hook exactly as before.
-Halftone regions (T.88 §6.6) and their pattern dictionaries (§6.7)
-decode natively in their arithmetic-coded form (gray-code bitplanes on
-the shared MQ stream), and page refinement regions (§6.3, types
-40/42/43) refine against the materialized page content — only
-Huffman-coded variants, TPGRON, and refinement *inside* symbol coding
-(REFAGG/SBREFINE) remain on the hook.
+halftone regions + pattern dictionaries (§6.6/§6.7, gray-code
+bitplanes on the shared MQ stream), page refinement regions (§6.3,
+types 40/42/43), refinement/aggregate symbols (§6.5.8.2,
+REFAGGNINST=1) and SBREFINE text instances (§6.4.11). Only
+Huffman-coded variants, TPGRON, and multi-instance aggregates raise
+:class:`JBIG2Error`, so the pipeline falls back to the
+``pdf_rasterizer`` hook exactly as before for those.
 
 The per-pixel MQ loop lives in C (native/jbig2.c, ctypes) — a 300-dpi
 page is ~8M pixels x 16 context loads. The encoder here (MQ encoder +
@@ -245,9 +244,9 @@ _MAX_SYMBOLS = 100_000
 def _decode_symbol_dict(payload: bytes,
                         input_syms: List[np.ndarray]) -> List[np.ndarray]:
     """Symbol dictionary segment (type 0) -> exported symbol bitmaps
-    (T.88 6.5; arithmetic, REFAGG=0 — what jbig2enc-style scanner
-    pipelines emit). Huffman/refinement variants raise (-> rasterizer
-    hook fallback)."""
+    (T.88 6.5, arithmetic). REFAGG=0 (the jbig2enc default) and
+    single-instance refinement/aggregate symbols (6.5.8.2) both decode;
+    Huffman and multi-instance aggregates raise (-> rasterizer hook)."""
     if len(payload) < 2:
         raise JBIG2Error("short symbol dictionary")
     flags = struct.unpack(">H", payload[:2])[0]
@@ -256,10 +255,9 @@ def _decode_symbol_dict(payload: bytes,
     ctx_used = (flags >> 8) & 1
     ctx_retained = (flags >> 9) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise JBIG2Error("Huffman symbol dictionary (unsupported)")
-    if refagg:
-        raise JBIG2Error("refinement/aggregate symbols (unsupported)")
     if ctx_used or ctx_retained:
         raise JBIG2Error("cross-segment context retention (unsupported)")
     pos = 2
@@ -269,10 +267,18 @@ def _decode_symbol_dict(payload: bytes,
         ax, ay = struct.unpack(">bb", payload[pos:pos + 2])
         at.append((ax, ay))
         pos += 2
+    rat = [(-1, -1), (-1, -1)]
+    if refagg and rtemplate == 0:                     # SDRAT (7.4.3.1.3)
+        rat = [struct.unpack(">bb", payload[pos:pos + 2]),
+               struct.unpack(">bb", payload[pos + 2:pos + 4])]
+        pos += 4
     num_ex, num_new = struct.unpack(">II", payload[pos:pos + 8])
     pos += 8
     if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS + len(input_syms):
         raise JBIG2Error(f"symbol counts out of range ({num_new}/{num_ex})")
+    # SBSYMCODELEN for refinement-aggregate symbol references (6.5.8.2.3)
+    n_total = len(input_syms) + num_new
+    symcodelen = max(1, (max(n_total - 1, 0)).bit_length())
 
     new_syms: List[np.ndarray] = []
     budget = MAX_PIXELS
@@ -298,8 +304,28 @@ def _decode_symbol_dict(payload: bytes,
                 budget -= sym_width * hc_height
                 if budget < 0:
                     raise JBIG2Error("symbol dictionary exceeds pixel budget")
-                new_syms.append(dec.decode_generic(
-                    sym_width, hc_height, template=template, at=at))
+                if not refagg:
+                    new_syms.append(dec.decode_generic(
+                        sym_width, hc_height, template=template, at=at))
+                    continue
+                # refinement/aggregate symbol (6.5.8.2)
+                ninst = dec.decode_int("IAAI")
+                if ninst is None or ninst < 1:
+                    raise JBIG2Error("bad aggregate instance count")
+                if ninst != 1:
+                    raise JBIG2Error(
+                        "multi-instance aggregate symbols (unsupported)")
+                sid = dec.decode_iaid(symcodelen)
+                rdx = dec.decode_int("IARDX")
+                rdy = dec.decode_int("IARDY")
+                if rdx is None or rdy is None:
+                    raise JBIG2Error("OOB refinement offset")
+                pool = list(input_syms) + new_syms
+                if not 0 <= sid < len(pool):
+                    raise JBIG2Error(f"refagg symbol id {sid} out of range")
+                new_syms.append(dec.decode_refine(
+                    sym_width, hc_height, pool[sid], template=rtemplate,
+                    at=rat, dx=rdx, dy=rdy))
         # export flags: alternating skip/export run lengths, skip first
         # (6.5.10: CUREXFLAG starts 0)
         all_syms = list(input_syms) + new_syms
@@ -427,7 +453,7 @@ def _decode_halftone_region(payload: bytes, patterns: List[np.ndarray]
 def _decode_text_region(payload: bytes, syms: List[np.ndarray]
                         ) -> Tuple[int, int, int, np.ndarray]:
     """Text region segment (types 4-6) -> (x, y, ext_op, bitmap)
-    (T.88 6.4; arithmetic, SBREFINE=0)."""
+    (T.88 6.4, arithmetic; SBREFINE instances refine per 6.4.11)."""
     w, h, x, y, ext_op = _region_info(payload)
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         raise JBIG2Error(f"bad text region size {w}x{h}")
@@ -446,10 +472,14 @@ def _decode_text_region(payload: bytes, syms: List[np.ndarray]
     ds_offset = (flags >> 10) & 0x1F
     if ds_offset > 15:
         ds_offset -= 32                     # signed 5-bit
+    sbrtemplate = (flags >> 15) & 1
     if sbhuff:
         raise JBIG2Error("Huffman text region (unsupported)")
-    if sbrefine:
-        raise JBIG2Error("refinement text region (unsupported)")
+    rat = [(-1, -1), (-1, -1)]
+    if sbrefine and sbrtemplate == 0:       # SBRAT (7.4.4.1.2)
+        rat = [struct.unpack(">bb", payload[pos:pos + 2]),
+               struct.unpack(">bb", payload[pos + 2:pos + 4])]
+        pos += 4
     num_instances = struct.unpack(">I", payload[pos:pos + 4])[0]
     pos += 4
     if num_instances > 10 * _MAX_SYMBOLS:
@@ -523,6 +553,26 @@ def _decode_text_region(payload: bytes, syms: List[np.ndarray]
                 if not 0 <= sid < len(syms):
                     raise JBIG2Error(f"symbol id {sid} out of range")
                 sym = syms[sid]
+                if sbrefine:
+                    # per-instance refinement (6.4.11): RI flag, then
+                    # size deltas + offsets; the instance bitmap
+                    # refines the symbol with the 6.4.11 center shift
+                    ri = dec.decode_int("IARI")
+                    if ri is None:
+                        raise JBIG2Error("OOB refinement flag")
+                    if ri:
+                        rdw = dec.decode_int("IARDW")
+                        rdh = dec.decode_int("IARDH")
+                        rdx = dec.decode_int("IARDX")
+                        rdy = dec.decode_int("IARDY")
+                        if None in (rdw, rdh, rdx, rdy):
+                            raise JBIG2Error("OOB refinement deltas")
+                        nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                        if not (0 < nw <= 1 << 20 and 0 < nh <= 1 << 20):
+                            raise JBIG2Error("bad refined instance size")
+                        sym = dec.decode_refine(
+                            nw, nh, sym, template=sbrtemplate, at=rat,
+                            dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy)
                 sh, sw = sym.shape
                 if (not transposed) and ref_corner in (2, 3):
                     cur_s += sw - 1         # pre-advance (3c vi)
@@ -1020,6 +1070,10 @@ def encode_symbol_text(symbols: List[np.ndarray],
     (type 0) + immediate lossless text region (type 6, referring to the
     dictionary) + end-of-page — the exact structure jbig2enc-style
     scanners emit, inverse of `_decode_symbol_dict`/`_decode_text_region`.
+
+    A placement may also be ``(sym_id, x, y, target_bitmap)``: that
+    instance is SBREFINE-coded (6.4.11) — the target refines the
+    dictionary symbol in-stream, sizes may differ.
     """
     n = len(symbols)
     if n == 0:
@@ -1054,33 +1108,52 @@ def encode_symbol_text(symbols: List[np.ndarray],
 
     # ---- text region: strips of height 1, TOPLEFT corners
     symcodelen = max(1, (n - 1).bit_length())
+    any_refined = any(len(p) > 3 for p in placements)
     tenc = _ArithEncoder()
     by_pos = sorted(placements, key=lambda p: (p[2], p[1]))
     tenc.encode_int("IADT", 0)                       # STRIPT = 0
     prev_t = 0
     first_s = 0
     j = 0
+    rat = [(-1, -1), (-1, -1)]
     while j < len(by_pos):
         t = by_pos[j][2]
         tenc.encode_int("IADT", t - prev_t)
         prev_t = t
         cur_s = None
         while j < len(by_pos) and by_pos[j][2] == t:
-            sid, x, _y = by_pos[j]
-            wj = symbols[sid].shape[1]
+            sid, x, _y = by_pos[j][:3]
+            target = by_pos[j][3] if len(by_pos[j]) > 3 else None
+            inst = (np.asarray(target, np.uint8) if target is not None
+                    else symbols[sid])
+            wj = inst.shape[1]
             if cur_s is None:
                 tenc.encode_int("IAFS", x - first_s)
                 first_s = x
             else:
                 tenc.encode_int("IADS", x - cur_s)
             tenc.encode_iaid(export_id[sid], symcodelen)
+            if any_refined:
+                tenc.encode_int("IARI", 1 if target is not None else 0)
+                if target is not None:
+                    sym = symbols[sid]
+                    rdw = inst.shape[1] - sym.shape[1]
+                    rdh = inst.shape[0] - sym.shape[0]
+                    tenc.encode_int("IARDW", rdw)
+                    tenc.encode_int("IARDH", rdh)
+                    tenc.encode_int("IARDX", 0)
+                    tenc.encode_int("IARDY", 0)
+                    tenc.encode_refine(inst, sym, template=0, at=rat,
+                                       dx=rdw >> 1, dy=rdh >> 1)
             cur_s = x + wj - 1                       # TL post-advance
             j += 1
         tenc.encode_int("IADS", None)                # end of strip
-    tr_flags = 1 << 4                                # REFCORNER=TOPLEFT
+    tr_flags = (1 << 4) | (2 if any_refined else 0)  # TOPLEFT, SBREFINE
     region_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
-    tr_payload = (region_info + struct.pack(">H", tr_flags)
-                  + struct.pack(">I", len(by_pos)) + tenc.flush())
+    tr_payload = region_info + struct.pack(">H", tr_flags)
+    if any_refined:                                   # SBRAT, template 0
+        tr_payload += b"".join(struct.pack(">bb", ax, ay) for ax, ay in rat)
+    tr_payload += struct.pack(">I", len(by_pos)) + tenc.flush()
 
     page_info = (struct.pack(">IIII", page_w, page_h, 0, 0)
                  + b"\x01" + b"\x00\x00")

@@ -366,3 +366,95 @@ def test_refinement_tpgron_unsupported():
     blob[flags_at] |= 2                      # set TPGRON
     with pytest.raises(JBIG2Error):
         decode_embedded(bytes(blob))
+
+
+def test_text_region_sbrefine_roundtrip():
+    """SBREFINE instances (6.4.11): a placement carrying a target
+    bitmap refines the dictionary symbol in-stream — including a size
+    change — and lands bit-exact."""
+    from rag_application_tpu.ingest.jbig2 import encode_symbol_text
+
+    rng = np.random.default_rng(13)
+    glyph = (rng.random((10, 8)) < 0.45).astype(np.uint8)
+    # same-size refinement: a few flipped pixels
+    tweaked = glyph.copy()
+    tweaked[2:5, 3:6] ^= 1
+    # size-changing refinement (RDW=+2, RDH=-2)
+    bigger = (rng.random((8, 10)) < 0.4).astype(np.uint8)
+    placements = [(0, 0, 0), (0, 12, 0, tweaked), (0, 26, 0, bigger),
+                  (0, 0, 14)]
+    page = decode_embedded(encode_symbol_text([glyph], placements, 40, 24))
+    ref = np.zeros((24, 40), np.uint8)
+    for sid, x, y, *t in placements:
+        b = np.asarray(t[0], np.uint8) if t else glyph
+        ref[y:y + b.shape[0], x:x + b.shape[1]] |= b
+    np.testing.assert_array_equal(page, ref)
+
+
+def test_symbol_dict_refagg_roundtrip():
+    """Refinement/aggregate symbol dictionaries (6.5.8.2, REFAGGNINST=1):
+    a second dictionary refines an imported symbol; the text region sees
+    both the import and the refined symbol."""
+    import struct as _s
+
+    from rag_application_tpu.ingest.jbig2 import (
+        _NOMINAL_AT, _ArithEncoder, _segment)
+
+    rng = np.random.default_rng(17)
+    glyph = (rng.random((10, 8)) < 0.45).astype(np.uint8)
+    target = glyph.copy()
+    target[1:6, 2:7] ^= 1
+
+    at = b"".join(_s.pack(">bb", ax, ay) for ax, ay in _NOMINAL_AT[0])
+    rat_pairs = [(-1, -1), (-1, -1)]
+    rat = b"".join(_s.pack(">bb", ax, ay) for ax, ay in rat_pairs)
+
+    # dict A: one normally-coded symbol, exported
+    a = _ArithEncoder()
+    a.encode_int("IADH", 10)
+    a.encode_int("IADW", 8)
+    a.encode_generic(glyph)
+    a.encode_int("IADW", None)
+    a.encode_int("IAEX", 0)
+    a.encode_int("IAEX", 1)
+    sd_a = _s.pack(">H", 0) + at + _s.pack(">II", 1, 1) + a.flush()
+
+    # dict B: REFAGG (flags bit 1), one refined symbol from import 0,
+    # exports import + new (SBSYMCODELEN = ceil(log2(1+1)) = 1)
+    b = _ArithEncoder()
+    b.encode_int("IADH", 10)
+    b.encode_int("IADW", 8)
+    b.encode_int("IAAI", 1)
+    b.encode_iaid(0, 1)
+    b.encode_int("IARDX", 0)
+    b.encode_int("IARDY", 0)
+    b.encode_refine(target, glyph, template=0, at=rat_pairs)
+    b.encode_int("IADW", None)
+    b.encode_int("IAEX", 0)
+    b.encode_int("IAEX", 2)
+    sd_b = _s.pack(">H", 2) + at + rat + _s.pack(">II", 2, 1) + b.flush()
+
+    # text region over dict B's exports: glyph at x=0, target at x=10
+    t = _ArithEncoder()
+    t.encode_int("IADT", 0)
+    t.encode_int("IADT", 0)
+    t.encode_int("IAFS", 0)
+    t.encode_iaid(0, 1)
+    t.encode_int("IADS", 10 - (0 + 8 - 1))
+    t.encode_iaid(1, 1)
+    t.encode_int("IADS", None)
+    region_info = _s.pack(">IIII", 24, 12, 0, 0) + b"\x00"
+    tr = (region_info + _s.pack(">H", 1 << 4)
+          + _s.pack(">I", 2) + t.flush())
+
+    page_info = _s.pack(">IIII", 24, 12, 0, 0) + b"\x01" + b"\x00\x00"
+    blob = (_segment(0, 48, 1, page_info)
+            + _segment(1, 0, 1, sd_a)
+            + _segment(2, 0, 1, sd_b, refs=(1,))
+            + _segment(3, 6, 1, tr, refs=(2,))
+            + _segment(4, 49, 1, b""))
+    page = decode_embedded(blob)
+    ref = np.zeros((12, 24), np.uint8)
+    ref[:10, 0:8] |= glyph
+    ref[:10, 10:18] |= target
+    np.testing.assert_array_equal(page, ref)
