@@ -280,6 +280,7 @@ def _decode_symbol_dict(payload: bytes,
     n_total = len(input_syms) + num_new
     symcodelen = max(1, (max(n_total - 1, 0)).bit_length())
 
+    pool: List[np.ndarray] = list(input_syms)   # inputs + decoded news
     new_syms: List[np.ndarray] = []
     budget = MAX_PIXELS
     with _ArithDecoder(payload[pos:]) as dec:
@@ -305,27 +306,29 @@ def _decode_symbol_dict(payload: bytes,
                 if budget < 0:
                     raise JBIG2Error("symbol dictionary exceeds pixel budget")
                 if not refagg:
-                    new_syms.append(dec.decode_generic(
-                        sym_width, hc_height, template=template, at=at))
-                    continue
-                # refinement/aggregate symbol (6.5.8.2)
-                ninst = dec.decode_int("IAAI")
-                if ninst is None or ninst < 1:
-                    raise JBIG2Error("bad aggregate instance count")
-                if ninst != 1:
-                    raise JBIG2Error(
-                        "multi-instance aggregate symbols (unsupported)")
-                sid = dec.decode_iaid(symcodelen)
-                rdx = dec.decode_int("IARDX")
-                rdy = dec.decode_int("IARDY")
-                if rdx is None or rdy is None:
-                    raise JBIG2Error("OOB refinement offset")
-                pool = list(input_syms) + new_syms
-                if not 0 <= sid < len(pool):
-                    raise JBIG2Error(f"refagg symbol id {sid} out of range")
-                new_syms.append(dec.decode_refine(
-                    sym_width, hc_height, pool[sid], template=rtemplate,
-                    at=rat, dx=rdx, dy=rdy))
+                    sym = dec.decode_generic(
+                        sym_width, hc_height, template=template, at=at)
+                else:
+                    # refinement/aggregate symbol (6.5.8.2)
+                    ninst = dec.decode_int("IAAI")
+                    if ninst is None or ninst < 1:
+                        raise JBIG2Error("bad aggregate instance count")
+                    if ninst != 1:
+                        raise JBIG2Error(
+                            "multi-instance aggregate symbols (unsupported)")
+                    sid = dec.decode_iaid(symcodelen)
+                    rdx = dec.decode_int("IARDX")
+                    rdy = dec.decode_int("IARDY")
+                    if rdx is None or rdy is None:
+                        raise JBIG2Error("OOB refinement offset")
+                    if not 0 <= sid < len(pool):
+                        raise JBIG2Error(
+                            f"refagg symbol id {sid} out of range")
+                    sym = dec.decode_refine(
+                        sym_width, hc_height, pool[sid],
+                        template=rtemplate, at=rat, dx=rdx, dy=rdy)
+                new_syms.append(sym)
+                pool.append(sym)
         # export flags: alternating skip/export run lengths, skip first
         # (6.5.10: CUREXFLAG starts 0)
         all_syms = list(input_syms) + new_syms
