@@ -19,6 +19,7 @@ likewise re-upserts whole pages, IndexerAPI neo4j_handler.py:154-203).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import List, Optional, Sequence, Set, Tuple
 
 import jax
@@ -42,11 +43,10 @@ def pd_unique(a: np.ndarray) -> np.ndarray:
     return a[np.sort(idx)]
 
 
-@jax.jit
-def _expand_doc_major(packed_tt: jax.Array, lens: jax.Array,
-                      idf: jax.Array, consts: jax.Array) -> jax.Array:
-    """(term<<16 | tf) int32 (N+1, L) -> interleaved doc-major view
-    (N+1, 2L): term ids (cols :L, empty = -1) + bitcast f32 BM25 weights.
+def _expand_core(packed_tt: jax.Array, lens: jax.Array,
+                 idf: jax.Array, consts: jax.Array) -> jax.Array:
+    """(term<<16 | tf) int32 (N, L) -> interleaved doc-major view
+    (N, 2L): term ids (cols :L, empty = -1) + bitcast f32 BM25 weights.
 
     Computing the weights ON DEVICE halves the biggest host->device
     transfer of a sparse rebuild (the (N+1, 2L) doc-major table -> the
@@ -68,6 +68,28 @@ def _expand_doc_major(packed_tt: jax.Array, lens: jax.Array,
     w_out = jnp.where(empty, 0.0, w).astype(jnp.float32)
     return jnp.concatenate(
         [terms_out, jax.lax.bitcast_convert_type(w_out, jnp.int32)], axis=-1)
+
+
+_expand_doc_major = jax.jit(_expand_core)
+
+# row-block budget for the chunked expansion, expressed as rows*L
+# (~128 MB of int32 at the default L=32); tests shrink it to force the
+# block path on small corpora
+_EXPAND_BLOCK_ROWS_L = 32 << 20
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _expand_block_into(buf: jax.Array, packed_block: jax.Array,
+                       lens_block: jax.Array, idf: jax.Array,
+                       consts: jax.Array, start) -> jax.Array:
+    """One row-block of the doc-major expansion scattered into the
+    persistent (N+1, 2L) buffer. The buffer is DONATED so XLA updates
+    it in place — at 10M docs the one-shot expand's transients (input
+    1.3 GB + f32 intermediates + 2.6 GB output) OOM'd HBM next to the
+    7.2 GiB capacity-mode dense table (r4 bench); block-wise the live
+    set is the buffer + one ~100 MB block."""
+    out = _expand_core(packed_block, lens_block, idf, consts)
+    return jax.lax.dynamic_update_slice(buf, out, (start, jnp.int32(0)))
 
 
 class SparseIndex:
@@ -356,9 +378,32 @@ class SparseIndex:
             consts = np.asarray(
                 [np.float32(avgdl), self.cfg.k1, self.cfg.b],
                 dtype=np.float32)
-            doc_packed = _expand_doc_major(
-                jnp.asarray(packed_tt), jnp.asarray(lens_dev),
-                jnp.asarray(idf_pad), jnp.asarray(consts))
+            total = n + 1
+            # block rows so expansion transients stay ~100 MB: the
+            # one-shot path at 10M docs held input + f32 intermediates
+            # + output (~5 GB) live at once and OOM'd next to a
+            # capacity-mode dense table
+            blk = max(1, _EXPAND_BLOCK_ROWS_L // max(l, 1))
+            if total <= blk:
+                doc_packed = _expand_doc_major(
+                    jnp.asarray(packed_tt), jnp.asarray(lens_dev),
+                    jnp.asarray(idf_pad), jnp.asarray(consts))
+            else:
+                idf_dev = jnp.asarray(idf_pad)
+                consts_dev = jnp.asarray(consts)
+                buf = jnp.zeros((total, 2 * l), jnp.int32)
+                s = 0
+                while s < total:
+                    # tail blocks re-align to the last full window so
+                    # one compiled shape serves every step (the overlap
+                    # rewrites identical rows)
+                    s0 = min(s, total - blk)
+                    buf = _expand_block_into(
+                        buf, jnp.asarray(packed_tt[s0:s0 + blk]),
+                        jnp.asarray(lens_dev[s0:s0 + blk]),
+                        idf_dev, consts_dev, np.int32(s0))
+                    s += blk
+                doc_packed = buf
         else:
             doc_terms = np.full((n + 1, l), -1, dtype=np.int32)
             doc_w = np.zeros((n + 1, l), dtype=np.float32)

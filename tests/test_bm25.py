@@ -162,3 +162,29 @@ def test_max_impact_posting_survives_packing():
     scores, rows = idx.search(["bm25"], k=2, approx=True)
     exact = idx.exact_scores("bm25")
     assert rows[0][0] == int(np.argmax(exact))
+
+
+def test_blocked_doc_major_expand_matches_one_shot(monkeypatch):
+    """The chunked device expansion (donated-buffer scatter, added after
+    the 10M capacity-mode HBM OOM) must produce the identical doc-major
+    table as the one-shot path."""
+    import numpy as np
+
+    import rag_application_tpu.index.sparse as sp
+    from rag_application_tpu.config import SparseConfig
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 300, size=(4000, 24)).astype(np.int64)
+
+    def build():
+        idx = sp.SparseIndex(SparseConfig())
+        idx.analyzer.vocab = {f"w{t}": t for t in range(300)}
+        idx.add_pretokenized(toks)
+        idx.rebuild()
+        return np.asarray(idx.device_arrays()["doc_packed"])
+
+    one = build()
+    monkeypatch.setattr(sp, "_EXPAND_BLOCK_ROWS_L", 512 * 32)
+    blocked = build()
+    assert one.shape == blocked.shape
+    assert np.array_equal(one, blocked)
