@@ -182,6 +182,14 @@ def run():
     # 0.5M-row slabs and a host sync per slab to bound live transients
     # (20 x ~30 ms RTT — noise next to generation itself).
     big_capacity = int8_only and n > 4_000_000
+    if big_capacity and not os.environ.get("BENCH_BATCH"):
+        # the scan's per-block top-128 sheets are (n/block, Q, 128) f32
+        # + s32 + a layout copy — at 10M rows x Q=8192 that is 7.2 GB
+        # of HLO temps next to the 7.2 GiB table (measured compile OOM,
+        # r4). Q=2048 keeps the sheets ~1.8 GB; QPS at this scale is
+        # scan-dominated so the smaller batch costs ~4%, not 4x.
+        batch = min(batch, 2048)
+        log(f"[bench] big-capacity run: query batch clamped to {batch}")
     chunks_per_slab = (5 if big_capacity
                        else 10 if (int8_only or n <= 2_000_000) else 5)
     ci = 0

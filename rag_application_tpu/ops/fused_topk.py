@@ -40,6 +40,13 @@ NEG = -3.0e38  # python float: becomes an inline kernel constant, not a captured
 
 LANES = 128  # bins per block == the VPU lane count
 
+# cap on the live candidate-sheet bytes (f32 vals + s32 ids) before
+# fused_scan_topk chunks the query axis — see the chunking note in the
+# function body. 1 GB keeps 10M x 768 runs well inside HBM next to the
+# 7.2 GiB capacity table; 1M-scale runs (31 blocks x 8192 q = 260 MB)
+# never chunk, so the production 1M path compiles identically.
+_SHEET_BYTES_BUDGET = 1 << 30
+
 
 def _packed_fits(d: int, block_rows: int) -> bool:
     """Packed int32 bin-max is exact iff |score|*rows + rows fits int32
@@ -234,6 +241,36 @@ def fused_scan_topk(
     n, d = corpus.shape
     q_count = queries.shape[0]
     int8_mode = corpus.dtype == jnp.int8
+
+    # The per-block candidate sheets materialize at (nb, Q, 128) f32 +
+    # s32 (+ one layout copy before the select) — at capacity scale x
+    # big batches that is multi-GB of HLO temps NEXT TO the resident
+    # table (10M rows x Q=8192 = 7.2 GB; measured compile OOM, r4).
+    # Chunk the query axis into separate kernel calls inside the same
+    # trace: each chunk's sheets die after its select, so peak temps
+    # scale with the chunk, the funnel stays ONE dispatch, and MXU work
+    # is unchanged (the (block, q_tile) grid re-reads corpus slabs per
+    # query tile either way).
+    if select:
+        nb_est = cdiv(n, block_rows)
+        if 8 * nb_est * q_count * LANES > _SHEET_BYTES_BUDGET:
+            step = max(q_block or 1024, 128)
+            qc = max(step, (_SHEET_BYTES_BUDGET // (8 * nb_est * LANES))
+                     // step * step)
+            if qc < q_count:
+                vs, ids = [], []
+                for s in range(0, q_count, qc):
+                    v, i = fused_scan_topk(
+                        corpus, queries[s:s + qc], k, bins=bins,
+                        block_rows=block_rows, valid_n=valid_n,
+                        prefix_dim=prefix_dim, inv_norms=inv_norms,
+                        mask=mask, approx_sheet=approx_sheet,
+                        select=True, strips=strips,
+                        q_block=q_block if q_block and q_block < qc
+                        else None)
+                    vs.append(v)
+                    ids.append(i)
+                return jnp.concatenate(vs), jnp.concatenate(ids)
 
     q_orig = q_count
     if q_block is not None and q_block < q_count:

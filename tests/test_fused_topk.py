@@ -323,3 +323,24 @@ def test_int8_scaled_packed_mask_and_negatives(rng):
     # every returned value is negative and the top-1 is the masked argmax
     assert (np.asarray(v) < 0).all()
     np.testing.assert_array_equal(i[:, 0], np.argmax(exact, axis=-1))
+
+
+def test_query_chunked_select_matches_unchunked(monkeypatch):
+    """The sheet-budget query chunking (added after the 10M x Q=8192
+    funnel-compile HBM OOM) must return exactly the unchunked result."""
+    import numpy as np
+
+    import rag_application_tpu.ops.fused_topk as ft
+
+    rng = np.random.default_rng(5)
+    corpus = jnp.asarray(rng.standard_normal((4096, 128)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((512, 128)), jnp.float32)
+    base = ft.fused_scan_topk(corpus, queries, 10, block_rows=1024,
+                              q_block=128)
+    monkeypatch.setattr(ft, "_SHEET_BYTES_BUDGET", 8 * 4 * 128 * 128)
+    chunked = ft.fused_scan_topk(corpus, queries, 10, block_rows=1024,
+                                 q_block=128)
+    np.testing.assert_array_equal(np.asarray(base[1]),
+                                  np.asarray(chunked[1]))
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(chunked[0]),
+                               rtol=1e-6)
