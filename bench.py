@@ -461,12 +461,18 @@ def run():
             t0 = time.time()
             dense_t = DenseIndex(IndexConfig(
                 dim=d, matryoshka_dims=(), initial_capacity=cap))
-            eb = 100_000
+            # encode in 8192-row forwards: a 100k-row forward's MLP
+            # activation alone is ~10 GB f32 (measured RESOURCE_
+            # EXHAUSTED, r4) — and sync every ~1M rows so async relay
+            # dispatch can't stack unbounded insert transients
+            eb = 8192
             for s in range(0, n, eb):
                 ids_dev = jnp.asarray(tokens[s:s + eb].astype(np.int32))
                 vec = enc_fwd(enc.params, ids_dev,
                               jnp.ones_like(ids_dev, dtype=bool))
                 dense_t.insert(vec)
+                if (s // eb) % 128 == 127:
+                    float(jnp.sum(dense_t.live[:1]))
             float(jnp.sum(dense_t.inv_norms[-1]))
             t_tok_build = time.time() - t0
             log(f"[bench] tokens-leg corpus (encode 1M docs on device): "
@@ -539,10 +545,15 @@ def run():
                 "e2e_tokens_wire_bytes_per_query": int(doc_len * 4),
                 "tokens_corpus_encode_s": round(t_tok_build, 1),
             }
-            del dense_t, searcher_t  # release the second table's HBM
         except Exception as e:  # noqa: BLE001
             log(f"[bench] tokens-wire leg failed ({type(e).__name__}: {e})"
                 " — continuing")
+        finally:
+            # release the second table's HBM even when the leg fails —
+            # a leaked table poisoned the latency + ANN legs with
+            # RESOURCE_EXHAUSTED in the r4 run (rebinding drops the
+            # only references; del on a maybe-unbound name raises)
+            dense_t = searcher_t = warm = outs = None  # noqa: F841
 
     # single-query latency (one batch of 1, fully synced; dominated by
     # the relay RTT on this attach — report both)
