@@ -37,13 +37,22 @@ def log(*a):
 
 
 def main() -> None:
-    os.environ["JAX_PLATFORMS"] = os.environ.get("REALDOCS_PLATFORM", "cpu")
+    plat = os.environ.get("REALDOCS_PLATFORM", "cpu")
+    if plat == "cpu":
+        # pre-import env skips the axon plugin's import-time discovery
+        # (wedges on a dead relay); the config update overrides the
+        # sitecustomize programmatic platform
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import asyncio
 
     import jax
 
-    jax.config.update("jax_platforms",
-                      os.environ.get("REALDOCS_PLATFORM", "cpu"))
+    if plat == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # plat == "tpu"/"axon": leave the sitecustomize attach alone — the
+    # chip rides the axon plugin (platform name "tpu"); forcing
+    # JAX_PLATFORMS=tpu selects the NATIVE libtpu path, which has no
+    # local device ("No jellyfish device found", r4)
     from rag_application_tpu.evals.real_docs import (
         QUESTIONS, build_real_docs_stack, evaluate_real_docs)
 

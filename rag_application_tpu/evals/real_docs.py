@@ -156,9 +156,17 @@ def _train_encoder(embedder, texts: Sequence[str], steps: int,
         rng = np.random.default_rng(seed + epoch)
         pairs = crop_pairs(texts, rng) + ict_pairs(texts, rng)
         epoch += 1
-        if not pairs:
+        if len(pairs) < 32:        # a full fixed-shape batch never forms
             break
-        for batch in batches(pairs, tok, batch_size=min(64, len(pairs)),
+        # FIXED batch size: min(64, len(pairs)) tracked the per-epoch
+        # pair count (fixture corpora sit near 64), so nearly every
+        # epoch retraced the fwd+bwd step with a new shape — ~minutes
+        # of remote compile EACH through the relay (r4: the 300-step
+        # on-chip run sat in compile for 45+ min). One shape = one
+        # compile; drop_remainder skips ragged tails, and epochs with
+        # fewer than 32 pairs fall through to the next epoch's fresh
+        # crops.
+        for batch in batches(pairs, tok, batch_size=32,
                              max_len=max_len, seed=seed + epoch):
             state, _ = step_fn(state, batch)
             done += 1

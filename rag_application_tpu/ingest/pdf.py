@@ -873,9 +873,22 @@ class FontDecoder:
         self.two_byte = False
         self.cmap: Dict[int, str] = {}
         self.diffs: Dict[int, str] = {}
+        self.widths: Dict[int, float] = {}
+        self.default_width = 500.0
+        self.has_widths = False
         subtype = str(doc.resolve(font.get("Subtype", "")))
         if subtype == "Type0":
             self.two_byte = True  # Identity-H/V and most CID encodings
+            self._parse_cid_widths(doc, font)
+        else:
+            first = doc.resolve(font.get("FirstChar"))
+            warr = doc.resolve(font.get("Widths"))
+            if isinstance(first, (int, float)) and isinstance(warr, list):
+                for j, w in enumerate(warr):
+                    w = doc.resolve(w)
+                    if isinstance(w, (int, float)):
+                        self.widths[int(first) + j] = float(w)
+                self.has_widths = bool(self.widths)
         tu = doc.resolve(font.get("ToUnicode"))
         if isinstance(tu, Stream):
             try:
@@ -894,6 +907,56 @@ class FontDecoder:
                     elif isinstance(item, Name):
                         self.diffs[code] = _glyph_to_unicode(str(item))
                         code += 1
+
+    def _parse_cid_widths(self, doc: PDFDocument,
+                          font: Dict[str, Any]) -> None:
+        """CIDFont /W array ([c [w..]] and [c1 c2 w] forms) + /DW —
+        glyph advances drive the extractor's word-gap inference."""
+        desc = doc.resolve(font.get("DescendantFonts"))
+        if not (isinstance(desc, list) and desc):
+            return
+        df = doc.resolve(desc[0])
+        if not isinstance(df, dict):
+            return
+        dw = doc.resolve(df.get("DW", 1000))
+        if isinstance(dw, (int, float)):
+            self.default_width = float(dw)
+        warr = doc.resolve(df.get("W"))
+        if isinstance(warr, list):
+            i = 0
+            while i + 1 < len(warr):
+                c1 = doc.resolve(warr[i])
+                nxt = doc.resolve(warr[i + 1])
+                if not isinstance(c1, (int, float)):
+                    break
+                if isinstance(nxt, list):
+                    for j, w in enumerate(nxt):
+                        w = doc.resolve(w)
+                        if isinstance(w, (int, float)):
+                            self.widths[int(c1) + j] = float(w)
+                    i += 2
+                elif (isinstance(nxt, (int, float)) and i + 2 < len(warr)
+                      and isinstance(doc.resolve(warr[i + 2]),
+                                     (int, float))):
+                    w = float(doc.resolve(warr[i + 2]))
+                    span = int(nxt) - int(c1)
+                    if 0 <= span <= 65535:
+                        for c in range(int(c1), int(nxt) + 1):
+                            self.widths[c] = w
+                    i += 3
+                else:
+                    break
+        self.has_widths = True  # DW default applies even with no /W
+
+    def advance(self, raw: bytes) -> float:
+        """Total glyph advance of a show string, 1/1000 text units."""
+        if self.two_byte:
+            codes = [
+                (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw) - 1, 2)
+            ]
+        else:
+            codes = list(raw)
+        return sum(self.widths.get(c, self.default_width) for c in codes)
 
     def _parse_tounicode(self, data: bytes) -> None:
         text = data.decode("latin-1", "replace")
@@ -969,15 +1032,24 @@ _DEFAULT_FONT = FontDecoder.__new__(FontDecoder)
 _DEFAULT_FONT.two_byte = False
 _DEFAULT_FONT.cmap = {}
 _DEFAULT_FONT.diffs = {}
+_DEFAULT_FONT.widths = {}
+_DEFAULT_FONT.default_width = 500.0
+_DEFAULT_FONT.has_widths = False
 
 
 # --------------------------------------------------------- text extraction
 
 class _PageText:
-    """Interprets a content stream's text operators. Layout handling is
-    deliberately simple: a new output line on every text-line transition
-    (Td/TD/T*/Tm/'/\") whose vertical position moved, a space for large
-    negative TJ kerning."""
+    """Interprets a content stream's text operators. Layout: a new
+    output line on every text-line transition (Td/TD/T*/Tm/'/\") whose
+    vertical position moved; word gaps from glyph-advance pen tracking
+    when the font carries /Widths (or CID /W + /DW) — a show whose
+    start sits > 0.25 em past the previous show's pen lands a space,
+    which recovers words split across same-line font switches
+    (Tf + Tm repositioning, e.g. smallcaps acronyms: the r4 realdocs
+    miss 'introduceRAGAS(RetrievalAugmented...'). Width-less fonts
+    keep the conservative fallbacks (space on same-line Td, space for
+    TJ kerning < -180)."""
 
     def __init__(self, doc: PDFDocument, fonts: Dict[str, FontDecoder]):
         self.doc = doc
@@ -986,17 +1058,38 @@ class _PageText:
         self.parts: List[str] = []
         self._ty = 0.0
         self._line_open = False
+        self._size = 1.0           # Tf operand
+        self._scale = 1.0          # Tm 'a' (horizontal scale)
+        self._x = 0.0              # pen target for the next show (user u.)
+        self._lx = 0.0             # line-origin x (Td displaces THIS)
+        self._pen: Optional[float] = None  # end of the previous show
 
     def _newline(self) -> None:
         if self._line_open:
             self.parts.append("\n")
             self._line_open = False
+        self._pen = None           # never infer a gap across lines
+
+    def _space(self) -> None:
+        if self.parts and not self.parts[-1].endswith((" ", "\n")):
+            self.parts.append(" ")
 
     def _show(self, raw: bytes) -> None:
+        em = self._size * self._scale
+        # word-gap threshold 0.12 em: measured show-gap histogram on a
+        # real paper is bimodal — kerning |gap| <= 0.06, word gaps
+        # 0.20-0.49 (justified setting squeezes toward 0.2, and the
+        # smallcaps junctions that motivated pen tracking sit at 0.248)
+        if (self.font.has_widths and self._pen is not None
+                and self._x - self._pen > 0.12 * max(em, 1e-6)):
+            self._space()
         s = self.font.decode(raw)
         if s:
             self.parts.append(s)
             self._line_open = True
+        if self.font.has_widths:
+            self._x += self.font.advance(raw) / 1000.0 * em
+            self._pen = self._x
 
     def run(self, content: bytes) -> None:
         lex = Lexer(content)
@@ -1033,37 +1126,57 @@ class _PageText:
                 stack.clear()
                 continue
             if op == b"Tf" and len(stack) >= 2:
-                name = stack[-2]
+                name, size = stack[-2], stack[-1]
                 if isinstance(name, Name):
                     self.font = self.fonts.get(str(name), _DEFAULT_FONT)
+                if isinstance(size, (int, float)) and size > 0:
+                    self._size = float(size)
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 self._show(stack[-1])
             elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
                 self._newline()
+                self._x = self._lx
                 self._show(stack[-1])
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 for item in stack[-1]:
                     if isinstance(item, bytes) and not isinstance(item, Keyword):
                         self._show(item)
-                    elif isinstance(item, (int, float)) and item < -180:
-                        # big negative adjustment = inter-word gap
-                        if self.parts and not self.parts[-1].endswith(
-                                (" ", "\n")):
-                            self.parts.append(" ")
+                    elif isinstance(item, (int, float)):
+                        # adjustment moves the pen by -adj/1000 em
+                        self._x -= (float(item) / 1000.0
+                                    * self._size * self._scale)
+                        if item < -180:
+                            # big negative adjustment = inter-word gap
+                            # (also covers width-less fonts)
+                            self._space()
             elif op in (b"Td", b"TD") and len(stack) >= 2:
-                ty = stack[-1]
+                tx, ty = stack[-2], stack[-1]
+                if isinstance(tx, (int, float)):
+                    # Td displaces the LINE ORIGIN (not the pen)
+                    self._lx += float(tx) * self._scale
                 if isinstance(ty, (int, float)) and abs(ty) > 1e-6:
                     self._newline()
-                elif self.parts and not self.parts[-1].endswith((" ", "\n")):
-                    self.parts.append(" ")
+                    self._x = self._lx
+                elif self.font.has_widths:
+                    # same-line reposition: the pen-gap check at the
+                    # next show decides whether a word gap opened
+                    self._x = self._lx
+                else:
+                    self._space()
             elif op == b"T*":
                 self._newline()
+                self._x = self._lx
             elif op == b"Tm" and len(stack) >= 6:
-                ty = stack[-1]
+                a, ty, tx = stack[-6], stack[-1], stack[-2]
                 if isinstance(ty, (int, float)):
                     if abs(float(ty) - self._ty) > 1e-6:
                         self._newline()
                     self._ty = float(ty)
+                if isinstance(a, (int, float)) and abs(a) > 1e-6:
+                    self._scale = abs(float(a))
+                if isinstance(tx, (int, float)):
+                    self._lx = float(tx)
+                    self._x = self._lx
             elif op == b"ET":
                 self._newline()
             stack.clear()
