@@ -10,10 +10,18 @@ Prints ONE JSON line:
    "vs_baseline": <QPS/50000>, ...extras}
 
 Environment knobs:
-  BENCH_N       corpus size (default 1_000_000)
-  BENCH_DIM     vector dim (default 768)
-  BENCH_BATCH   query batch size (default 8192)
-  BENCH_SMALL=1 quick mode (100k corpus) for smoke runs
+  BENCH_N        corpus size (default 1_000_000)
+  BENCH_DIM      vector dim (default 768)
+  BENCH_BATCH    query batch size (default 8192)
+  BENCH_SMALL=1  quick mode (100k corpus) for smoke runs
+  BENCH_BUDGET_S total wall budget (default 3300): aux legs whose
+                 estimate would overrun are skipped (-> skipped_legs)
+
+The record is UN-LOSEABLE (VERDICT r4 #1): a cumulative JSON line is
+printed after the core engine leg and again after every aux leg — the
+driver parses the LAST JSON line, so a timeout/kill at any point after
+the core leg still leaves engine QPS/recall/memory on record
+("partial": true marks a mid-run emission; the final line drops it).
 """
 
 from __future__ import annotations
@@ -31,6 +39,10 @@ def log(*a):
     sys.stderr.flush()
 
 
+
+
+class _LegSkipped(Exception):
+    """Raised inside a leg's try block when the budget guard skips it."""
 
 
 def synth_tokens(rng, n, vocab=50_000, doc_len=24):
@@ -375,6 +387,79 @@ def run():
 
     dt = engine_dt
 
+    # ---------------- index memory ----------------
+    # (before the aux legs: it belongs to the core record)
+    # vs the reference's Qdrant layout for the same corpus: fp32 dense
+    # (3072B) + int8 copy (768B) + 3 matryoshka fp32 copies (64+128+256 =
+    # 448 dims -> 1792B) + HNSW adjacency (~m=32 x 4B = 128B) per row.
+    dv = sparse.device_arrays()
+    dense_bytes = ((dense.vecs.nbytes if dense.vecs is not None else 0)
+                   + dense.int8.nbytes
+                   + dense.inv_norms.nbytes + dense.live.nbytes)
+    pw = dv["post_weights"]  # None when postings are packed into one int32
+    sparse_bytes = (dv["post_docs"].nbytes + (pw.nbytes if pw is not None else 0)
+                    + dv["doc_packed"].nbytes)
+    qdrant_equiv = n * (3072 + 768 + 1792 + 128)
+    log(f"[bench] index memory: dense {dense_bytes/2**30:.2f} GiB + "
+        f"sparse {sparse_bytes/2**30:.2f} GiB "
+        f"(qdrant-equivalent dense layout ~{qdrant_equiv/2**30:.2f} GiB)")
+
+    # ---------------- cumulative record + budget guard ----------------
+    if small:
+        metric = "hybrid_qps_small"
+    elif n == 1_000_000 and d == 768:
+        metric = "hybrid_qps_1m_768_recall10"
+    else:
+        metric = f"hybrid_qps_{n}_{d}_recall10"
+    result = {
+        "metric": metric,
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 50_000.0, 3),
+        "recall_at_10": round(float(recall), 4),
+        "corpus_size": n,
+        "dim": d,
+        "batch": batch,
+        "p50_batch_ms": round(dt * 1e3, 2),
+        "sync_rtt_ms": round(rtt * 1e3, 1),
+        "dense_build_s": round(t_dense_build, 1),
+        "sparse_build_s": round(t_sparse_build, 1),
+        "build_probe_dense": {"rtt_ms": probe_dense[0],
+                              "mbps": probe_dense[1]},
+        "build_probe_sparse": {"rtt_ms": probe_sparse[0],
+                               "mbps": probe_sparse[1]},
+        "index_dense_gib": round(dense_bytes / 2**30, 3),
+        "index_sparse_gib": round(sparse_bytes / 2**30, 3),
+        "qdrant_equiv_dense_gib": round(qdrant_equiv / 2**30, 3),
+        "backend": jax.default_backend(),
+        "skipped_legs": [],
+        "partial": True,
+    }
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 3300))
+
+    def emit(final: bool = False):
+        """Print the cumulative record as ONE JSON line. The driver
+        parses the LAST line, so every emission is a valid checkpoint —
+        a kill at any later point cannot lose what ran (VERDICT r4 #1)."""
+        if final:
+            result.pop("partial", None)
+        result["total_bench_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(result), flush=True)
+
+    def leg_allowed(name: str, est_s: float) -> bool:
+        """Budget guard: skip an aux leg whose estimate would overrun
+        BENCH_BUDGET_S, recording the skip in the JSON."""
+        elapsed = time.time() - t_start
+        if elapsed + est_s > budget_s:
+            log(f"[bench] leg {name} skipped: elapsed {elapsed:.0f}s + "
+                f"~{est_s:.0f}s > budget {budget_s:.0f}s")
+            result["skipped_legs"].append(name)
+            emit()
+            return False
+        return True
+
+    emit()  # core record is now on the wire whatever happens next
+
     # --- end-to-end through the relay --- (fail-soft: the core metric
     # above is already measured; a relay flap here must not lose it).
     # Queries upload compressed — BENCH_E2E_WIRE selects the format:
@@ -385,7 +470,15 @@ def run():
     # measured against the same exact oracle and reported.
     wire = os.environ.get("BENCH_E2E_WIRE", "float16")
     e2e_wire_recall = -1.0
+    e2e_qps = -1.0
     try:
+        if not leg_allowed("e2e_f16", 120):
+            raise _LegSkipped
+        # relay probe right before the leg: the 6.9k-28.7k historical
+        # spread on this leg is relay-health-bound — the probe makes a
+        # regression attributable (VERDICT r4 #8)
+        pr = probe_relay()
+        result["e2e_probe"] = {"rtt_ms": pr[0], "mbps": pr[1]}
         warm = searcher.search_prepared(
             searcher.prepare(batches[0][0], batches[0][1],
                              upload_dtype=wire),
@@ -432,9 +525,16 @@ def run():
                  for i in range(n_eval)]))
             log(f"[bench] int8-wire recall@10 vs exact dense: "
                 f"{e2e_wire_recall:.4f}")
+    except _LegSkipped:
+        pass
     except Exception as e:  # noqa: BLE001
         e2e_qps = -1.0
         log(f"[bench] e2e leg failed ({type(e).__name__}) — continuing")
+    result["e2e_relay_qps"] = round(e2e_qps, 1)
+    result["e2e_wire"] = wire
+    if e2e_wire_recall >= 0:
+        result["e2e_wire_recall_at_10"] = round(e2e_wire_recall, 4)
+    emit()
 
     # --- tokens-wire e2e: the honest user-facing number. Real clients
     # send TEXT (reference app/api/v1/endpoints/query.py:19-35); int32
@@ -446,8 +546,14 @@ def run():
     # when a second dense table won't fit HBM (capacity runs).
     tokens_extras = {}
     if (os.environ.get("BENCH_E2E_TOKENS", "1") == "1"
-            and not int8_only and n <= 2_000_000):
+            and not int8_only and n <= 2_000_000
+            and leg_allowed("e2e_tokens", 420)):
         try:
+            # probe + decomposition (VERDICT r4 #2): this is the
+            # user-facing headline, so the JSON must say how much of
+            # each batch is host feeder, host tokenize, wire, device.
+            pr = probe_relay()
+            result["e2e_tokens_probe"] = {"rtt_ms": pr[0], "mbps": pr[1]}
             from rag_application_tpu.config import EncoderConfig
             from rag_application_tpu.models.encoder import init_encoder
 
@@ -494,15 +600,43 @@ def run():
                 return t
 
             tok_batches = []
+            t_feed = 0.0
             for r in range(reps):
                 b_idx = rng.integers(0, n, size=batch)
                 b_tok = noisy_tokens(b_idx, 500 + r)
+                t0 = time.time()
                 b_txt = [" ".join(f"w{t}" for t in row) for row in b_tok]
+                t_feed += time.time() - t0
                 tok_batches.append((b_tok, b_txt))
             warm = searcher_t.search_tokens_prepared(
                 searcher_t.prepare_tokens(*tok_batches[0]), k,
                 use_matryoshka=False)
             float(jnp.sum(warm[0]))
+
+            # decomposition on one batch (post-warm, all synced):
+            # host tokenize (BM25 query analysis), wire upload of the
+            # int32 ids, pure device execution. The pipelined loop below
+            # overlaps the first two with the third; when its ms/batch
+            # ~= the max of the parts the leg is pipeline-limited by
+            # that part, when it ~= their sum the overlap thread is
+            # starved (1-CPU boxes).
+            t0 = time.time()
+            sq0 = sparse.encode_queries(tok_batches[0][1])
+            tok_host_ms = (time.time() - t0) * 1e3
+            t0 = time.time()
+            ids_dev = jax.device_put(jnp.asarray(
+                tok_batches[0][0].astype(np.int32)))
+            float(jnp.sum(ids_dev[0]))
+            tok_upload_ms = (time.time() - t0) * 1e3
+            t0 = time.time()
+            out_d = searcher_t.search_tokens_prepared(
+                (ids_dev, None, sq0), k, use_matryoshka=False)
+            float(jnp.sum(out_d[0]))
+            tok_device_ms = (time.time() - t0) * 1e3
+            log(f"[bench] tokens decomposition: feeder "
+                f"{t_feed/reps*1e3:.1f} host-tokenize {tok_host_ms:.1f} "
+                f"upload {tok_upload_ms:.1f} device {tok_device_ms:.1f} "
+                "ms/batch")
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=1) as pool:
@@ -544,6 +678,10 @@ def run():
                 "e2e_tokens_recall_at_10": round(tok_recall, 4),
                 "e2e_tokens_wire_bytes_per_query": int(doc_len * 4),
                 "tokens_corpus_encode_s": round(t_tok_build, 1),
+                "e2e_tokens_feeder_ms": round(t_feed / reps * 1e3, 1),
+                "e2e_tokens_host_tokenize_ms": round(tok_host_ms, 1),
+                "e2e_tokens_upload_ms": round(tok_upload_ms, 1),
+                "e2e_tokens_device_ms": round(tok_device_ms, 1),
             }
         except Exception as e:  # noqa: BLE001
             log(f"[bench] tokens-wire leg failed ({type(e).__name__}: {e})"
@@ -554,10 +692,18 @@ def run():
             # RESOURCE_EXHAUSTED in the r4 run (rebinding drops the
             # only references; del on a maybe-unbound name raises)
             dense_t = searcher_t = warm = outs = None  # noqa: F841
+            out_d = ids_dev = sq0 = None  # noqa: F841
+    result.update(tokens_extras)
+    emit()
 
     # single-query latency (one batch of 1, fully synced; dominated by
     # the relay RTT on this attach — report both)
+    p50_single = -1.0
     try:
+        if not leg_allowed("latency", 60):
+            raise _LegSkipped
+        pr = probe_relay()
+        result["latency_probe"] = {"rtt_ms": pr[0], "mbps": pr[1]}
         lats = []
         for _ in range(5):
             t1 = time.time()
@@ -568,25 +714,12 @@ def run():
         p50_single = float(np.median(lats)) * 1e3
         log(f"[bench] single-query p50 latency: {p50_single:.1f} ms "
             f"(incl {rtt*1e3:.1f} ms attach RTT)")
+    except _LegSkipped:
+        pass
     except Exception as e:  # noqa: BLE001
-        p50_single = -1.0
         log(f"[bench] latency leg failed ({type(e).__name__}) — continuing")
-
-    # ---------------- index memory ----------------
-    # vs the reference's Qdrant layout for the same corpus: fp32 dense
-    # (3072B) + int8 copy (768B) + 3 matryoshka fp32 copies (64+128+256 =
-    # 448 dims -> 1792B) + HNSW adjacency (~m=32 x 4B = 128B) per row.
-    dv = sparse.device_arrays()
-    dense_bytes = ((dense.vecs.nbytes if dense.vecs is not None else 0)
-                   + dense.int8.nbytes
-                   + dense.inv_norms.nbytes + dense.live.nbytes)
-    pw = dv["post_weights"]  # None when postings are packed into one int32
-    sparse_bytes = (dv["post_docs"].nbytes + (pw.nbytes if pw is not None else 0)
-                    + dv["doc_packed"].nbytes)
-    qdrant_equiv = n * (3072 + 768 + 1792 + 128)
-    log(f"[bench] index memory: dense {dense_bytes/2**30:.2f} GiB + "
-        f"sparse {sparse_bytes/2**30:.2f} GiB "
-        f"(qdrant-equivalent dense layout ~{qdrant_equiv/2**30:.2f} GiB)")
+    result["p50_single_query_ms"] = round(p50_single, 1)
+    emit()
 
     # ---------------- ANN leg: IVF-flat build (the engine of record) ----
     # Tracks the "HNSW build time" row of BASELINE.md. Round 2 switched
@@ -597,7 +730,6 @@ def run():
     # bench corpus here has no cluster structure, so recall/QPS for the
     # ANN leg are measured in examples/tune_ivf.py, not on this corpus;
     # the default leg times the build only (fail-soft).
-    ann_extras = {}
     ividx = None
     ann_fits = dense_bytes + n * d < 13.5e9  # bucket copy must fit HBM
     if not ann_fits:
@@ -605,7 +737,8 @@ def run():
             f"(~{n*d/2**30:.1f} GiB) would not fit next to the index")
     if ann_fits and (
             os.environ.get("BENCH_ANN_BUILD", "0" if small else "1") == "1"
-            or os.environ.get("BENCH_ANN") == "1"):
+            or os.environ.get("BENCH_ANN") == "1") \
+            and leg_allowed("ann_build", 180):
         try:
             from rag_application_tpu.index.ivf import IVFIndex
 
@@ -615,11 +748,12 @@ def run():
                 n_clusters=int(os.environ.get("BENCH_IVF_CLUSTERS", 4096)),
                 bucket_rows=64, iters=10)
             float(jnp.sum(ividx.centroids))
-            ann_extras["ann_build_s"] = round(time.time() - t0, 1)
-            ann_extras["ann_engine"] = "ivf"
-            log(f"[bench] ann (ivf) build: {ann_extras['ann_build_s']}s")
+            result["ann_build_s"] = round(time.time() - t0, 1)
+            result["ann_engine"] = "ivf"
+            log(f"[bench] ann (ivf) build: {result['ann_build_s']}s")
         except Exception as e:  # noqa: BLE001
             log(f"[bench] ann build failed ({type(e).__name__}) — continuing")
+        emit()
     if os.environ.get("BENCH_ANN") == "1" and ividx is not None:
         from rag_application_tpu.index.ivf import IVFSearchParams
 
@@ -641,10 +775,9 @@ def run():
             f"{ann_dt*1e3:.2f} ms/batch -> {batch/ann_dt:,.0f} QPS "
             f"(compile {t_compile_ann:.0f}s; unclustered corpus — see "
             "docs/ann.md for the clustered-regime table)")
-        ann_extras.update({
-            "ann_recall_at_10": round(float(ann_recall), 4),
-            "ann_qps": round(batch / ann_dt, 1),
-        })
+        result["ann_recall_at_10"] = round(float(ann_recall), 4)
+        result["ann_qps"] = round(batch / ann_dt, 1)
+        emit()
 
     # ---------------- decoder serving leg (subprocess-isolated) --------
     # The r2 serving features (int8 KV cache, prompt-lookup speculation)
@@ -693,105 +826,78 @@ def run():
                 "— continuing")
             return {}
 
+    dec_mode = os.environ.get("BENCH_DECODER", "0" if small else "1")
+    if dec_mode != "0":
+        shapes = {"?TUNE_BATCH": "64", "?TUNE_PROMPT": "128",
+                  "?TUNE_NEW": "128"}
+        if leg_allowed("decoder_kvq", 600):
+            result.update(child(
+                "tune_decoder.py", {**shapes, "TUNE_KV_QUANT": "1"},
+                {"dec_kvq_decode_tok_s": "decode_tok_s",
+                 "dec_kvq_ms_per_token": "decode_ms_per_token",
+                 "dec_kvq_prefill_tok_s": "prefill_tok_s"}))
+            emit()
+        if leg_allowed("decoder_spec", 600):
+            result.update(child(
+                "tune_speculative.py", {},
+                {"spec_speedup": "speedup",
+                 "spec_tokens_per_step": "tokens_per_step",
+                 "spec_identical": "identical",
+                 # the corrected greedy invariant (docs/decoder.md
+                 # bf16-TPU tie caveat): divergence allowed only at
+                 # f32-margin ties
+                 "spec_identical_or_tie": "identical_or_tie",
+                 "spec_divergence_f32_margin": "divergence_f32_margin"}))
+            emit()
+
     # --- real-document retrieval quality (CPU child; the reference's
     # "Who is Vivek Malipatel?" e2e check, graded over 28 needles) ---
-    realdocs_extras = {}
     if os.environ.get("BENCH_REALDOCS", "0" if small else "1") == "1":
-        realdocs_extras.update(child(
-            "eval_real_docs.py", {},
-            {"realdocs_recall_at_5": "retrieval_recall_at_k",
-             "realdocs_answer_hit": "answer_hit_rate",
-             "realdocs_n_chunks": "n_chunks",
-             "realdocs_ingest_s": "ingest_s"}, timeout_s=1200))
+        if leg_allowed("realdocs", 600):
+            result.update(child(
+                "eval_real_docs.py", {},
+                {"realdocs_recall_at_5": "retrieval_recall_at_k",
+                 "realdocs_answer_hit": "answer_hit_rate",
+                 "realdocs_n_chunks": "n_chunks",
+                 "realdocs_ingest_s": "ingest_s"}, timeout_s=1200))
+            emit()
         # trained-encoder variant (VERDICT r3 #4): fine-tune the
         # in-repo encoder on the ingested corpus, grade side by side.
         # Training runs on the bench backend when it's a real chip.
         steps = os.environ.get("BENCH_REALDOCS_TRAIN", "300")
-        if steps != "0":
+        if steps != "0" and leg_allowed("realdocs_trained", 1200):
             env_t = {"REALDOCS_TRAIN_STEPS": steps}
             if jax.default_backend() == "tpu" and not os.environ.get(
                     "BENCH_PLATFORM"):
                 env_t["REALDOCS_PLATFORM"] = "tpu"
-            realdocs_extras.update(child(
+            result.update(child(
                 "eval_real_docs.py", env_t,
                 {"realdocs_trained_recall_at_5": "retrieval_recall_at_k",
                  "realdocs_trained_answer_hit": "answer_hit_rate",
                  "realdocs_train_steps": "train_steps"}, timeout_s=2400))
+            emit()
 
-    dec_mode = os.environ.get("BENCH_DECODER", "0" if small else "1")
-    dec_extras = {}
-    if dec_mode != "0":
-        shapes = {"?TUNE_BATCH": "64", "?TUNE_PROMPT": "128",
-                  "?TUNE_NEW": "128"}
-        dec_extras.update(child(
-            "tune_decoder.py", {**shapes, "TUNE_KV_QUANT": "1"},
-            {"dec_kvq_decode_tok_s": "decode_tok_s",
-             "dec_kvq_ms_per_token": "decode_ms_per_token",
-             "dec_kvq_prefill_tok_s": "prefill_tok_s"}))
-        dec_extras.update(child(
-            "tune_speculative.py", {},
-            {"spec_speedup": "speedup",
-             "spec_tokens_per_step": "tokens_per_step",
-             "spec_identical": "identical",
-             # the corrected greedy invariant (docs/decoder.md bf16-TPU
-             # tie caveat): divergence allowed only at f32-margin ties
-             "spec_identical_or_tie": "identical_or_tie",
-             "spec_divergence_f32_margin": "divergence_f32_margin"}))
-        if dec_mode == "full":
-            dec_extras.update(child(
+    if dec_mode == "full":
+        if leg_allowed("decoder_bf16", 600):
+            result.update(child(
                 "tune_decoder.py", shapes,
                 {"dec_decode_tok_s": "decode_tok_s",
                  "dec_prefill_tok_s": "prefill_tok_s"}))
-            # deployment-shaped: plain batcher, big chunks + lookahead
-            # pipelining (speculation in the batcher burns K+1 slots
-            # per step -> 10x the compactions; through the relay that
-            # costs more than the 1.65 tokens/step buys — the solo
-            # spec_speedup above reports the mechanism's win)
-            dec_extras.update(child(
+            emit()
+        # deployment-shaped: plain batcher, big chunks + lookahead
+        # pipelining (speculation in the batcher burns K+1 slots
+        # per step -> 10x the compactions; through the relay that
+        # costs more than the 1.65 tokens/step buys — the solo
+        # spec_speedup above reports the mechanism's win)
+        if leg_allowed("batcher", 900):
+            result.update(child(
                 "tune_batcher.py",
                 {"?TUNE_CHUNK": "64", "?TUNE_LOOKAHEAD": "2"},
                 {"batcher_tok_s": "batched_tok_s",
                  "batcher_speedup": "speedup"}, timeout_s=1800))
+            emit()
 
-    if small:
-        metric = "hybrid_qps_small"
-    elif n == 1_000_000 and d == 768:
-        metric = "hybrid_qps_1m_768_recall10"
-    else:
-        metric = f"hybrid_qps_{n}_{d}_recall10"
-    result = {
-        "metric": metric,
-        **ann_extras,
-        **dec_extras,
-        **realdocs_extras,
-        "value": round(qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(qps / 50_000.0, 3),
-        "recall_at_10": round(float(recall), 4),
-        "corpus_size": n,
-        "dim": d,
-        "batch": batch,
-        "p50_batch_ms": round(dt * 1e3, 2),
-        "e2e_relay_qps": round(e2e_qps, 1),
-        "e2e_wire": wire,
-        **tokens_extras,
-        **({"e2e_wire_recall_at_10": round(e2e_wire_recall, 4)}
-           if e2e_wire_recall >= 0 else {}),
-        "p50_single_query_ms": round(p50_single, 1),
-        "sync_rtt_ms": round(rtt * 1e3, 1),
-        "dense_build_s": round(t_dense_build, 1),
-        "sparse_build_s": round(t_sparse_build, 1),
-        "build_probe_dense": {"rtt_ms": probe_dense[0],
-                              "mbps": probe_dense[1]},
-        "build_probe_sparse": {"rtt_ms": probe_sparse[0],
-                               "mbps": probe_sparse[1]},
-        "index_dense_gib": round(dense_bytes / 2**30, 3),
-        "index_sparse_gib": round(sparse_bytes / 2**30, 3),
-        "qdrant_equiv_dense_gib": round(qdrant_equiv / 2**30, 3),
-        "backend": jax.default_backend(),
-        "total_bench_s": round(time.time() - t_start, 1),
-    }
-    print(json.dumps(result))
+    emit(final=True)
 
 
 def main():

@@ -392,6 +392,11 @@ def _decode_halftone_region(payload: bytes, patterns: List[np.ndarray]
         raise JBIG2Error(f"bad halftone region size {w}x{h}")
     if not patterns:
         raise JBIG2Error("halftone region with no pattern dictionary")
+    if len({p.shape for p in patterns}) != 1:
+        # decode_embedded merges patterns across referred dicts (and all
+        # dicts when refs miss); mixed sizes would broadcast-error at the
+        # stamp below — keep the raise-to-rasterizer contract instead
+        raise JBIG2Error("halftone patterns differ in shape across dicts")
     if len(payload) < 38:
         raise JBIG2Error("short halftone region")
     flags = payload[17]

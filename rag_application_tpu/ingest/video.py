@@ -33,8 +33,9 @@ _MAX_FRAMES_SCANNED = 100_000
 
 def _chunks(data: bytes, pos: int, end: int
             ) -> Iterator[Tuple[bytes, int, int]]:
-    """RIFF chunk walk -> (fourcc, payload_start, payload_size); LIST
-    chunks yield their list-type as fourcc with the inner span."""
+    """RIFF chunk walk -> (fourcc, payload_start, payload_size). LIST
+    chunks yield the literal ``b"LIST"`` fourcc; their list-type is the
+    first 4 payload bytes (callers check ``data[p:p+4]``)."""
     while pos + 8 <= end:
         fourcc, size = data[pos:pos + 4], struct.unpack(
             "<I", data[pos + 4:pos + 8])[0]
@@ -88,15 +89,24 @@ def extract_frames(data: bytes, *, max_frames: int = 8) -> List[bytes]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise VideoError("not a RIFF/AVI container")
     spans: List[Tuple[int, int]] = []          # lazy: slice at selection
+
+    def collect(pos: int, end: int, depth: int) -> None:
+        for sub, sp, ssz in _chunks(data, pos, end):
+            if len(spans) >= _MAX_FRAMES_SCANNED:
+                return
+            if (sub == b"LIST" and data[sp:sp + 4] == b"rec " and
+                    depth == 0):
+                # interleaved AVIs group each frame's chunks in a
+                # 'rec ' record list inside movi (AVI 1.0 spec)
+                collect(sp + 4, sp + ssz, depth + 1)
+            elif len(sub) == 4 and sub[2:4] in (b"dc", b"db") and ssz > 4:
+                if data[sp:sp + 3] == _JPEG_MAGIC:
+                    spans.append((sp, ssz))
+
     for fourcc, p, size in _chunks(data, 12, len(data)):
         if fourcc != b"LIST" or data[p:p + 4] != b"movi":
             continue
-        for sub, sp, ssz in _chunks(data, p + 4, p + size):
-            if len(spans) >= _MAX_FRAMES_SCANNED:
-                break
-            if len(sub) == 4 and sub[2:4] in (b"dc", b"db") and ssz > 4:
-                if data[sp:sp + 3] == _JPEG_MAGIC:
-                    spans.append((sp, ssz))
+        collect(p + 4, p + size, 0)
     if not spans:
         raise VideoError("no MJPEG frames in AVI (unsupported codec)")
     if max_frames <= 0 or len(spans) <= max_frames:

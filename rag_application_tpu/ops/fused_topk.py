@@ -258,6 +258,10 @@ def fused_scan_topk(
             qc = max(step, (_SHEET_BYTES_BUDGET // (8 * nb_est * LANES))
                      // step * step)
             if qc < q_count:
+                # trace-time telemetry (like last_path below): tests
+                # assert the chunk path actually engaged rather than
+                # comparing a jit-cache replay to itself
+                fused_scan_topk.last_chunk = qc
                 vs, ids = [], []
                 for s in range(0, q_count, qc):
                     v, i = fused_scan_topk(

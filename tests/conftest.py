@@ -39,6 +39,21 @@ import numpy as np
 import pytest
 
 
+def pytest_xdist_auto_num_workers(config):
+    """Resolve `-n auto` (pyproject addopts). RAGTPU_TEST_WORKERS
+    overrides; the default is min(4, max(2, nproc)) — capped at 4
+    because the suite's parallelism win saturates there (loadfile
+    granularity: the longest files dominate), floored at 2 so XLA-CPU
+    compile-state stays split across processes even on a 1-CPU box
+    (the accumulation SIGSEGV, docs/testing.md). Measured on this
+    1-CPU box: serial (no xdist) crashes; -n 2 vs -n 4 timings in
+    docs/testing.md."""
+    env = os.environ.get("RAGTPU_TEST_WORKERS")
+    if env:
+        return max(1, int(env))
+    return min(4, max(2, os.cpu_count() or 1))
+
+
 @pytest.fixture()
 def rng(request):
     # Function-scoped and seeded from the test name: data is reproducible

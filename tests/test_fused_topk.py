@@ -338,8 +338,17 @@ def test_query_chunked_select_matches_unchunked(monkeypatch):
     base = ft.fused_scan_topk(corpus, queries, 10, block_rows=1024,
                               q_block=128)
     monkeypatch.setattr(ft, "_SHEET_BYTES_BUDGET", 8 * 4 * 128 * 128)
+    # fused_scan_topk is jit-cached: same shapes/statics replay the
+    # cached executable and never re-read the patched budget — clear
+    # the cache so the call re-traces through the chunk branch, and
+    # assert via the trace-time marker that the branch actually ran
+    import jax
+
+    jax.clear_caches()
+    ft.fused_scan_topk.last_chunk = None
     chunked = ft.fused_scan_topk(corpus, queries, 10, block_rows=1024,
                                  q_block=128)
+    assert ft.fused_scan_topk.last_chunk == 128  # chunk path engaged
     np.testing.assert_array_equal(np.asarray(base[1]),
                                   np.asarray(chunked[1]))
     np.testing.assert_allclose(np.asarray(base[0]), np.asarray(chunked[0]),

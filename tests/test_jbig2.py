@@ -325,6 +325,18 @@ def test_halftone_mmr_and_skip_unsupported():
         decode_embedded(bytes(blob2))
 
 
+def test_halftone_mixed_pattern_shapes_raise_jbig2error():
+    """Patterns merged from multiple dicts may disagree in shape; the
+    stamp loop would broadcast-error (ValueError), bypassing the
+    JBIG2Error -> rasterizer fallback in decode_jbig2_params."""
+    from rag_application_tpu.ingest.jbig2 import _decode_halftone_region
+
+    payload = struct.pack(">IIiiB", 8, 8, 0, 0, 0)  # region info only
+    pats = [np.zeros((2, 2), np.uint8), np.zeros((3, 3), np.uint8)]
+    with pytest.raises(JBIG2Error):
+        _decode_halftone_region(payload, pats)
+
+
 def test_refinement_roundtrip():
     """Lossy generic pass + refinement region (type 43, T.88 6.3
     arithmetic path) corrects the page to the exact target bitmap."""

@@ -62,6 +62,23 @@ def test_even_sampling_includes_first():
     assert ts[0] == 0.0 and ts[1] > 0.0
 
 
+def test_rec_list_interleaved_frames():
+    """Interleaved AVIs wrap each frame's chunks in a 'rec ' LIST inside
+    movi (AVI 1.0) — frames must still be found one level down."""
+    frames = [jpeg_blob(i) for i in range(3)]
+    avih = struct.pack("<IIIIIIIIIIIIII", 40_000, 0, 0, 0x10, len(frames),
+                       0, 1, 0, 32, 24, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", b"vids" + b"MJPG"
+                                    + b"\x00" * 48)))
+    movi = lst(b"movi", b"".join(
+        lst(b"rec ", chunk(b"00dc", f) + chunk(b"01wb", b"\x00" * 8))
+        for f in frames))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert extract_frames(avi, max_frames=8) == frames
+
+
 def test_non_avi_and_foreign_codec_raise():
     with pytest.raises(VideoError):
         extract_frames(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)  # MP4
