@@ -832,14 +832,14 @@ def build_app(config: Optional[Config] = None, *,
                     data = _data_url_bytes(u)
                     if data is None:
                         continue
-                    from ..models.image import PNGError, png_to_input
+                    from ..models.image import ImageError, image_to_input
 
-                    try:  # PNG rasters fuse with the text tokens;
+                    try:  # PNG/JPEG rasters fuse with the text tokens;
                         # other formats fall back to text-only
-                        img = png_to_input(
+                        img = image_to_input(
                             data, state.embedder.state.model.image_size)
                         break
-                    except PNGError:
+                    except ImageError:
                         continue
                 images.append(img)
             else:

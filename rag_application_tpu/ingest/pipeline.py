@@ -261,10 +261,16 @@ class IngestPipeline:
 
         if kind == "image":
             # image page: VLM description becomes the text (parity:
-            # _unstructured_processor VLM alt-text path)
-            if self.page_describer is None:
+            # _unstructured_processor VLM alt-text path); without a VLM,
+            # a natively-decodable raster (PNG/JPEG) still embeds
+            # through the multimodal tower (parity: ImageBind vision,
+            # imagebind_handler.py:23-32)
+            if (self.page_describer is None
+                    and not getattr(self.embedder, "supports_images",
+                                    False)):
                 raise NonRetryableError(
-                    "image ingest requires a page_describer (VLM hook)")
+                    "image ingest requires a page_describer (VLM hook) "
+                    "or an image-capable multimodal embedder")
             await self.queue.put(Task(
                 TaskType.UNSTRUCTURED_PAGE,
                 {"document_id": document_id, "page_number": 1,
@@ -287,14 +293,17 @@ class IngestPipeline:
                 ))
                 return
             # video: MJPEG-AVI frames extract natively (ingest/video.py)
-            # and ride the scanned-page VLM path, one described frame
-            # per page; other codecs keep the reference's stub behavior
+            # and ride the scanned-page path, one frame per page — VLM
+            # description when a describer is configured, else a native
+            # JPEG decode + multimodal-tower embedding (models/jpeg.py);
+            # other codecs keep the reference's stub behavior
             # (file_processors video branch returns None) by failing
             # into the ledger instead of silently dropping
             is_video = (mime or "").startswith("video/") or any(
                 p["filename"].lower().endswith(s)
                 for s in (".avi", ".mp4", ".mkv", ".mov"))
-            if is_video and self.page_describer is not None:
+            if is_video and (self.page_describer is not None or getattr(
+                    self.embedder, "supports_images", False)):
                 from .video import VideoError, extract_frames
                 try:
                     frames = extract_frames(p["data"])
@@ -312,7 +321,8 @@ class IngestPipeline:
             raise NonRetryableError(
                 f"no processor for media file {p['filename']}"
                 + (" (audio needs a multimodal encoder)" if is_audio else "")
-                + (" (video needs a page_describer VLM hook)"
+                + (" (video needs a page_describer VLM hook or an "
+                   "image-capable multimodal embedder)"
                    if is_video else ""))
         if kind == "direct":
             try:
@@ -509,6 +519,42 @@ class IngestPipeline:
             else:
                 desc = await asyncio.to_thread(self.page_describer, image)
             text = f"{text}\n\n{desc}" if text else desc
+        elif (image is not None
+              and getattr(self.embedder, "supports_images", False)):
+            # no VLM configured: decode the raster natively (PNG or
+            # baseline JPEG — models/image.py dispatch) and embed the
+            # pixels through the multimodal tower, the audio-chunk
+            # pattern applied to vision (parity: ImageBind image
+            # modality, imagebind_handler.py:23-32). MJPEG video frames
+            # take exactly this path.
+            from ..models.image import ImageError, image_to_input
+
+            try:
+                raster = await asyncio.to_thread(
+                    image_to_input, image,
+                    self.embedder.state.model.image_size)
+            except ImageError as e:
+                if not text:
+                    raise NonRetryableError(
+                        f"image page {p['page_number']} is not natively "
+                        f"decodable ({e}); configure a page_describer "
+                        "hook") from e
+                raster = None
+            if raster is not None:
+                display = text or f"[image] page {p['page_number']}"
+                emb = await asyncio.to_thread(
+                    self.embedder.encode_image, raster[None],
+                    [text] if text else None)
+                kg_data = await self._extract_kg(text)
+                self.collection.store_document_vectors(
+                    p["document_id"],
+                    [{"text": display, "page_number": p["page_number"],
+                      "source": "unstructured"}],
+                    emb,
+                )
+                await self._store_kg(p["document_id"], p["page_number"],
+                                     text, kg_data, emb[0])
+                return
         kg_data = await self._extract_kg(text)
         emb = await asyncio.to_thread(self.embedder.encode, [text])
         self.collection.store_document_vectors(

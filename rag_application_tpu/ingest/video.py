@@ -4,15 +4,17 @@ The reference declares a video processor but returns None for every
 video file (app/core/file_processors: the video branch is a stub; the
 IndexerAPI fan-out likewise has no video handler). Here the common
 scanner/camera container — an AVI whose streams are Motion-JPEG — is
-parsed natively: RIFF chunk walk, ``movi`` list, ``..dc``/``..db``
-frame chunks, each an independent JPEG. Sampled key frames feed the
-SAME page path as scanned-PDF images (VLM description -> text chunk),
-so a video ingests as a sequence of described frames. Codecs beyond
-MJPEG (H.264 in MP4/MKV…) are out of native scope and still fail into
-the ledger, exactly as the reference's stub does.
+parsed natively: RIFF chunk walk, ``movi`` list (including ``rec ``
+record lists in interleaved files), ``..dc``/``..db`` frame chunks,
+each an independent JPEG. Sampled key frames feed the SAME page path
+as scanned-PDF images — VLM description when a describer is
+configured, otherwise a native baseline-JPEG decode (models/jpeg.py)
+straight into the multimodal tower. Codecs beyond MJPEG (H.264 in
+MP4/MKV…) are out of native scope and still fail into the ledger,
+exactly as the reference's stub does.
 
-No external decoder: JPEG frames pass through byte-verbatim, the same
-contract as DCTDecode images in ingest/pdf.py.
+Frames pass through byte-verbatim here (the DCTDecode contract in
+ingest/pdf.py); decoding happens at the consumer.
 """
 
 from __future__ import annotations

@@ -5,9 +5,11 @@ The reference feeds raw image bytes to ImageBind's torchvision
 preprocessing (app/core/models/imagebind/imagebind_handler.py:23-32)
 and to the v2 interleaved-content embedding endpoint
 (model_handler.py:131-169). Here PNG (the container the PDF extractor
-itself emits, ingest/pdf.py::_make_png) decodes natively; JPEG bytes
-pass through untouched to VLM hooks but are not rasterized on-host
-(callers fall back to the text path).
+itself emits, ingest/pdf.py::_make_png) decodes in this module; baseline
+JPEG (DCTDecode PDF images, MJPEG frames, image_url data URLs) decodes
+through the native C decoder in models/jpeg.py — ``decode_image`` /
+``image_to_input`` dispatch on the magic bytes so both reach the
+multimodal tower with no external decoder.
 
 Supports non-interlaced 8-bit gray / gray+alpha / RGB / RGBA / palette
 PNGs with all five row filters, plus 1/2/4-bit gray and palette depths
@@ -22,12 +24,19 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["PNGError", "decode_png", "resize_raster", "png_to_input"]
+__all__ = ["ImageError", "PNGError", "decode_png", "decode_image",
+           "resize_raster", "png_to_input", "image_to_input"]
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
 
 
-class PNGError(ValueError):
+class ImageError(ValueError):
+    """Malformed or unsupported image of any natively-decoded format
+    (callers catch this one type for the text-only fallback)."""
+
+
+class PNGError(ImageError):
     """Malformed or unsupported PNG."""
 
 
@@ -188,3 +197,25 @@ def resize_raster(img: np.ndarray, size: int) -> np.ndarray:
 def png_to_input(data: bytes, size: int) -> np.ndarray:
     """PNG bytes -> (size, size, 3) float32 tower input."""
     return resize_raster(decode_png(data), size)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Any natively-decoded raster format -> (H, W, 3) float32 RGB.
+
+    Dispatches on magic bytes: PNG here, baseline JPEG via the C
+    decoder (models/jpeg.py). Everything else raises ImageError so the
+    caller's text-only fallback applies (parity: the reference accepts
+    any format via PIL, imagebind_handler.py:23-32)."""
+    if data[:8] == _MAGIC:
+        return decode_png(data)
+    if data[:3] == _JPEG_MAGIC:
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ImageError("unsupported image format (PNG and baseline JPEG "
+                     "decode natively)")
+
+
+def image_to_input(data: bytes, size: int) -> np.ndarray:
+    """PNG/JPEG bytes -> (size, size, 3) float32 tower input."""
+    return resize_raster(decode_image(data), size)
