@@ -202,6 +202,9 @@ def load_collection(path: str, config=None) -> "Collection":
     dense.inv_norms = jnp.asarray(d["inv_norms"])
     dense.live = jnp.asarray(d["live"])
     dense.size = int(manifest["size"])
+    # the snapshot does not record delete history; derive the fast-path
+    # flag from the restored mask itself (one host reduce at load time)
+    dense.has_deletes = not bool(np.asarray(d["live"])[: dense.size].all())
     if dense.prefix_int8 is not None:
         # derived view — recompute from the stored rows instead of
         # persisting it (prefix renormalization is scale-invariant, so

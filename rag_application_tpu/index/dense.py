@@ -156,6 +156,10 @@ class DenseIndex:
                 f"scan_prefix_dim must be a multiple of 128 below dim, got {p}")
         self.prefix_int8 = jnp.zeros((cap, p), dtype=jnp.int8) if p else None
         self.size = 0  # rows [0, size) are allocated (live unless deleted)
+        # False until the first delete(): lets the fused scan drop the
+        # live-mask load + select entirely when size == capacity (the
+        # aligned capacity-mode bench layout) — see FusedSearcher
+        self.has_deletes = False
         # >0: a checkpoint snapshot holds references to the current
         # buffers — inserts switch to non-donating jits so those
         # references stay valid while the snapshot pulls them to host
@@ -251,6 +255,14 @@ class DenseIndex:
         """Tombstone rows (parity: reset_document / DETACH DELETE re-ingest)."""
         rows = jnp.asarray(rows)
         self.live = self.live.at[rows].set(False)
+        self.has_deletes = True
+
+    @property
+    def fully_live(self) -> bool:
+        """True when the live mask is provably all-ones over the whole
+        capacity (every slot allocated, nothing ever deleted) — the
+        fused scan then skips mask DMA + select per strip."""
+        return self.size == self.capacity and not self.has_deletes
 
     # ---------------------------------------------------------------- query
 

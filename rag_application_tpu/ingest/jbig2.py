@@ -7,12 +7,15 @@ MMR (T.6, reusing ingest/ccitt.py) — plus symbol dictionaries (T.88
 jbig2enc default; Annex-A integer decoding + shared-stream generic
 bitmaps run in C). Regions composite onto the page bitmap with the
 segment's external combination operator; the embedded segment-header
-format (§7.2) and JBIG2Globals are handled. Huffman-coded variants,
+format (§7.2) and JBIG2Globals are handled. Also covered:
 halftone regions + pattern dictionaries (§6.6/§6.7, gray-code
 bitplanes on the shared MQ stream), page refinement regions (§6.3,
 types 40/42/43), refinement/aggregate symbols (§6.5.8.2,
-REFAGGNINST=1) and SBREFINE text instances (§6.4.11). Only
-Huffman-coded variants, TPGRON, and multi-instance aggregates raise
+REFAGGNINST=1), SBREFINE text instances (§6.4.11), and the
+HUFFMAN-coded symbol dictionary / text region forms (SDHUFF/SBHUFF=1,
+Annex B standard tables + type-53 custom code tables + the
+runcode-coded symbol-ID table — older scanner firmware). Only TPGRON,
+Huffman+refinement combinations, and multi-instance aggregates raise
 :class:`JBIG2Error`, so the pipeline falls back to the
 ``pdf_rasterizer`` hook exactly as before for those.
 
@@ -39,7 +42,8 @@ import numpy as np
 
 __all__ = ["JBIG2Error", "decode_embedded", "decode_generic",
            "decode_jbig2_params", "encode_embedded", "encode_generic",
-           "encode_halftone", "encode_refined_page", "encode_symbol_text"]
+           "encode_halftone", "encode_refined_page", "encode_symbol_text",
+           "encode_symbol_text_huffman"]
 
 
 class JBIG2Error(ValueError):
@@ -241,12 +245,16 @@ class _ArithDecoder:
 _MAX_SYMBOLS = 100_000
 
 
-def _decode_symbol_dict(payload: bytes,
-                        input_syms: List[np.ndarray]) -> List[np.ndarray]:
+def _decode_symbol_dict(payload: bytes, input_syms: List[np.ndarray],
+                        tables: Optional[List["_HuffTable"]] = None,
+                        ) -> List[np.ndarray]:
     """Symbol dictionary segment (type 0) -> exported symbol bitmaps
-    (T.88 6.5, arithmetic). REFAGG=0 (the jbig2enc default) and
-    single-instance refinement/aggregate symbols (6.5.8.2) both decode;
-    Huffman and multi-instance aggregates raise (-> rasterizer hook)."""
+    (T.88 6.5). REFAGG=0 (the jbig2enc default) and single-instance
+    refinement/aggregate symbols (6.5.8.2) decode in the arithmetic
+    form; SDHUFF=1 takes the Annex-B Huffman path (standard or
+    referred custom tables, collective bitmaps uncompressed or MMR).
+    Huffman+refagg and multi-instance aggregates raise (-> rasterizer
+    hook)."""
     if len(payload) < 2:
         raise JBIG2Error("short symbol dictionary")
     flags = struct.unpack(">H", payload[:2])[0]
@@ -256,10 +264,14 @@ def _decode_symbol_dict(payload: bytes,
     ctx_retained = (flags >> 9) & 1
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
-    if sdhuff:
-        raise JBIG2Error("Huffman symbol dictionary (unsupported)")
     if ctx_used or ctx_retained:
         raise JBIG2Error("cross-segment context retention (unsupported)")
+    if sdhuff:
+        if refagg:
+            raise JBIG2Error(
+                "Huffman refinement/aggregate symbols (unsupported)")
+        return _decode_symbol_dict_huffman(payload, input_syms,
+                                           list(tables or []), flags)
     pos = 2
     nat = 4 if template == 0 else 1
     at = []
@@ -342,6 +354,106 @@ def _decode_symbol_dict(payload: bytes,
                 exported.extend(all_syms[i:i + run])
             i += run
             exflag ^= 1
+    if len(exported) != num_ex:
+        raise JBIG2Error(
+            f"exported {len(exported)} symbols, header said {num_ex}")
+    return exported
+
+
+def _decode_symbol_dict_huffman(payload: bytes,
+                                input_syms: List[np.ndarray],
+                                tables: List["_HuffTable"],
+                                flags: int) -> List[np.ndarray]:
+    """SDHUFF=1 symbol dictionary (T.88 6.5 with Annex B tables):
+    per-height-class DH/DW deltas are Huffman-coded; the class's
+    bitmaps arrive as ONE collective bitmap (6.5.9), byte-aligned,
+    either uncompressed (BMSIZE=0) or MMR-coded, then split by width.
+    Export runs use Table B.1 (6.5.10)."""
+    customs = list(tables)
+    dh_t = _select_table((flags >> 2) & 3, {0: 4, 1: 5}, 3, customs,
+                         "SDHUFFDH")
+    dw_t = _select_table((flags >> 4) & 3, {0: 2, 1: 3}, 3, customs,
+                         "SDHUFFDW")
+    bm_t = _select_table((flags >> 6) & 1, {0: 1}, 1, customs,
+                         "SDHUFFBMSIZE")
+    if (flags >> 7) & 1:                          # SDHUFFAGGINST custom
+        _select_table(1, {0: 1}, 1, customs, "SDHUFFAGGINST")  # consume
+    ex_t = _std_table(1)                          # 6.5.10: EXRUNLENGTH
+
+    pos = 2                                       # no AT pixels (SDHUFF)
+    if len(payload) < pos + 8:
+        raise JBIG2Error("short symbol dictionary")
+    num_ex, num_new = struct.unpack(">II", payload[pos:pos + 8])
+    pos += 8
+    if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS + len(input_syms):
+        raise JBIG2Error(f"symbol counts out of range ({num_new}/{num_ex})")
+
+    br = _BitReader(payload[pos:])
+    new_syms: List[np.ndarray] = []
+    budget = MAX_PIXELS
+    hc_height = 0
+    while len(new_syms) < num_new:
+        dh = dh_t.decode(br)
+        if dh is None:
+            raise JBIG2Error("OOB height-class delta")
+        hc_height += dh
+        if not 0 < hc_height <= 1 << 20:
+            raise JBIG2Error(f"bad height class {hc_height}")
+        widths: List[int] = []
+        sym_width = 0
+        tot_width = 0
+        while True:
+            dw = dw_t.decode(br)
+            if dw is None:
+                break                             # end of height class
+            sym_width += dw
+            if not 0 < sym_width <= 1 << 20:
+                raise JBIG2Error(f"bad symbol width {sym_width}")
+            if len(new_syms) + len(widths) >= num_new:
+                raise JBIG2Error("too many symbols in dictionary")
+            widths.append(sym_width)
+            tot_width += sym_width
+            budget -= sym_width * hc_height
+            if budget < 0:
+                raise JBIG2Error("symbol dictionary exceeds pixel budget")
+        if not widths:
+            continue
+        bmsize = bm_t.decode(br)
+        if bmsize is None or bmsize < 0:
+            raise JBIG2Error("bad collective bitmap size")
+        br.byte_align()
+        start = pos + br.bytepos
+        stride = (tot_width + 7) // 8
+        if bmsize == 0:                           # uncompressed (6.5.9)
+            need = stride * hc_height
+            raw = payload[start:start + need]
+            if len(raw) < need:
+                raise JBIG2Error("truncated collective bitmap")
+            coll = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(hc_height, stride),
+                axis=1)[:, :tot_width]
+            br.skip_bytes(need)
+        else:
+            coll = decode_generic(payload[start:start + bmsize],
+                                  tot_width, hc_height, mmr=True)
+            br.skip_bytes(bmsize)
+        off = 0
+        for w in widths:
+            new_syms.append(np.ascontiguousarray(coll[:, off:off + w]))
+            off += w
+
+    # export flags (6.5.10): alternating skip/export runs, Table B.1
+    all_syms = list(input_syms) + new_syms
+    exported: List[np.ndarray] = []
+    i, exflag = 0, 0
+    while i < len(all_syms):
+        run = ex_t.decode(br)
+        if run is None or run < 0:
+            raise JBIG2Error("bad export run length")
+        if exflag:
+            exported.extend(all_syms[i:i + run])
+        i += run
+        exflag ^= 1
     if len(exported) != num_ex:
         raise JBIG2Error(
             f"exported {len(exported)} symbols, header said {num_ex}")
@@ -458,10 +570,14 @@ def _decode_halftone_region(payload: bytes, patterns: List[np.ndarray]
 
 # --------------------------------------------------------- text region
 
-def _decode_text_region(payload: bytes, syms: List[np.ndarray]
+def _decode_text_region(payload: bytes, syms: List[np.ndarray],
+                        tables: Optional[List["_HuffTable"]] = None,
                         ) -> Tuple[int, int, int, np.ndarray]:
     """Text region segment (types 4-6) -> (x, y, ext_op, bitmap)
-    (T.88 6.4, arithmetic; SBREFINE instances refine per 6.4.11)."""
+    (T.88 6.4). Arithmetic instances refine per 6.4.11 (SBREFINE);
+    SBHUFF=1 takes the Annex-B path (standard/custom tables + the
+    runcode-coded symbol-ID table, §7.4.4.1.4) — Huffman with
+    refinement raises (-> rasterizer hook)."""
     w, h, x, y, ext_op = _region_info(payload)
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         raise JBIG2Error(f"bad text region size {w}x{h}")
@@ -482,7 +598,13 @@ def _decode_text_region(payload: bytes, syms: List[np.ndarray]
         ds_offset -= 32                     # signed 5-bit
     sbrtemplate = (flags >> 15) & 1
     if sbhuff:
-        raise JBIG2Error("Huffman text region (unsupported)")
+        if sbrefine:
+            raise JBIG2Error(
+                "Huffman text region with refinement (unsupported)")
+        return _decode_text_region_huffman(
+            payload, syms, list(tables or []), pos,
+            (w, h, x, y, ext_op), log_strips, ref_corner, transposed,
+            comb_op, def_pixel, ds_offset)
     rat = [(-1, -1), (-1, -1)]
     if sbrefine and sbrtemplate == 0:       # SBRAT (7.4.4.1.2)
         rat = [struct.unpack(">bb", payload[pos:pos + 2]),
@@ -595,6 +717,392 @@ def _decode_text_region(payload: bytes, syms: List[np.ndarray]
     return x, y, ext_op, region
 
 
+def _decode_text_region_huffman(payload: bytes, syms: List[np.ndarray],
+                                tables: List["_HuffTable"], pos: int,
+                                info, log_strips: int, ref_corner: int,
+                                transposed: int, comb_op: int,
+                                def_pixel: int, ds_offset: int,
+                                ) -> Tuple[int, int, int, np.ndarray]:
+    """SBHUFF=1 text region body (T.88 6.4 + §7.4.4.1): the 16-bit
+    Huffman-flags word selects FS/DS/DT (and refinement/RSIZE) tables;
+    the symbol-ID table is runcode-coded (§7.4.4.1.4, 35 four-bit
+    runcode lengths, repeats 32/33/34), byte-aligned before instances."""
+    w, h, x, y, ext_op = info
+    if len(payload) < pos + 6:
+        raise JBIG2Error("short huffman text region")
+    hflags = struct.unpack(">H", payload[pos:pos + 2])[0]
+    pos += 2
+    customs = list(tables)
+    fs_t = _select_table(hflags & 3, {0: 6, 1: 7}, 3, customs,
+                         "SBHUFFFS")
+    ds_t = _select_table((hflags >> 2) & 3, {0: 8, 1: 9, 2: 10}, 3,
+                         customs, "SBHUFFDS")
+    dt_t = _select_table((hflags >> 4) & 3, {0: 11, 1: 12, 2: 13}, 3,
+                         customs, "SBHUFFDT")
+    # refinement tables are unused with SBREFINE=0 but still consume
+    # their referred custom slots in flag order (§7.4.4.1.6)
+    for shift, what in ((6, "SBHUFFRDW"), (8, "SBHUFFRDH"),
+                        (10, "SBHUFFRDX"), (12, "SBHUFFRDY")):
+        if (hflags >> shift) & 3 == 3:
+            _select_table(3, {}, 3, customs, what)
+    if (hflags >> 14) & 1:
+        _select_table(1, {0: 1}, 1, customs, "SBHUFFRSIZE")
+
+    num_instances = struct.unpack(">I", payload[pos:pos + 4])[0]
+    pos += 4
+    if num_instances > 10 * _MAX_SYMBOLS:
+        raise JBIG2Error(f"instance count out of range ({num_instances})")
+    if not syms:
+        raise JBIG2Error("text region with no symbols")
+    strips = 1 << log_strips
+
+    br = _BitReader(payload[pos:])
+    # symbol-ID code table (7.4.4.1.4): 35 runcode lengths of 4 bits,
+    # runcodes canonical-coded, then per-symbol code lengths with
+    # repeat codes 32 (prev, 2 bits + 3), 33 (zero, 3 bits + 3),
+    # 34 (zero, 7 bits + 11)
+    run_t = _HuffTable([(br.read(4), 0, i) for i in range(35)])
+    lengths: List[int] = []
+    prev = 0
+    while len(lengths) < len(syms):
+        rc = run_t.decode(br)
+        if rc is None or rc > 34:
+            raise JBIG2Error("bad symbol-ID runcode")
+        if rc < 32:
+            lengths.append(rc)
+            prev = rc
+        elif rc == 32:
+            lengths.extend([prev] * (br.read(2) + 3))
+        elif rc == 33:
+            lengths.extend([0] * (br.read(3) + 3))
+        else:
+            lengths.extend([0] * (br.read(7) + 11))
+    if len(lengths) != len(syms):
+        raise JBIG2Error("symbol-ID length run overflow")
+    sym_t = _HuffTable([(ln, 0, i) for i, ln in enumerate(lengths)])
+    br.byte_align()
+
+    region = np.full((h, w), def_pixel, np.uint8)
+
+    def draw(sym: np.ndarray, s: int, t: int) -> None:
+        """Blit mapped per REFCORNER / TRANSPOSED (6.4.5 step 3c viii),
+        same mapping as the arithmetic path above."""
+        sh, sw = sym.shape
+        if transposed:
+            ry = s if ref_corner in (1, 3) else s - sh + 1
+            rx = t if ref_corner in (0, 1) else t - sw + 1
+        else:
+            rx = s if ref_corner in (0, 1) else s - sw + 1
+            ry = t if ref_corner in (1, 3) else t - sh + 1
+        x0, y0 = max(rx, 0), max(ry, 0)
+        x1, y1 = min(rx + sw, w), min(ry + sh, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        view = region[y0:y1, x0:x1]
+        part = sym[y0 - ry:y1 - ry, x0 - rx:x1 - rx]
+        if comb_op == 0:
+            view |= part
+        elif comb_op == 1:
+            view &= part
+        elif comb_op == 2:
+            view ^= part
+        else:
+            view[...] = 1 - (view ^ part)
+
+    dt0 = dt_t.decode(br)
+    if dt0 is None:
+        raise JBIG2Error("OOB strip T")
+    strip_t = -dt0 * strips
+    first_s = 0
+    n_inst = 0
+    while n_inst < num_instances:
+        dt = dt_t.decode(br)
+        if dt is None:
+            raise JBIG2Error("OOB strip delta")
+        strip_t += dt * strips
+        dfs = fs_t.decode(br)
+        if dfs is None:
+            raise JBIG2Error("OOB first S")
+        first_s += dfs
+        cur_s = first_s
+        first = True
+        while True:
+            if not first:
+                ids = ds_t.decode(br)
+                if ids is None:
+                    break                   # end of strip (OOB)
+                cur_s += ids + ds_offset
+            first = False
+            if n_inst >= num_instances:
+                break
+            t_i = strip_t + (br.read(log_strips) if strips > 1 else 0)
+            sid = sym_t.decode(br)
+            if sid is None or not 0 <= sid < len(syms):
+                raise JBIG2Error(f"symbol id {sid} out of range")
+            sym = syms[sid]
+            sh, sw = sym.shape
+            if (not transposed) and ref_corner in (2, 3):
+                cur_s += sw - 1             # pre-advance (3c vi)
+            elif transposed and ref_corner in (0, 2):
+                cur_s += sh - 1
+            draw(sym, cur_s, t_i)
+            if (not transposed) and ref_corner in (0, 1):
+                cur_s += sw - 1             # post-advance (3c x)
+            elif transposed and ref_corner in (1, 3):
+                cur_s += sh - 1
+            n_inst += 1
+    return x, y, ext_op, region
+
+
+# ------------------------------------------- huffman coding (Annex B)
+#
+# Older scanner pipelines emit Huffman-coded symbol dictionaries and
+# text regions instead of the MQ-arithmetic forms above (T.88 §6.5/§6.4
+# with SDHUFF/SBHUFF = 1; generic regions have no Huffman form — their
+# non-arithmetic variant is MMR, handled in decode_generic). Values are
+# prefix codes from Annex B: fifteen standard tables selected by flag
+# bits (§7.4.3.1.2 / §7.4.4.1.1) or custom tables carried in type-53
+# code-table segments (§B.2), plus the runcode-coded symbol-ID table
+# (§7.4.4.1.4).
+
+
+class _BitReader:
+    """MSB-first bit reader with byte alignment (Huffman-coded segment
+    payloads; the MQ decoder above has its own state machine)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bytepos = 0
+        self.bitpos = 0
+
+    def read_bit(self) -> int:
+        if self.bytepos >= len(self.data):
+            raise JBIG2Error("huffman data exhausted")
+        b = (self.data[self.bytepos] >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        if self.bitpos == 8:
+            self.bitpos = 0
+            self.bytepos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.bytepos += 1
+
+    def skip_bytes(self, n: int) -> None:
+        if self.bitpos:
+            raise JBIG2Error("skip_bytes while bit-unaligned")
+        self.bytepos += n
+
+
+class _HuffTable:
+    """One Annex B table: ``lines`` of (preflen, rangelen, rangelow,
+    sign) with sign -1 for the lower-range line (value = low - offset),
+    rangelen 32 = open 32-bit range. ``oob_preflen`` > 0 adds the
+    out-of-band code (decode returns None). Codes are assigned by the
+    canonical B.3 procedure in line order."""
+
+    def __init__(self, lines, oob_preflen: int = 0):
+        self.lines = [(p, r, lo, (s[0] if s else 1))
+                      for p, r, lo, *s in lines]
+        self.oob_preflen = oob_preflen
+        codes: Dict[Tuple[int, int], int] = {}   # (len, code) -> line idx
+        entries = [(p, i) for i, (p, _r, _lo, _s) in enumerate(self.lines)
+                   if p > 0]
+        if oob_preflen:
+            entries.append((oob_preflen, -1))
+        code = 0
+        for length in range(1, 33):
+            for p, idx in entries:
+                if p == length:
+                    codes[(length, code)] = idx
+                    code += 1
+            code <<= 1
+        self.codes = codes
+
+    def decode(self, br: _BitReader) -> Optional[int]:
+        code = 0
+        for length in range(1, 33):
+            code = (code << 1) | br.read_bit()
+            idx = self.codes.get((length, code))
+            if idx is None:
+                continue
+            if idx == -1:
+                return None                       # OOB
+            _p, rangelen, low, sign = self.lines[idx]
+            off = br.read(rangelen)
+            return low + off if sign > 0 else low - off
+        raise JBIG2Error("bad huffman code")
+
+    def encode(self, bw: "_BitWriterMSB", v: Optional[int]) -> None:
+        """Emit ``v`` via the first line whose range covers it (tests'
+        fixture encoder; None = OOB)."""
+        code_of = {idx: (ln, c) for (ln, c), idx in self.codes.items()}
+        if v is None:
+            if not self.oob_preflen:
+                raise JBIG2Error("table has no OOB code")
+            ln, c = code_of[-1]
+            bw.put(c, ln)
+            return
+        for idx, (_p, rangelen, low, sign) in enumerate(self.lines):
+            if sign > 0:
+                hi = low + ((1 << rangelen) - 1) if rangelen < 32 else None
+                ok = v >= low and (hi is None or v <= hi)
+                off = v - low
+            else:
+                ok = v <= low
+                off = low - v
+            if ok and idx in code_of:
+                ln, c = code_of[idx]
+                bw.put(c, ln)
+                bw.put(off, rangelen)
+                return
+        raise JBIG2Error(f"value {v} not covered by table")
+
+
+# Annex B standard tables (B.1-B.15). Each: (lines, oob_preflen);
+# line = (preflen, rangelen, rangelow[, sign]) with sign -1 marking the
+# lower-range line.
+_STD_TABLE_SPECS = {
+    1: ([(1, 4, 0), (2, 8, 16), (3, 16, 272), (3, 32, 65808)], 0),
+    2: ([(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11),
+         (6, 32, 75)], 6),
+    3: ([(8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+         (5, 6, 11), (8, 32, -257, -1), (7, 32, 75)], 6),
+    4: ([(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12),
+         (5, 32, 76)], 0),
+    5: ([(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+         (5, 6, 12), (7, 32, -256, -1), (6, 32, 76)], 0),
+    6: ([(5, 10, -2048), (4, 9, -1024), (4, 8, -512), (4, 7, -256),
+         (5, 6, -128), (5, 5, -64), (4, 5, -32), (2, 7, 0), (3, 7, 128),
+         (3, 8, 256), (4, 9, 512), (4, 10, 1024), (6, 32, -2049, -1),
+         (6, 32, 2048)], 0),
+    7: ([(4, 9, -1024), (3, 8, -512), (4, 7, -256), (5, 6, -128),
+         (5, 5, -64), (4, 5, -32), (4, 5, 0), (5, 5, 32), (5, 6, 64),
+         (4, 7, 128), (3, 8, 256), (3, 9, 512), (3, 10, 1024),
+         (5, 32, -1025, -1), (5, 32, 2048)], 0),
+    8: ([(8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3), (7, 0, -2),
+         (4, 0, -1), (2, 1, 0), (5, 0, 2), (6, 0, 3), (3, 4, 4),
+         (6, 1, 20), (4, 4, 22), (4, 5, 38), (5, 6, 70), (5, 7, 134),
+         (6, 7, 262), (7, 8, 390), (6, 10, 646), (9, 32, -16, -1),
+         (9, 32, 1670)], 2),
+    9: ([(8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7), (7, 1, -5),
+         (4, 1, -3), (3, 1, -1), (3, 1, 1), (5, 1, 3), (6, 1, 5),
+         (3, 5, 7), (6, 2, 39), (4, 5, 43), (4, 6, 75), (5, 7, 139),
+         (5, 8, 267), (6, 8, 523), (7, 9, 779), (6, 11, 1291),
+         (9, 32, -32, -1), (9, 32, 3339)], 2),
+    10: ([(7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3), (2, 2, -2),
+          (5, 0, 2), (6, 0, 3), (7, 0, 4), (8, 0, 5), (2, 6, 6),
+          (5, 5, 70), (6, 5, 102), (7, 6, 134), (8, 7, 198),
+          (8, 8, 326), (8, 9, 582), (8, 10, 1094), (7, 11, 2118),
+          (8, 32, -22, -1), (8, 32, 4166)], 2),
+    11: ([(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
+          (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
+          (7, 5, 45), (7, 6, 77), (7, 32, 141)], 0),
+    12: ([(1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5), (5, 1, 6),
+          (6, 1, 8), (7, 0, 10), (7, 1, 11), (7, 2, 13), (7, 3, 17),
+          (7, 4, 25), (8, 5, 41), (8, 32, 73)], 0),
+    13: ([(1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4), (4, 1, 5),
+          (3, 3, 7), (6, 1, 15), (6, 2, 17), (6, 3, 21), (6, 4, 29),
+          (6, 5, 45), (7, 6, 77), (7, 32, 141)], 0),
+    14: ([(3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2)], 0),
+    15: ([(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2), (3, 0, -1),
+          (1, 0, 0), (3, 0, 1), (4, 0, 2), (5, 1, 3), (6, 2, 5),
+          (7, 4, 9), (7, 32, -25, -1), (7, 32, 25)], 0),
+}
+_STD_TABLES: Dict[int, _HuffTable] = {}
+
+
+def _std_table(n: int) -> _HuffTable:
+    t = _STD_TABLES.get(n)
+    if t is None:
+        lines, oob = _STD_TABLE_SPECS[n]
+        t = _STD_TABLES[n] = _HuffTable(lines, oob)
+    return t
+
+
+def _parse_code_table(payload: bytes) -> _HuffTable:
+    """Code-table segment (type 53) -> _HuffTable (T.88 §B.2)."""
+    if len(payload) < 9:
+        raise JBIG2Error("short code table segment")
+    flags = payload[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack(">ii", payload[1:9])
+    if hthigh <= htlow:
+        raise JBIG2Error("bad code table range")
+    br = _BitReader(payload[9:])
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        pref = br.read(htps)
+        rng = br.read(htrs)
+        lines.append((pref, rng, cur, 1))
+        if rng >= 32:
+            raise JBIG2Error("bad code table range length")
+        cur += 1 << rng
+        if len(lines) > 4096:
+            raise JBIG2Error("code table too long")
+    lines.append((br.read(htps), 32, htlow - 1, -1))     # lower range
+    lines.append((br.read(htps), 32, hthigh, 1))         # upper range
+    oob = br.read(htps) if htoob else 0
+    return _HuffTable(lines, oob)
+
+
+def _select_table(sel: int, mapping: Dict[int, int], custom_sel: int,
+                  customs: List["_HuffTable"], what: str) -> "_HuffTable":
+    """Flag-bit table selection (§7.4.3.1.2 / §7.4.4.1.1): `mapping`
+    maps selector values to standard table numbers; `custom_sel` (3 for
+    2-bit fields, 1 for 1-bit fields) takes the next referred custom
+    table — they are consumed in flag order (§7.4.3.1.6)."""
+    if sel in mapping:
+        return _std_table(mapping[sel])
+    if sel == custom_sel:
+        if not customs:
+            raise JBIG2Error(f"{what} wants a custom table but none "
+                             "referred")
+        return customs.pop(0)
+    raise JBIG2Error(f"bad {what} table selector {sel}")
+
+
+class _BitWriterMSB:
+    """MSB-first bit writer (fixture encoders for the Huffman paths)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def byte_align(self) -> None:
+        while self.n:
+            self.put(0, 1)
+
+    def raw_bytes(self, b: bytes) -> None:
+        self.byte_align()
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.byte_align()
+        return bytes(self.out)
+
+
 # ----------------------------------------------------- segment parsing
 
 def _parse_segments(data: bytes
@@ -696,6 +1204,8 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     sym_dicts: Dict[int, List[np.ndarray]] = {}
     # segment number -> patterns of that pattern dictionary
     pat_dicts: Dict[int, List[np.ndarray]] = {}
+    # segment number -> custom Huffman table (type 53, Annex B.2)
+    code_tables: Dict[int, _HuffTable] = {}
 
     def materialize_page() -> np.ndarray:
         """Flush collected regions onto an eager page bitmap — needed
@@ -726,7 +1236,8 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             inputs: List[np.ndarray] = []
             for r in refs:
                 inputs.extend(sym_dicts.get(r, []))
-            sym_dicts[num] = _decode_symbol_dict(payload, inputs)
+            tabs = [code_tables[r] for r in refs if r in code_tables]
+            sym_dicts[num] = _decode_symbol_dict(payload, inputs, tabs)
         elif stype == 16:                            # pattern dictionary
             pat_dicts[num] = _decode_pattern_dict(payload)
         elif stype in (20, 22, 23):                  # halftone region
@@ -745,7 +1256,8 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             if not syms:                             # unreferenced dicts
                 for exported in sym_dicts.values():
                     syms.extend(exported)
-            x, y, op, bmp = _decode_text_region(payload, syms)
+            tabs = [code_tables[r] for r in refs if r in code_tables]
+            x, y, op, bmp = _decode_text_region(payload, syms, tabs)
             regions.append((x, y, op, bmp))
         elif stype in (36, 38, 39):                  # generic region
             w, h, x, y, op = _region_info(payload)
@@ -796,10 +1308,12 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 bmp = dec.decode_refine(w, h, ref, template=template,
                                         at=rat)
             regions.append((x, y, op, bmp))
+        elif stype == 53:                            # code table (B.2)
+            code_tables[num] = _parse_code_table(payload)
         elif stype in _UNSUPPORTED_TYPES:
             raise JBIG2Error(
                 f"unsupported JBIG2 feature: {_UNSUPPORTED_TYPES[stype]}")
-        # 49-53 (end-of-*, profiles, tables), 62 (extension): no-ops here
+        # 49-52 (end-of-*, profiles), 62 (extension): no-ops here
 
     if page_arr is not None:                         # eager path engaged
         for x, y, op, bmp in regions:
@@ -1169,6 +1683,126 @@ def encode_symbol_text(symbols: List[np.ndarray],
             + _segment(1, 0, 1, sd_payload)
             + _segment(2, 6, 1, tr_payload, refs=(1,))
             + _segment(3, 49, 1, b""))
+
+
+def encode_symbol_text_huffman(symbols: List[np.ndarray],
+                               placements: List[Tuple[int, int, int]],
+                               page_w: int, page_h: int, *,
+                               custom_ds: bool = False) -> bytes:
+    """Fixture encoder for the HUFFMAN-coded symbol path (SDHUFF=1 +
+    SBHUFF=1) — what pre-jbig2enc scanner firmware emits. Standard
+    Annex B tables (DH=B.4, DW=B.2, BMSIZE/EX=B.1; FS=B.6, DS=B.8,
+    DT=B.11), collective bitmaps stored uncompressed (BMSIZE=0, §6.5.9),
+    symbol-ID table runcode-coded (§7.4.4.1.4). ``custom_ds`` instead
+    routes DS through a custom code-table segment (type 53, §B.2) to
+    exercise the referred-table path. Inverse of
+    `_decode_symbol_dict_huffman`/`_decode_text_region_huffman`."""
+    n = len(symbols)
+    if n == 0:
+        raise JBIG2Error("no symbols")
+    symbols = [np.asarray(s, np.uint8) for s in symbols]
+
+    # ---- symbol dictionary (SDHUFF=1): heights ascending
+    order = sorted(range(n), key=lambda i: (symbols[i].shape[0],
+                                            symbols[i].shape[1], i))
+    export_id = {orig: pos for pos, orig in enumerate(order)}
+    dh_t, dw_t, bm_t, ex_t = (_std_table(4), _std_table(2),
+                              _std_table(1), _std_table(1))
+    bw = _BitWriterMSB()
+    hc_height = 0
+    i = 0
+    while i < n:
+        h = symbols[order[i]].shape[0]
+        dh_t.encode(bw, h - hc_height)            # B.4 needs delta >= 1
+        hc_height = h
+        cls = []
+        sym_width = 0
+        while i < n and symbols[order[i]].shape[0] == h:
+            w = symbols[order[i]].shape[1]
+            dw_t.encode(bw, w - sym_width)        # B.2: delta >= 0
+            sym_width = w
+            cls.append(symbols[order[i]])
+            i += 1
+        dw_t.encode(bw, None)                     # OOB: end height class
+        bm_t.encode(bw, 0)                        # BMSIZE 0: uncompressed
+        coll = np.concatenate(cls, axis=1)        # (h, totwidth)
+        bw.raw_bytes(np.packbits(coll, axis=1).tobytes())
+    ex_t.encode(bw, 0)                            # skip none
+    ex_t.encode(bw, n)                            # export all
+    sd_flags = 1                                  # SDHUFF, all std tables
+    sd_payload = (struct.pack(">H", sd_flags)
+                  + struct.pack(">II", n, n) + bw.flush())
+
+    # ---- optional custom DS table (type 53): complete prefix code
+    # {len1: main range, len3: tail, len4: lower/upper, len2: OOB} —
+    # Kraft 1/2+1/8+1/16+1/16+1/4 = 1
+    ds_custom = _HuffTable([(1, 8, -16), (3, 4, 240),
+                            (4, 32, -17, -1), (4, 32, 256)], 2)
+    tbl_payload = b""
+    if custom_ds:
+        tw = _BitWriterMSB()
+        for pref, rng in ((1, 8), (3, 4)):        # lines LOW..HIGH
+            tw.put(pref, 4)
+            tw.put(rng, 4)
+        tw.put(4, 4)                              # lower-range preflen
+        tw.put(4, 4)                              # upper-range preflen
+        tw.put(2, 4)                              # OOB preflen
+        tbl_payload = (bytes([1 | (3 << 1) | (3 << 4)])   # HTOOB, PS4, RS4
+                       + struct.pack(">ii", -16, 256) + tw.flush())
+
+    # ---- text region (SBHUFF=1): strips of height 1, TOPLEFT
+    fs_t, dt_t = _std_table(6), _std_table(11)
+    ds_t = ds_custom if custom_ds else _std_table(8)
+    symcodelen = max(1, (n - 1).bit_length())
+    tw = _BitWriterMSB()
+    # runcode lengths (35 x 4 bits): only runcode `symcodelen` coded,
+    # with prefix length 1 -> every symbol's length field is one 0-bit
+    for rc in range(35):
+        tw.put(1 if rc == symcodelen else 0, 4)
+    for _ in range(n):
+        tw.put(0, 1)                              # runcode -> symcodelen
+    tw.byte_align()
+    by_pos = sorted(placements, key=lambda p: (p[2], p[1]))
+    dt_t.encode(tw, 1)                            # STRIPT = -1 (B.11 >= 1)
+    prev_t = -1
+    first_s = 0
+    j = 0
+    while j < len(by_pos):
+        t = by_pos[j][2]
+        dt_t.encode(tw, t - prev_t)               # >= 1 per sorted order
+        prev_t = t
+        cur_s = None
+        while j < len(by_pos) and by_pos[j][2] == t:
+            sid, x, _y = by_pos[j][:3]
+            wj = symbols[sid].shape[1]
+            if cur_s is None:
+                fs_t.encode(tw, x - first_s)
+                first_s = x
+            else:
+                ds_t.encode(tw, x - cur_s)
+            tw.put(export_id[sid], symcodelen)
+            cur_s = x + wj - 1                    # TL post-advance
+            j += 1
+        ds_t.encode(tw, None)                     # OOB: end of strip
+    tr_flags = 1 | (1 << 4)                       # SBHUFF, TOPLEFT
+    hflags = (3 << 2) if custom_ds else 0         # DS selector
+    region_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
+    tr_payload = (region_info + struct.pack(">H", tr_flags)
+                  + struct.pack(">H", hflags)
+                  + struct.pack(">I", len(by_pos)) + tw.flush())
+
+    page_info = (struct.pack(">IIII", page_w, page_h, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    out = _segment(0, 48, 1, page_info)
+    out += _segment(1, 0, 1, sd_payload)
+    if custom_ds:
+        out += _segment(2, 53, 1, tbl_payload)
+        out += _segment(3, 6, 1, tr_payload, refs=(1, 2))
+        out += _segment(4, 49, 1, b"")
+    else:
+        out += _segment(2, 6, 1, tr_payload, refs=(1,))
+        out += _segment(3, 49, 1, b"")
+    return out
 
 
 def encode_refined_page(base: np.ndarray, final: np.ndarray, *,

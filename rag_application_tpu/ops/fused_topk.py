@@ -71,20 +71,24 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
     acc = jnp.int32 if int8_mode else jnp.float32
 
     def strip_scores(s):
-        """(Q, bs) scores + validity for column strip s of the block."""
+        """(Q, bs) scores + validity for column strip s of the block.
+        `valid` is None when every row is in-bounds and unmasked (the
+        fully-live aligned-capacity fast path) — callers then skip the
+        mask select entirely, trimming the VPU chain that runs under
+        the MXU contraction."""
         bs = block_rows // strips
         c = c_ref[pl.ds(s * bs, bs), :] if strips > 1 else c_ref[:]
         scores = jax.lax.dot_general(
             q, c, (((1,), (1,)), ((), ())), preferred_element_type=acc)
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        gcol = col + s * bs + i * block_rows
-        valid = jnp.ones(scores.shape, dtype=jnp.bool_)
+        valid = None
         if valid_n is not None:
-            valid = gcol < valid_n
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            valid = col + s * bs + i * block_rows < valid_n
         if mask_ref is not None:
             mrow = (mask_ref[pl.ds(s * bs, bs)] if strips > 1
                     else mask_ref[:])
-            valid = jnp.logical_and(valid, mrow[None, :])
+            m2 = jnp.broadcast_to(mrow[None, :], scores.shape)
+            valid = m2 if valid is None else jnp.logical_and(valid, m2)
         return scores, valid, bs
 
     # Bin along lanes: flat column c = r*LANES + lane, so the reshape
@@ -108,7 +112,8 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
         best = None
         for s in range(strips):
             scores, valid, bs = strip_scores(s)
-            sv = jnp.where(valid, scores, sentinel)
+            sv = scores if valid is None else \
+                jnp.where(valid, scores, sentinel)
             s3 = sv.reshape(qn, bs // LANES, LANES)
             row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) \
                 + s * (bs // LANES)
@@ -148,9 +153,11 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
             b = jax.lax.bitcast_convert_type(f, jnp.int32)
             key = b ^ jnp.bitwise_and(b >> 31, jnp.int32(0x7FFFFFFF))
             key = jnp.bitwise_and(key, jnp.int32(~rmask))
-            # INT_MIN sentinel: below every finite float key even after
-            # the row OR (most-negative finite key is ~ -2.14e9 + 2^23)
-            key = jnp.where(valid, key, int_min)
+            if valid is not None:
+                # INT_MIN sentinel: below every finite float key even
+                # after the row OR (most-negative finite key is
+                # ~ -2.14e9 + 2^23)
+                key = jnp.where(valid, key, int_min)
             k3 = key.reshape(qn, bs // LANES, LANES)
             row = jax.lax.broadcasted_iota(jnp.int32, k3.shape, 1) \
                 + s * (bs // LANES)
@@ -175,7 +182,8 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
             invr = (inv_ref[pl.ds(s * bs, bs)] if strips > 1
                     else inv_ref[:])
             scores = scores * invr[None, :]
-        scores = jnp.where(valid, scores, NEG)
+        if valid is not None:
+            scores = jnp.where(valid, scores, NEG)
         s3 = scores.reshape(qn, bs // LANES, LANES)
         m = jnp.max(s3, axis=1)  # (Q, LANES)
         iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) \

@@ -117,7 +117,9 @@ def fused_core(
     vecs: jax.Array,            # (cap, d) bf16 normalized
     int8: jax.Array,            # (cap, d) int8
     inv_norms: jax.Array,       # (cap, M) f32
-    live: jax.Array,            # (cap,) bool
+    live: Optional[jax.Array],  # (cap,) bool; None = provably all-live
+                                # (DenseIndex.fully_live) — the scan
+                                # skips mask DMA + select per strip
     valid_n: jax.Array,         # scalar int32 — logical size
     queries: jax.Array,         # (Q, d) f32 (unnormalized ok)
     filter_mask: Optional[jax.Array],   # (cap,) bool or None
@@ -153,7 +155,8 @@ def fused_core(
 
     mask = live
     if spec.has_filter and filter_mask is not None:
-        mask = jnp.logical_and(mask, filter_mask)
+        mask = (filter_mask if mask is None
+                else jnp.logical_and(mask, filter_mask))
 
     def corpus_scan(table, qs, limit, *, prefix_dim=None, inv=None):
         """Full-corpus candidate scan via the selected engine. `live` is
@@ -239,7 +242,8 @@ def fused_core(
         post_docs, post_w, doc_packed = sparse_arrays
         q_rows, q_terms, q_valid = sparse_queries
         n_sparse = doc_packed.shape[0] - 1
-        fm = mask[:n_sparse]  # live ∧ payload filter, row-aligned
+        # live ∧ payload filter, row-aligned (None = nothing masked)
+        fm = mask[:n_sparse] if mask is not None else None
         sp_vals, sp_ids = bm25_topk(
             post_docs, post_w, doc_packed,
             q_rows, q_terms, q_valid, spec.sparse_limit,
@@ -431,8 +435,11 @@ class FusedSearcher:
             k, use_sparse=sparse_queries is not None,
             use_matryoshka=use_matryoshka,
             has_filter=filter_mask is not None, funnel=funnel)
+        # provably all-live tables drop the mask plane from the scan
+        # (skips the per-strip mask DMA + select inside the kernel)
+        live = None if (filter_mask is None and d.fully_live) else d.live
         scores, ids = fused_hybrid(
-            d.vecs, d.int8, d.inv_norms, d.live,
+            d.vecs, d.int8, d.inv_norms, live,
             np.int32(d.size), q,
             jnp.asarray(filter_mask) if filter_mask is not None else None,
             sparse_arrays, sparse_queries, spec,
@@ -499,8 +506,9 @@ class FusedSearcher:
                                   int8_recip=int8_recip)
 
             fn = self._tok_jit[spec] = jax.jit(program)
+        live = None if (filter_mask is None and d.fully_live) else d.live
         return fn(self._enc_params, ids, attn_mask, d.vecs, d.int8,
-                  d.inv_norms, d.live, np.int32(d.size),
+                  d.inv_norms, live, np.int32(d.size),
                   jnp.asarray(filter_mask) if filter_mask is not None
                   else None,
                   sparse_arrays, sparse_queries, d.prefix_int8,

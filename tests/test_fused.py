@@ -208,3 +208,61 @@ def test_tokens_wire_matches_vector_wire():
                                rtol=1e-5)
     # self-retrieval sanity
     assert (np.asarray(i_tok)[:, 0] == np.arange(8)).all()
+
+
+def test_fully_live_maskless_path_matches_masked(rng):
+    """size == capacity with no deletes drops the live plane from the
+    scan (DenseIndex.fully_live); results must be identical to the
+    masked trace, and delete() must flip the index back to masking."""
+    cap, d = 512, 64
+    dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                   initial_capacity=cap))
+    embs = (rng.standard_normal((cap, d))
+            * np.exp(-0.03 * np.arange(d))).astype(np.float32)
+    dense.insert(embs)
+    assert dense.fully_live
+    f = FunnelConfig(matryoshka_limits=(), dense_limit=8,
+                     quantized_limit=8, sparse_limit=0, final_limit=5)
+    s = FusedSearcher(dense, None, f, scan_impl="pallas",
+                      scan_block_rows=128)
+    q = embs[:6] + 0.01 * rng.standard_normal((6, d)).astype(np.float32)
+    v_fast, i_fast = s.search(q, None, 5, use_matryoshka=False)
+    # force the masked trace on the same data
+    dense.has_deletes = True
+    assert not dense.fully_live
+    v_mask, i_mask = s.search(q, None, 5, use_matryoshka=False)
+    np.testing.assert_array_equal(np.asarray(i_fast), np.asarray(i_mask))
+    np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_mask),
+                               rtol=1e-5)
+    # a real delete must exclude the row (mask path engaged for good)
+    dense.has_deletes = False
+    dense.delete(np.asarray([0]))
+    assert not dense.fully_live
+    _, i_del = s.search(embs[:1], None, 5, use_matryoshka=False)
+    assert 0 not in np.asarray(i_del)
+
+
+def test_fully_live_capacity_mode_packed_scaled(rng):
+    """Capacity mode (per-row int8 scales) + fully-live: the
+    packed_scaled kernel runs without a mask plane and matches the
+    host oracle."""
+    from rag_application_tpu.ops.fused_topk import fused_scan_topk
+
+    cap, d = 512, 32
+    dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
+                                   store_bf16=False,
+                                   initial_capacity=cap))
+    embs = rng.standard_normal((cap, d)).astype(np.float32)
+    dense.insert(embs)
+    assert dense.fully_live and dense.int8_recip is not None
+    f = FunnelConfig(matryoshka_limits=(), dense_limit=8,
+                     quantized_limit=8, sparse_limit=0, final_limit=5)
+    s = FusedSearcher(dense, None, f, scan_impl="pallas",
+                      scan_block_rows=128)
+    q = embs[:8] + 0.01 * rng.standard_normal((8, d)).astype(np.float32)
+    _, ids = s.search(q, None, 5, use_matryoshka=False)
+    assert fused_scan_topk.last_path == "packed_scaled"
+    en = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    exact = np.argmax(qn @ en.T, axis=-1)
+    assert (np.asarray(ids)[:, 0] == exact).mean() >= 0.9

@@ -124,9 +124,12 @@ def test_symbol_text_single_symbol_and_reuse():
     np.testing.assert_array_equal(page, ref)
 
 
-def test_huffman_symbol_streams_unsupported():
-    """Huffman-coded symbol dictionaries / text regions raise (-> the
-    rasterizer-hook fallback), never decode garbage."""
+def test_huffman_flag_flip_never_decodes_garbage():
+    """Flipping SDHUFF on an arithmetic-coded stream yields a stream
+    whose Huffman parse is inconsistent — it must raise JBIG2Error
+    (-> rasterizer fallback), never return a wrong page. (Until r5
+    Huffman raised unconditionally; now it decodes, so this pins the
+    malformed-stream behavior instead.)"""
     from rag_application_tpu.ingest.jbig2 import _segment, encode_symbol_text
 
     glyph = np.ones((4, 4), np.uint8)
@@ -136,17 +139,17 @@ def test_huffman_symbol_streams_unsupported():
     sd_flags_lo = 30 + 11 + 1
     assert blob[sd_flags_lo - 1] == 0 and blob[sd_flags_lo] == 0
     blob[sd_flags_lo] |= 1
-    with pytest.raises(JBIG2Error, match="Huffman"):
+    with pytest.raises(JBIG2Error):
         decode_embedded(bytes(blob))
     assert decode_jbig2_params(bytes(blob), b"", 8, 8) is None
 
-    # a Huffman text region referencing a valid dict also raises
+    # a Huffman text region with no referred symbols also raises
     page_info = struct.pack(">IIII", 8, 8, 0, 0) + b"\x01\x00\x00"
     region = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
     tr = region + struct.pack(">H", 1) + struct.pack(">I", 1)  # SBHUFF=1
     stream = (_segment(0, 48, 1, page_info) + _segment(1, 6, 1, tr)
               + _segment(2, 49, 1, b""))
-    with pytest.raises(JBIG2Error, match="no symbols|Huffman"):
+    with pytest.raises(JBIG2Error, match="no symbols|short|exhausted"):
         decode_embedded(stream)
 
 
@@ -470,3 +473,97 @@ def test_symbol_dict_refagg_roundtrip():
     ref[:10, 0:8] |= glyph
     ref[:10, 10:18] |= target
     np.testing.assert_array_equal(page, ref)
+
+
+# ----------------------------------------------- Huffman forms (r5)
+
+def _place_ref(syms, places, w, h):
+    ref = np.zeros((h, w), np.uint8)
+    for sid, x, y in places:
+        s = syms[sid]
+        ref[y:y + s.shape[0], x:x + s.shape[1]] |= s
+    return ref
+
+
+def test_huffman_symbol_text_roundtrip(rng):
+    """SDHUFF=1 + SBHUFF=1 with standard Annex B tables: multi-height
+    dictionary, uncompressed collective bitmaps, runcode symbol-ID
+    table — decodes to the exact placement."""
+    from rag_application_tpu.ingest.jbig2 import encode_symbol_text_huffman
+
+    syms = [(rng.random((6, 5)) < 0.5).astype(np.uint8),
+            (rng.random((6, 4)) < 0.5).astype(np.uint8),
+            (rng.random((8, 7)) < 0.4).astype(np.uint8)]
+    places = [(0, 2, 1), (1, 10, 1), (2, 3, 12), (0, 14, 12), (1, 25, 3)]
+    blob = encode_symbol_text_huffman(syms, places, page_w=40, page_h=24)
+    np.testing.assert_array_equal(decode_embedded(blob),
+                                  _place_ref(syms, places, 40, 24))
+
+
+def test_huffman_custom_code_table(rng):
+    """DS routed through a referred type-53 custom code table (B.2):
+    the segment parses and the selector-3 path engages."""
+    from rag_application_tpu.ingest.jbig2 import encode_symbol_text_huffman
+
+    syms = [(rng.random((5, 6)) < 0.5).astype(np.uint8),
+            (rng.random((5, 3)) < 0.5).astype(np.uint8)]
+    places = [(0, 1, 2), (1, 9, 2), (0, 30, 2), (1, 5, 9)]
+    blob = encode_symbol_text_huffman(syms, places, page_w=40, page_h=16,
+                                      custom_ds=True)
+    np.testing.assert_array_equal(decode_embedded(blob),
+                                  _place_ref(syms, places, 40, 16))
+
+
+def test_huffman_many_symbols_wide_codes(rng):
+    """20 glyphs -> 5-bit symbol codes; several height classes."""
+    from rag_application_tpu.ingest.jbig2 import encode_symbol_text_huffman
+
+    syms = [(rng.random((3 + (i % 4), 2 + (i % 5))) < 0.5
+             ).astype(np.uint8) for i in range(20)]
+    places = [(i, (i % 8) * 9 + 1, (i // 8) * 9 + 1) for i in range(20)]
+    blob = encode_symbol_text_huffman(syms, places, page_w=80, page_h=32)
+    np.testing.assert_array_equal(decode_embedded(blob),
+                                  _place_ref(syms, places, 80, 32))
+
+
+def test_huffman_refinement_combo_raises(rng):
+    """SDHUFF + REFAGG and SBHUFF + SBREFINE stay on the rasterizer
+    hook (raise), never misdecode."""
+    from rag_application_tpu.ingest.jbig2 import (
+        _decode_symbol_dict, _decode_text_region)
+
+    # symbol dict flags: SDHUFF | REFAGG
+    with pytest.raises(JBIG2Error):
+        _decode_symbol_dict(struct.pack(">H", 3) + b"\x00" * 16, [])
+    # text region flags: SBHUFF | SBREFINE
+    payload = (struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
+               + struct.pack(">H", 3) + b"\x00" * 8)
+    with pytest.raises(JBIG2Error):
+        _decode_text_region(payload, [np.ones((2, 2), np.uint8)])
+
+
+def test_standard_tables_self_consistent():
+    """Every Annex B standard table round-trips values across its lines
+    (canonical code assignment + range arithmetic agree between the
+    encode and decode sides)."""
+    from rag_application_tpu.ingest.jbig2 import (
+        _BitReader, _BitWriterMSB, _STD_TABLE_SPECS, _std_table)
+
+    for tno in range(1, 16):
+        t = _std_table(tno)
+        vals = []
+        for p, r, lo, *s in _STD_TABLE_SPECS[tno][0]:
+            sign = s[0] if s else 1
+            if sign > 0:
+                vals += [lo] + ([lo + 1, lo + (1 << min(r, 10)) - 1]
+                                if r > 0 else [])
+            else:
+                vals += [lo, lo - 5]
+        if _STD_TABLE_SPECS[tno][1]:
+            vals.append(None)
+        bw = _BitWriterMSB()
+        for v in vals:
+            t.encode(bw, v)
+        br = _BitReader(bw.flush())
+        got = [t.decode(br) for _ in vals]
+        assert got == vals, f"table B.{tno}: {got} != {vals}"
