@@ -136,17 +136,6 @@ def run():
     # gaussian) — the test harness attaches over a slow relay, and 1M x
     # 768 f32 would otherwise be a multi-minute upload for data the chip
     # can make itself in milliseconds.
-    t0 = time.time()
-    vocab = 50_000
-    tokens = synth_tokens(rng, n, vocab=vocab)
-    t_synth = time.time() - t0
-    log(f"[bench] synth tokens: {t_synth:.1f}s")
-
-    scale_dev = jnp.exp(-0.003 * jnp.arange(d, dtype=jnp.float32))
-    gen_chunk = jax.jit(
-        lambda key: jax.random.normal(key, (100_000, d), dtype=jnp.float32)
-        * scale_dev)
-
     # First matryoshka stage at 128 (one bf16 lane tile): the coarse scan
     # reads 1/6th of the corpus bytes and runs 1/6th of the MXU work.
     # BENCH_STORE=int8 selects capacity mode (store_bf16=False): the
@@ -166,10 +155,35 @@ def run():
         # (measured compile OOM) — larger corpora keep the r1 block
         scan_block = int(os.environ.get("BENCH_SCAN_BLOCK", 32768))
         scan_strips = int(os.environ.get("BENCH_SCAN_STRIPS", 4))
+    if int8_only and d <= 768:
+        # r5 on-chip tune (2M, batch 2048, tune_capacity_scan): block
+        # 32768 strips 2 + the maskless fully-live path = 36.92 ms vs
+        # r4's 16384/s1 masked 40.30 (-8.4%); packed_scaled keys are
+        # int32 so the 2-strip tile fits where r2's f32 path could not
+        scan_block = int(os.environ.get("BENCH_SCAN_BLOCK", 32768))
+        scan_strips = int(os.environ.get("BENCH_SCAN_STRIPS", 2))
     if d > 768:
         scan_block = max(4096, (16384 * 768 // d) // 128 * 128)
     cap = (-(-n // scan_block) * scan_block if int8_only
            else 1 << (n - 1).bit_length())
+    if int8_only and cap != n:
+        # size == capacity lets DenseIndex.fully_live drop the mask
+        # plane from the scan (the -1..-2% of the r5 tune) — round the
+        # corpus up instead of leaving dead capacity rows
+        log(f"[bench] capacity mode: corpus rounded up {n} -> {cap} "
+            "rows (size == capacity engages the maskless scan)")
+        n = cap
+    t0 = time.time()
+    vocab = 50_000
+    tokens = synth_tokens(rng, n, vocab=vocab)
+    t_synth = time.time() - t0
+    log(f"[bench] synth tokens: {t_synth:.1f}s")
+
+    scale_dev = jnp.exp(-0.003 * jnp.arange(d, dtype=jnp.float32))
+    gen_chunk = jax.jit(
+        lambda key: jax.random.normal(key, (100_000, d), dtype=jnp.float32)
+        * scale_dev)
+
     dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(128, 256),
                                    store_bf16=not int8_only,
                                    initial_capacity=cap))
@@ -295,9 +309,28 @@ def run():
     # (the 128-d cascade stays available but adds no recall on this
     # corpus profile — the funnel-variant sweep lives in /tmp/tune1.log)
     t0 = time.time()
-    scores, ids = searcher.search(queries, q_texts, k,
-                                  use_matryoshka=False)
-    float(jnp.sum(scores))
+    try:
+        scores, ids = searcher.search(queries, q_texts, k,
+                                      use_matryoshka=False)
+        float(jnp.sum(scores))
+    except Exception as e:  # noqa: BLE001
+        # the capacity-mode 32768-row block is tuned at 2M; if a larger
+        # table trips a compile limit, fall back to the r4 layout
+        # (capacity is a 32768 multiple, hence also 16384-aligned)
+        if not int8_only or scan_block == 16384:
+            raise
+        log(f"[bench] scan block {scan_block}/s{scan_strips} failed "
+            f"({type(e).__name__}) — falling back to 16384/s1")
+        scan_block, scan_strips = 16384, 1
+        searcher = FusedSearcher(dense, sparse, funnel,
+                                 scan_impl="pallas",
+                                 scan_block_rows=scan_block,
+                                 scan_approx_sheet=True,
+                                 scan_q_block=q_block,
+                                 scan_strips=scan_strips)
+        scores, ids = searcher.search(queries, q_texts, k,
+                                      use_matryoshka=False)
+        float(jnp.sum(scores))
     t_compile = time.time() - t0
     log(f"[bench] first query batch (incl compile): {t_compile:.1f}s")
     from rag_application_tpu.ops.fused_topk import fused_scan_topk
@@ -420,6 +453,9 @@ def run():
         "corpus_size": n,
         "dim": d,
         "batch": batch,
+        "scan_block": scan_block,
+        "scan_strips": scan_strips,
+        "scan_path": scan_path,
         "p50_batch_ms": round(dt * 1e3, 2),
         "sync_rtt_ms": round(rtt * 1e3, 1),
         "dense_build_s": round(t_dense_build, 1),
