@@ -39,26 +39,34 @@ def main():
     batch = int(os.environ.get("TUNE_BATCH", 2048))
     qb = int(os.environ.get("TUNE_QBLOCK", 1024))
     reps = int(os.environ.get("TUNE_REPS", 8))
+    # TUNE_STORE=full: bf16+int8 layout (the 1M headline config) — the
+    # scan runs the pure packed path; capacity (default) runs
+    # packed_scaled with per-row recips
+    full = os.environ.get("TUNE_STORE") == "full"
     k = 10
 
     print(f"[tune] backend={jax.default_backend()} n={n} d={d} "
-          f"batch={batch}", file=sys.stderr)
+          f"batch={batch} store={'full' if full else 'int8'}",
+          file=sys.stderr)
     dense = DenseIndex(IndexConfig(dim=d, matryoshka_dims=(),
-                                   store_bf16=False, initial_capacity=n))
+                                   store_bf16=full, initial_capacity=n))
     scale = jnp.exp(-0.003 * jnp.arange(d, dtype=jnp.float32))
+    chunk = min(131_072, n)
     gen = jax.jit(lambda key: jax.random.normal(
-        key, (131_072, d), dtype=jnp.float32) * scale)
+        key, (chunk, d), dtype=jnp.float32) * scale)
     root = jax.random.PRNGKey(0)
     t0 = time.time()
-    for i in range(n // 131_072):
+    for i in range(n // chunk):
         dense.insert(gen(jax.random.fold_in(root, i)))
     float(jnp.sum(dense.inv_norms[-1]))
     print(f"[tune] build {time.time()-t0:.1f}s", file=sys.stderr)
-    assert dense.fully_live and dense.int8_recip is not None
+    assert dense.fully_live and (full or dense.int8_recip is not None)
 
     rows = dense.int8[jnp.asarray(
         np.random.default_rng(0).integers(0, n, batch))]
-    q = rows.astype(jnp.float32) * dense.int8_recip[:batch, None]
+    q = rows.astype(jnp.float32)
+    if not full:
+        q = q * dense.int8_recip[:batch, None]
     q = q + 0.05 * jax.random.normal(jax.random.PRNGKey(1), q.shape)
     q = jax.device_put(q)
     float(jnp.sum(q))

@@ -61,12 +61,19 @@ def _packed_fits(d: int, block_rows: int) -> bool:
 def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
                  *, valid_n: int | None, block_rows: int,
                  int8_mode: bool, packed: bool = False,
-                 packed_scaled: bool = False, strips: int = 1):
+                 packed_scaled: bool = False, strips: int = 1,
+                 strip_outputs: bool = False):
     i = pl.program_id(0)
     q = q_ref[:]
 
     qn = q.shape[0]
-    rows_total = block_rows // LANES
+    # strip_outputs: each strip emits its own LANES survivors (output
+    # bins = strips*LANES), so bins stay block_rows/strips/LANES rows
+    # wide — candidate DENSITY is decoupled from block size (big blocks
+    # keep small bins). Without it, strips combine via a running max
+    # into one LANES-wide output (bins span the whole block).
+    rows_total = block_rows // (LANES * strips if strip_outputs
+                                else LANES)
     lane = jax.lax.broadcasted_iota(jnp.int32, (qn, LANES), 1)
     acc = jnp.int32 if int8_mode else jnp.float32
 
@@ -115,10 +122,21 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
             sv = scores if valid is None else \
                 jnp.where(valid, scores, sentinel)
             s3 = sv.reshape(qn, bs // LANES, LANES)
-            row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) \
-                + s * (bs // LANES)
+            row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+            if not strip_outputs:
+                row = row + s * (bs // LANES)
             m = jnp.max(s3 * rows_total + (rows_total - 1 - row), axis=1)
-            best = m if best is None else jnp.maximum(best, m)
+            if strip_outputs:
+                vals = m // rows_total
+                local_row = (rows_total - 1) - (m - vals * rows_total)
+                vals_ref[0, :, pl.ds(s * LANES, LANES)] = jnp.where(
+                    vals <= sentinel, NEG, vals.astype(jnp.float32))
+                idx_ref[0, :, pl.ds(s * LANES, LANES)] = (
+                    local_row * LANES + lane + s * bs + i * block_rows)
+            else:
+                best = m if best is None else jnp.maximum(best, m)
+        if strip_outputs:
+            return
         vals = best // rows_total
         local_row = (rows_total - 1) - (best - vals * rows_total)
         vals_ref[0] = jnp.where(vals <= sentinel, NEG,
@@ -144,6 +162,15 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
         row_bits = max(1, (rows_total - 1).bit_length())
         rmask = (1 << row_bits) - 1
         int_min = jnp.int32(-(2**31))
+
+        def decode(m):
+            local_row = (rows_total - 1) - jnp.bitwise_and(m, rmask)
+            keyc = jnp.bitwise_and(m, jnp.int32(~rmask))
+            b2 = keyc ^ jnp.bitwise_and(keyc >> 31, jnp.int32(0x7FFFFFFF))
+            vals = jax.lax.bitcast_convert_type(b2, jnp.float32)
+            dead = m <= (int_min | jnp.int32(rmask))
+            return jnp.where(dead, NEG, vals), local_row
+
         best = None
         for s in range(strips):
             scores, valid, bs = strip_scores(s)
@@ -159,17 +186,22 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
                 # ~ -2.14e9 + 2^23)
                 key = jnp.where(valid, key, int_min)
             k3 = key.reshape(qn, bs // LANES, LANES)
-            row = jax.lax.broadcasted_iota(jnp.int32, k3.shape, 1) \
-                + s * (bs // LANES)
+            row = jax.lax.broadcasted_iota(jnp.int32, k3.shape, 1)
+            if not strip_outputs:
+                row = row + s * (bs // LANES)
             enc = jnp.bitwise_or(k3, (rows_total - 1 - row) & rmask)
             m = jnp.max(enc, axis=1)
-            best = m if best is None else jnp.maximum(best, m)
-        local_row = (rows_total - 1) - jnp.bitwise_and(best, rmask)
-        keyc = jnp.bitwise_and(best, jnp.int32(~rmask))
-        b2 = keyc ^ jnp.bitwise_and(keyc >> 31, jnp.int32(0x7FFFFFFF))
-        vals = jax.lax.bitcast_convert_type(b2, jnp.float32)
-        dead = best <= (int_min | jnp.int32(rmask))
-        vals_ref[0] = jnp.where(dead, NEG, vals)
+            if strip_outputs:
+                vals, local_row = decode(m)
+                vals_ref[0, :, pl.ds(s * LANES, LANES)] = vals
+                idx_ref[0, :, pl.ds(s * LANES, LANES)] = (
+                    local_row * LANES + lane + s * bs + i * block_rows)
+            else:
+                best = m if best is None else jnp.maximum(best, m)
+        if strip_outputs:
+            return
+        vals, local_row = decode(best)
+        vals_ref[0] = vals
         idx_ref[0] = local_row * LANES + lane + i * block_rows
         return
 
@@ -186,16 +218,23 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
             scores = jnp.where(valid, scores, NEG)
         s3 = scores.reshape(qn, bs // LANES, LANES)
         m = jnp.max(s3, axis=1)  # (Q, LANES)
-        iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) \
-            + s * (bs // LANES)
+        iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        if not strip_outputs:
+            iota = iota + s * (bs // LANES)
         hit = s3 == m[:, None, :]
         local_row = jnp.min(jnp.where(hit, iota, rows_total), axis=1)
-        if best_m is None:
+        if strip_outputs:
+            vals_ref[0, :, pl.ds(s * LANES, LANES)] = m
+            idx_ref[0, :, pl.ds(s * LANES, LANES)] = (
+                local_row * LANES + lane + s * bs + i * block_rows)
+        elif best_m is None:
             best_m, best_row = m, local_row
         else:
             better = m > best_m
             best_row = jnp.where(better, local_row, best_row)
             best_m = jnp.maximum(m, best_m)
+    if strip_outputs:
+        return
     vals_ref[0] = best_m
     idx_ref[0] = best_row * LANES + lane + i * block_rows
 
@@ -203,7 +242,8 @@ def _scan_kernel(c_ref, q_ref, inv_ref, mask_ref, vals_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "bins", "block_rows", "valid_n", "prefix_dim",
-                     "approx_sheet", "select", "q_block", "strips"),
+                     "approx_sheet", "select", "q_block", "strips",
+                     "strip_outputs"),
 )
 def fused_scan_topk(
     corpus: jax.Array,
@@ -226,6 +266,11 @@ def fused_scan_topk(
     strips: int = 1,  # split each block into column strips reduced
                       # immediately — only a (Q, B/strips) score tile is
                       # live, freeing VMEM for larger blocks
+    strip_outputs: bool = False,  # each strip emits its own LANES
+                      # survivors (output sheet = nb*strips*LANES): big
+                      # blocks keep small bins, so candidate density —
+                      # and with it recall — is decoupled from the
+                      # block/VMEM geometry
     q_block: Optional[int] = None,  # tile the query dim: the (q_block, B)
                                     # score tile is the VMEM limiter, so
                                     # tiling decouples batch size from
@@ -261,9 +306,10 @@ def fused_scan_topk(
     # query tile either way).
     if select:
         nb_est = cdiv(n, block_rows)
-        if 8 * nb_est * q_count * LANES > _SHEET_BYTES_BUDGET:
+        bo_est = LANES * strips if strip_outputs else LANES
+        if 8 * nb_est * q_count * bo_est > _SHEET_BYTES_BUDGET:
             step = max(q_block or 1024, 128)
-            qc = max(step, (_SHEET_BYTES_BUDGET // (8 * nb_est * LANES))
+            qc = max(step, (_SHEET_BYTES_BUDGET // (8 * nb_est * bo_est))
                      // step * step)
             if qc < q_count:
                 # trace-time telemetry (like last_path below): tests
@@ -278,6 +324,7 @@ def fused_scan_topk(
                         prefix_dim=prefix_dim, inv_norms=inv_norms,
                         mask=mask, approx_sheet=approx_sheet,
                         select=True, strips=strips,
+                        strip_outputs=strip_outputs,
                         q_block=q_block if q_block and q_block < qc
                         else None)
                     vs.append(v)
@@ -331,7 +378,8 @@ def fused_scan_topk(
         raise ValueError(
             f"block_rows {block_rows} not divisible by strips*{LANES}")
     use_packed = (int8_mode and inv_norms is None
-                  and _packed_fits(d_load, block_rows))
+                  and _packed_fits(d_load, block_rows // strips
+                                   if strip_outputs else block_rows))
     use_packed_scaled = int8_mode and inv_norms is not None
     # telemetry for bench/perf assertions: which reduce variant this
     # trace selected (the capacity-mode bench asserts packed_scaled is
@@ -348,7 +396,9 @@ def fused_scan_topk(
         packed=use_packed,
         packed_scaled=use_packed_scaled,
         strips=strips,
+        strip_outputs=strip_outputs,
     )
+    bins_out = LANES * strips if strip_outputs else LANES
 
     qb = q_block if q_block is not None else q_count
     nq = q_count // qb
@@ -392,14 +442,14 @@ def fused_scan_topk(
         grid=(nb, nq),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, qb, bins), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, qb, bins_out), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qb, bins), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, qb, bins_out), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, q_count, bins), jnp.float32),
-            jax.ShapeDtypeStruct((nb, q_count, bins), jnp.int32),
+            jax.ShapeDtypeStruct((nb, q_count, bins_out), jnp.float32),
+            jax.ShapeDtypeStruct((nb, q_count, bins_out), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             # the (Q, B) score tile + its int32 twin live on the kernel
@@ -409,15 +459,17 @@ def fused_scan_topk(
         interpret=use_interpret(),
     )(*args)
 
-    sheet_vals = jnp.transpose(vals, (1, 0, 2)).reshape(q_count, nb * bins)
-    sheet_idx = jnp.transpose(idx, (1, 0, 2)).reshape(q_count, nb * bins)
+    sheet_vals = jnp.transpose(vals, (1, 0, 2)).reshape(q_count,
+                                                        nb * bins_out)
+    sheet_idx = jnp.transpose(idx, (1, 0, 2)).reshape(q_count,
+                                                      nb * bins_out)
     if q_orig != q_count:
         sheet_vals = sheet_vals[:q_orig]
         sheet_idx = sheet_idx[:q_orig]
     if not select:
         return sheet_vals, sheet_idx
-    k_eff = min(k, nb * bins)
-    if approx_sheet and nb * bins > 2 * k_eff:
+    k_eff = min(k, nb * bins_out)
+    if approx_sheet and nb * bins_out > 2 * k_eff:
         top, pos = jax.lax.approx_max_k(sheet_vals, k_eff)
     else:
         top, pos = jax.lax.top_k(sheet_vals, k_eff)

@@ -62,6 +62,9 @@ class FusedSpec(NamedTuple):
     # >1: column-strip reduce inside the scan kernel (ops.fused_topk
     # strips) — smaller live score tile, VMEM headroom for larger blocks
     scan_strips: int = 1
+    # each strip emits its own 128 survivors (ops.fused_topk
+    # strip_outputs): candidate density decoupled from block size
+    scan_strip_outputs: bool = False
     # "dense": final exact dense rescore orders the union (Qdrant
     # parity). "rrf": fuse the dense-exact ranking with the BM25
     # ranking (FunnelConfig.final_fusion).
@@ -171,6 +174,7 @@ def fused_core(
                 approx_sheet=spec.scan_approx_sheet,
                 q_block=spec.scan_q_block or None,
                 strips=spec.scan_strips,
+                strip_outputs=spec.scan_strip_outputs,
             )
         return blocked_topk(
             table, qs, limit,
@@ -317,7 +321,8 @@ class FusedSearcher:
                  scan_block_rows: Optional[int] = None,
                  scan_approx_sheet: Optional[bool] = None,
                  scan_q_block: Optional[int] = None,
-                 scan_strips: Optional[int] = None):
+                 scan_strips: Optional[int] = None,
+                 scan_strip_outputs: Optional[bool] = None):
         # NOTE: the kernel bins along the 128 VPU lanes — bin size is
         # tuned via scan_block_rows (bins/block is fixed at 128).
         # Engine knobs default to the funnel config's (FunnelConfig
@@ -337,6 +342,9 @@ class FusedSearcher:
             getattr(f, "scan_q_block", 1024)
         self.scan_strips = scan_strips if scan_strips is not None else \
             getattr(f, "scan_strips", 1)
+        self.scan_strip_outputs = scan_strip_outputs \
+            if scan_strip_outputs is not None \
+            else getattr(f, "scan_strip_outputs", False)
 
     def _resolved_engine(self) -> Tuple[str, int]:
         """(impl, block_rows) with "auto" and the dim clamp applied."""
@@ -412,6 +420,7 @@ class FusedSearcher:
                    scan_approx_sheet=self.scan_approx_sheet,
                    scan_q_block=self.scan_q_block,
                    scan_strips=self.scan_strips,
+                   scan_strip_outputs=self.scan_strip_outputs,
                    scan_prefix_dim=(d.cfg.scan_prefix_dim
                                     if d.prefix_int8 is not None else 0))
         if d.int8 is None:  # store_int8=False: no quantized scan table

@@ -353,3 +353,47 @@ def test_query_chunked_select_matches_unchunked(monkeypatch):
                                   np.asarray(chunked[1]))
     np.testing.assert_allclose(np.asarray(base[0]), np.asarray(chunked[0]),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["packed", "packed_scaled", "f32"])
+def test_strip_outputs_sheet_exact(rng, mode):
+    """strip_outputs: each strip emits its own 128 survivors — the
+    survivor set must equal the brute-force per-(block, strip, lane)
+    argmax for all three kernel paths, decoupling candidate density
+    from block size."""
+    n, d, Q, block, strips = 2048, 64, 8, 512, 2
+    if mode == "f32":
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((Q, d)).astype(np.float32)
+        inv = None
+    else:
+        corpus = rng.integers(-127, 128, (n, d)).astype(np.int8)
+        queries = rng.integers(-127, 128, (Q, d)).astype(np.int8)
+        inv = ((0.5 + rng.random(n)).astype(np.float32)
+               if mode == "packed_scaled" else None)
+    scores = (queries.astype(np.float32) @ corpus.astype(np.float32).T)
+    if inv is not None:
+        scores = scores * inv[None, :]
+    v, i = fused_scan_topk(
+        jnp.asarray(corpus), jnp.asarray(queries), n, block_rows=block,
+        strips=strips, strip_outputs=True,
+        inv_norms=jnp.asarray(inv) if inv is not None else None,
+        select=False)
+    got_i, got_v = np.asarray(i), np.asarray(v)
+    assert got_i.shape == (Q, (n // block) * strips * 128)
+    bs = block // strips
+    ref = set()
+    for b in range(n // block):
+        for s in range(strips):
+            base = b * block + s * bs
+            seg = scores[:, base:base + bs].reshape(Q, -1, 128)
+            for qi in range(Q):
+                for lane in range(128):
+                    r = int(np.argmax(seg[qi, :, lane]))
+                    ref.add((qi, base + r * 128 + lane))
+    mine = {(qi, int(got_i[qi, j])) for qi in range(Q)
+            for j in range(got_i.shape[1])}
+    assert mine == ref
+    for qi in range(Q):
+        np.testing.assert_allclose(got_v[qi], scores[qi, got_i[qi]],
+                                   rtol=2e-4)
