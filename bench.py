@@ -97,7 +97,9 @@ def run():
     # micro-batches anyway (search/batcher.py).
     batch = int(os.environ.get("BENCH_BATCH", 8192))
     n_eval = min(128, batch)  # queries used for recall measurement
-    # (sampling std of recall@10 over 1280 pairs ~ 0.005)
+    # (sampling std of recall@10 over 1280 pairs ~ 0.005; capacity runs
+    # raise this to 512 below — the r5 ceiling study showed 128-query
+    # recall at 10M flaps +-0.007, docs/kernels.md)
     k = 10
 
     from rag_application_tpu.config import FunnelConfig, IndexConfig, SparseConfig
@@ -166,6 +168,8 @@ def run():
         scan_block = max(4096, (16384 * 768 // d) // 128 * 128)
     cap = (-(-n // scan_block) * scan_block if int8_only
            else 1 << (n - 1).bit_length())
+    if int8_only:
+        n_eval = min(512, batch)
     if int8_only and cap != n:
         # size == capacity lets DenseIndex.fully_live drop the mask
         # plane from the scan (the -1..-2% of the r5 tune) — round the
@@ -286,10 +290,17 @@ def run():
     # keeps recall — qlim 32 / dense 24 / sparse 12 with P=128 pool=16
     # measured 78.4k QPS at recall 0.9918 (256-query eval) vs 59.0k at
     # the previous 64/48/32 P=256 pool=64 point.
+    # Capacity mode widens the funnel to q64/d48: the r5 512-query
+    # sweep at 10M measured recall 0.9723 -> 0.9754 for +2% batch time,
+    # within noise of the int8-storage ceiling 0.9760 (docs/kernels.md
+    # "capacity-mode recall ceiling"); full mode keeps the 1M-tuned
+    # 32/24 point.
     funnel = FunnelConfig(
         matryoshka_limits=(512, 256),
-        dense_limit=int(os.environ.get("BENCH_DENSE_LIMIT", 24)),
-        quantized_limit=int(os.environ.get("BENCH_QLIM", 32)),
+        dense_limit=int(os.environ.get("BENCH_DENSE_LIMIT",
+                                       48 if int8_only else 24)),
+        quantized_limit=int(os.environ.get("BENCH_QLIM",
+                                           64 if int8_only else 32)),
         sparse_limit=int(os.environ.get("BENCH_SPARSE_LIMIT", 12)),
         final_limit=k,
     )
