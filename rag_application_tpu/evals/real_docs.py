@@ -129,17 +129,66 @@ def _default_fixture_dir() -> str:
     return os.path.join(here, "tests", "fixtures", "real")
 
 
+def _dedupe_texts(texts: Sequence[str], thresh: float = 0.7) -> List[str]:
+    """Drop near-duplicate chunks before contrastive pairing. The
+    fixture corpus carries the SAME resume as .pdf and .docx — in-batch
+    InfoNCE then pushes apart identical content as "negatives", which
+    measurably warps the tiny-corpus space (r5: trained recall@5 fell
+    below untrained until duplicates were excluded). Token-set Jaccard
+    is enough at this scale."""
+    kept: List[str] = []
+    kept_toks: List[set] = []
+    for t in texts:
+        toks = set(t.lower().split())
+        if any(len(toks & kt) / max(len(toks | kt), 1) > thresh
+               for kt in kept_toks):
+            continue
+        kept.append(t)
+        kept_toks.append(toks)
+    return kept
+
+
+def _retrieval_proxy(embedder, texts: Sequence[str], seed: int = 99) -> float:
+    """Self-supervised retrieval check aligned with the SERVED query
+    distribution: held-out keyword probes (high-IDF tokens of a chunk,
+    models/train_data.keyword_pairs with a seed training never uses)
+    must retrieve their source chunk top-1. The r5 analysis showed a
+    crop-based proxy passes encoders that measurably degrade keyword-
+    question retrieval — crops are the training distribution, keyword
+    probes are the user distribution. Used to gate the fine-tune:
+    training that degrades this is dead weight and is discarded."""
+    from ..models.train_data import keyword_pairs
+
+    rng = np.random.default_rng(seed)
+    probes = keyword_pairs(texts, rng, per_text=2)
+    if not probes:
+        return 0.0
+    doc = embedder.encode(list(texts))
+    qv = embedder.encode([q for q, _ in probes])
+    by_text = {t: i for i, t in enumerate(texts)}
+    want = np.array([by_text[t] for _, t in probes])
+    top1 = np.argmax(qv @ doc.T, axis=1)
+    return float(np.mean(top1 == want))
+
+
 def _train_encoder(embedder, texts: Sequence[str], steps: int,
                    seed: int = 0):
     """Contrastive crop-pair fine-tune of the in-repo encoder on the
     ingested corpus (models/train.py) — returns a NEW Embedder with the
-    trained weights and a fresh cache."""
+    trained weights and a fresh cache. Near-duplicate chunks are
+    excluded from pairing (false negatives), and the result is GATED on
+    a self-supervised retrieval proxy: if the trained weights retrieve
+    crops worse than the fresh ones, the fresh embedder is returned
+    (training must never be dead weight on a corpus it cannot help)."""
     from ..models.embedder import Embedder
     from ..models.encoder import EncoderState
     from ..models.train import TrainState, make_optimizer, make_train_step
-    from ..models.train_data import batches, crop_pairs, ict_pairs
+    from ..models.train_data import (batches, crop_pairs, ict_pairs,
+                                     keyword_pairs)
 
     texts = [t for t in texts if len(t.split()) >= 16]
+    full_texts = list(texts)
+    texts = _dedupe_texts(texts)
     if not texts or steps <= 0:
         return embedder
     optimizer = make_optimizer(lr=3e-4)
@@ -152,9 +201,13 @@ def _train_encoder(embedder, texts: Sequence[str], steps: int,
     epoch = 0
     while done < steps:
         # fresh views per epoch: symmetric crops (SimCSE) + asymmetric
-        # sentence->passage ICT pairs (question->passage geometry)
+        # sentence->passage ICT pairs (question->passage geometry) +
+        # keyword probes (high-IDF tokens -> chunk, the doc2query-style
+        # term that keeps question-anchor tokens discriminative — the
+        # crop/ICT-only mix measurably degraded keyword retrieval, r5)
         rng = np.random.default_rng(seed + epoch)
-        pairs = crop_pairs(texts, rng) + ict_pairs(texts, rng)
+        pairs = (crop_pairs(texts, rng) + ict_pairs(texts, rng)
+                 + keyword_pairs(texts, rng))
         epoch += 1
         if len(pairs) < 32:        # a full fixed-shape batch never forms
             break
@@ -174,8 +227,18 @@ def _train_encoder(embedder, texts: Sequence[str], steps: int,
                 break
     new_state = EncoderState(model=embedder.state.model,
                              params=state.params, cfg=embedder.cfg)
-    return Embedder(new_state, cfg=embedder.cfg, tokenizer=tok,
-                    batch_size=embedder.batch_size, max_len=max_len)
+    trained = Embedder(new_state, cfg=embedder.cfg, tokenizer=tok,
+                       batch_size=embedder.batch_size, max_len=max_len)
+    base_proxy = _retrieval_proxy(embedder, full_texts)
+    new_proxy = _retrieval_proxy(trained, full_texts)
+    if new_proxy < base_proxy:
+        import logging
+
+        logging.getLogger("rag_application_tpu.evals").warning(
+            "trained encoder gated off: crop-retrieval proxy "
+            "%.3f < untrained %.3f", new_proxy, base_proxy)
+        return embedder
+    return trained
 
 
 async def build_real_docs_stack(

@@ -87,6 +87,42 @@ def ict_pairs(texts: Sequence[str], rng: np.random.Generator,
     return pairs
 
 
+def keyword_pairs(texts: Sequence[str], rng: np.random.Generator,
+                  *, per_text: int = 2, min_terms: int = 3,
+                  max_terms: int = 7) -> List[Tuple[str, str]]:
+    """Keyword-probe pairs: pseudo-query = a handful of the text's
+    high-IDF tokens (shuffled), positive = the text. The LLM-free
+    analogue of doc2query/GPL query generation: real users ask
+    keyword-anchored questions ("pokemon stats sheet columns"), and
+    small-corpus InfoNCE on crops/ICT alone learns to DOWN-weight
+    exactly those cross-chunk anchor tokens (they repeat across a
+    document's chunks), measurably degrading question retrieval
+    (evals/real_docs.py r5 analysis). These pairs teach the encoder to
+    route rare anchors to their chunk — no needle/test leakage, IDF is
+    a corpus statistic."""
+    df: dict = {}
+    tok_lists = []
+    for t in texts:
+        toks = [w for w in t.lower().split() if len(w) >= 3]
+        tok_lists.append(toks)
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    n = max(len(texts), 1)
+    pairs = []
+    for t, toks in zip(texts, tok_lists):
+        uniq = list(dict.fromkeys(toks))
+        if len(uniq) < min_terms:
+            continue
+        idf = np.array([np.log(n / df[w]) + 0.1 for w in uniq])
+        p = idf / idf.sum()
+        for _ in range(per_text):
+            k = int(rng.integers(min_terms, max_terms + 1))
+            k = min(k, len(uniq))
+            pick = rng.choice(len(uniq), size=k, replace=False, p=p)
+            pairs.append((" ".join(uniq[i] for i in pick), t))
+    return pairs
+
+
 async def llm_query_pairs(texts: Sequence[str], llm,
                           *, max_pairs: int = 256) -> List[Tuple[str, str]]:
     """Synthesize a search query per chunk (query, chunk) — GPL recipe."""

@@ -85,3 +85,27 @@ def test_ict_pairs_asymmetric_views():
     assert len(ctx.split()) > len(query.split())
     # short texts yield nothing
     assert ict_pairs(["too short"], rng) == []
+
+
+def test_keyword_pairs_route_rare_anchors():
+    """Keyword probes: high-IDF tokens of a chunk, paired with it —
+    the doc2query-style term in the realdocs fine-tune mix."""
+    import numpy as np
+
+    from rag_application_tpu.models.train_data import keyword_pairs
+
+    texts = [
+        "sheet pokemon csv with 800 rows columns name attack defense",
+        "ragas retrieval augmented generation assessment framework eval",
+        "common words appear here and here and here again and again",
+    ]
+    pairs = keyword_pairs(texts, np.random.default_rng(0), per_text=3)
+    assert len(pairs) == 9
+    for q, t in pairs:
+        qt = q.split()
+        assert 3 <= len(qt) <= 7
+        # every probe token comes from its own text
+        assert all(w in t.lower().split() for w in qt)
+    # determinism under a fixed seed
+    again = keyword_pairs(texts, np.random.default_rng(0), per_text=3)
+    assert pairs == again
