@@ -231,13 +231,24 @@ def _train_encoder(embedder, texts: Sequence[str], steps: int,
                        batch_size=embedder.batch_size, max_len=max_len)
     base_proxy = _retrieval_proxy(embedder, full_texts)
     new_proxy = _retrieval_proxy(trained, full_texts)
-    if new_proxy < base_proxy:
-        import logging
+    import logging
 
-        logging.getLogger("rag_application_tpu.evals").warning(
-            "trained encoder gated off: crop-retrieval proxy "
-            "%.3f < untrained %.3f", new_proxy, base_proxy)
+    logger = logging.getLogger("rag_application_tpu.evals")
+    # STRICT margin: four controlled r5 runs (50/150/300 steps, with
+    # and without dedupe + keyword probes) measured trained encoders
+    # that PASS a non-degradation check yet lose 2-5 of 28 needle
+    # questions — corpus-derived probes cannot see damage in question
+    # vocabulary that never occurs in the corpus ("instrument-specific
+    # song versions"). Shipping the fine-tune therefore requires it to
+    # clearly win on the probes it CAN be measured on; anything less
+    # keeps the fresh encoder (BM25 + RRF carry keyword queries).
+    if new_proxy < base_proxy + 0.10:
+        logger.warning(
+            "trained encoder gated off: keyword-probe proxy %.3f vs "
+            "untrained %.3f (needs +0.10)", new_proxy, base_proxy)
         return embedder
+    logger.info("trained encoder shipped: keyword-probe proxy "
+                "%.3f vs untrained %.3f", new_proxy, base_proxy)
     return trained
 
 
