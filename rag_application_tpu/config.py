@@ -106,7 +106,11 @@ class FunnelConfig:
     # dense rescore (Qdrant query_points parity — right when the
     # encoder is strong). "rrf" = reciprocal-rank fusion of the dense
     # ranking with the BM25 ranking — keyword hits survive a weak or
-    # domain-shifted dense encoder (used by the real-docs eval).
+    # domain-shifted dense encoder. "dbsf" = distribution-based SCORE
+    # fusion (Qdrant's DBSF mode): per-query min-max-normalized scores
+    # summed — a leg with no score contrast (an untrained encoder)
+    # cannot dilute a leg with a decisive winner (used by the
+    # real-docs eval, r5).
     final_fusion: str = "dense"
     rerank: bool = False
     rerank_budget_tokens: int = 8000  # qdrant_handler.py:375

@@ -276,9 +276,12 @@ async def build_real_docs_stack(
     cfg = config or Config()
     if config is None:
         # keyword needles must survive a from-scratch dense encoder:
-        # rank the final union by dense+BM25 reciprocal-rank fusion
-        # instead of dense-only (FunnelConfig.final_fusion)
-        cfg.funnel.final_fusion = "rrf"
+        # rank the final union by score fusion instead of dense-only.
+        # r5 moved rrf -> dbsf: rank-RRF let lucky ranks from the
+        # contrast-free untrained dense leg dilute BM25's decisive
+        # keyword winners out of top-5 (both Pokemon needles); score
+        # fusion weighs each leg by its own per-query contrast.
+        cfg.funnel.final_fusion = "dbsf"
     llm = llm or LLMRouter(Provider.STUB)
     fixture_dir = fixture_dir or _default_fixture_dir()
     files = list(files or FIXTURES)
@@ -311,9 +314,47 @@ async def build_real_docs_stack(
     embedder = Embedder(cfg=cfg.encoder, batch_size=32, max_len=128)
     stack = await _ingest(embedder)
     if train_steps > 0:
-        embedder = _train_encoder(embedder, stack.chunk_texts, train_steps)
-        stack = await _ingest(embedder)
+        emb_t = _train_encoder(embedder, stack.chunk_texts, train_steps)
+        if emb_t is not embedder:
+            # END-TO-END gate (r5): the dense-only proxy inside
+            # _train_encoder is circular on tiny corpora (probes sit in
+            # the training distribution — a 300-step encoder cleared it
+            # while losing 3 of 28 needle questions). Decide at the
+            # STACK level instead: re-ingest with the trained encoder
+            # and compare both stacks on held-out keyword probes through
+            # the FULL hybrid funnel (fusion included). Keep the trained
+            # stack only if it strictly wins; where BM25+score-fusion
+            # already aces corpus probes, training has nothing provable
+            # to offer and the fresh stack ships.
+            stack_t = await _ingest(emb_t)
+            a0 = _stack_probe_accuracy(stack)
+            a1 = _stack_probe_accuracy(stack_t)
+            if a1 >= a0 + 0.02:
+                stack = stack_t
+            else:
+                import logging
+
+                logging.getLogger("rag_application_tpu.evals").warning(
+                    "trained stack gated off: full-funnel probe "
+                    "accuracy %.3f vs untrained %.3f", a1, a0)
     return stack
+
+
+def _stack_probe_accuracy(stack: "RealDocsStack", seed: int = 99) -> float:
+    """Held-out keyword probes answered by the stack's own hybrid
+    funnel: top-1 hit must be the probe's source chunk."""
+    from ..models.train_data import keyword_pairs
+
+    rng = np.random.default_rng(seed)
+    probes = keyword_pairs(stack.chunk_texts, rng, per_text=2)
+    if not probes:
+        return 0.0
+    ok = 0
+    for probe, src in probes:
+        qv = stack.embedder.encode([probe])[0]
+        hits = stack.collection.hybrid_search(qv, probe, limit=1)
+        ok += bool(hits and str(hits[0].payload.get("text", "")) == src)
+    return ok / len(probes)
 
 
 _WORD = re.compile(r"[a-z0-9%]+")

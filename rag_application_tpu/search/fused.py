@@ -279,6 +279,42 @@ def fused_core(
         * candidate_rescale(safe_ids)
     scores = jnp.where(keep, scores, NEG_INF)
 
+    if spec.final_fusion == "dbsf" and spec.sparse_limit and \
+            sparse_arrays is not None:
+        # Distribution-based SCORE fusion (the analogue of Qdrant's
+        # DBSF mode): min-max normalize each leg's scores per query and
+        # sum. Unlike rank-RRF, a leg whose scores barely separate (an
+        # untrained dense encoder ranking near-uniformly) contributes
+        # near-uniform normalized scores and cannot dilute a leg with a
+        # decisive winner (BM25 on rare-term keyword queries) — the
+        # failure mode behind the realdocs Pokemon needles (r5).
+        big = jnp.float32(3e38)
+        # dense cosines have no natural zero -> per-query min-max over
+        # the kept union (degenerate all-equal spread -> full weight)
+        lo = jnp.min(jnp.where(keep, scores, big), axis=-1,
+                     keepdims=True)
+        hi = jnp.max(jnp.where(keep, scores, -big), axis=-1,
+                     keepdims=True)
+        den = hi - lo
+        dn = jnp.where(den > 1e-9,
+                       (scores - lo) / jnp.maximum(den, 1e-9), 1.0)
+        # BM25 DOES have a natural zero (no term match), so the sparse
+        # leg normalizes by ratio-to-max: the runner-up of a 2-element
+        # list keeps its true relative weight instead of being zeroed
+        # (min-max floored the "Malipatel" chunk to 0 behind a
+        # stopword-heavy top hit — r5 subset regression)
+        sp_member = (all_ids[:, :, None] == sp_ids[:, None, :]) \
+            & sp_valid[:, None, :]
+        shi = jnp.max(jnp.where(sp_valid, sp_vals, 0.0), axis=-1,
+                      keepdims=True)
+        s_norm = jnp.maximum(sp_vals, 0.0) / jnp.maximum(shi, 1e-9)
+        sval = jnp.sum(jnp.where(sp_member, s_norm[:, None, :], 0.0),
+                       axis=-1)
+        fused = dn + sval
+        # dense score as an epsilon tie-break; -inf slots stay -inf
+        scores = jnp.where(keep, fused, NEG_INF) + \
+            jnp.where(keep, scores * 1e-6, scores)
+
     if spec.final_fusion == "rrf" and spec.sparse_limit and \
             sparse_arrays is not None:
         # Reciprocal-rank fusion of the dense-exact ranking with the

@@ -266,3 +266,32 @@ def test_fully_live_capacity_mode_packed_scaled(rng):
     qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
     exact = np.argmax(qn @ en.T, axis=-1)
     assert (np.asarray(ids)[:, 0] == exact).mean() >= 0.9
+
+
+def test_dbsf_fusion_resists_flat_dense_dilution(rng):
+    """final_fusion="dbsf": a contrast-free dense leg must not dilute
+    BM25's decisive keyword winner out of the top-k (the rank-RRF
+    failure mode on the realdocs Pokemon needles, r5)."""
+    from rag_application_tpu.ops.rrf import INVALID_ID
+
+    dense = DenseIndex(IndexConfig(dim=32, matryoshka_dims=(),
+                                   initial_capacity=64))
+    sparse = SparseIndex(SparseConfig(candidate_pool=64,
+                                      max_query_terms=8))
+    # 40 near-identical docs (flat dense scores) + one keyword needle
+    base = rng.standard_normal(32).astype(np.float32)
+    embs = np.stack([base + 0.01 * rng.standard_normal(32)
+                     for _ in range(40)]).astype(np.float32)
+    dense.insert(embs)
+    texts = ["common words everywhere alike"] * 39 + [
+        "bulbasaur grass poison stats sheet"]
+    sparse.add_batch(texts)
+    f = FunnelConfig(matryoshka_limits=(), dense_limit=8,
+                     quantized_limit=16, sparse_limit=8, final_limit=5,
+                     final_fusion="dbsf")
+    s = FusedSearcher(dense, sparse, f, scan_impl="xla")
+    q = (base + 0.01 * rng.standard_normal(32)).astype(np.float32)
+    _, ids = s.search(q[None], ["bulbasaur stats sheet"], 5,
+                      use_matryoshka=False)
+    ids = np.asarray(ids)[0]
+    assert 39 in ids[ids != INVALID_ID]  # the keyword needle survives
