@@ -14,7 +14,7 @@ Environment knobs:
   BENCH_DIM      vector dim (default 768)
   BENCH_BATCH    query batch size (default 8192)
   BENCH_SMALL=1  quick mode (100k corpus) for smoke runs
-  BENCH_BUDGET_S total wall budget (default 3300): aux legs whose
+  BENCH_BUDGET_S total wall budget (default 4500): aux legs whose
                  estimate would overrun are skipped (-> skipped_legs)
 
 The record is UN-LOSEABLE (VERDICT r4 #1): a cumulative JSON line is
@@ -482,7 +482,11 @@ def run():
         "skipped_legs": [],
         "partial": True,
     }
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 3300))
+    # default sized to the full leg sequence: core+wire ~700s, decoder
+    # ~400s, realdocs ~600s, trained realdocs 1600-2300s measured on
+    # chip (r5) — 4500 lets everything run; the cumulative emission
+    # protects against any harder external timeout anyway
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 4500))
 
     def emit(final: bool = False):
         """Print the cumulative record as ONE JSON line. The driver
@@ -912,7 +916,7 @@ def run():
         # in-repo encoder on the ingested corpus, grade side by side.
         # Training runs on the bench backend when it's a real chip.
         steps = os.environ.get("BENCH_REALDOCS_TRAIN", "300")
-        if steps != "0" and leg_allowed("realdocs_trained", 1200):
+        if steps != "0" and leg_allowed("realdocs_trained", 1800):
             env_t = {"REALDOCS_TRAIN_STEPS": steps}
             if jax.default_backend() == "tpu" and not os.environ.get(
                     "BENCH_PLATFORM"):
