@@ -76,19 +76,29 @@ def main():
                           final_limit=k)
     out = {}
     variants = [
-        ("b16384_s1_masked", 16384, 1, True),
-        ("b16384_s1_live", 16384, 1, False),
-        ("b32768_s4_live", 32768, 4, False),
-        ("b32768_s4_masked", 32768, 4, True),
-        ("b32768_s2_live", 32768, 2, False),
+        ("b16384_s1_masked", 16384, 1, True, False),
+        ("b16384_s1_live", 16384, 1, False, False),
+        ("b32768_s4_live", 32768, 4, False, False),
+        ("b32768_s4_masked", 32768, 4, True, False),
+        ("b32768_s2_live", 32768, 2, False, False),
+        # strip_outputs: rows-per-bin drops back to block/strips/128,
+        # which re-enables the PACKED reduce at b32768 in full mode
+        # (the running-max layout overflows the int32 packing there)
+        ("b32768_s4_so_masked", 32768, 4, True, True),
+        ("b32768_s4_so_live", 32768, 4, False, True),
+        ("b32768_s2_so_masked", 32768, 2, True, True),
     ]
-    for name, block, strips, masked in variants:
+    if os.environ.get("TUNE_VARIANTS"):
+        allow = set(os.environ["TUNE_VARIANTS"].split(","))
+        variants = [v for v in variants if v[0] in allow]
+    for name, block, strips, masked, so in variants:
         if os.environ.get("TUNE_ONLY") and name != os.environ["TUNE_ONLY"]:
             continue
         dense.has_deletes = masked
         s = FusedSearcher(dense, None, funnel, scan_impl="pallas",
                           scan_block_rows=block, scan_approx_sheet=True,
-                          scan_q_block=qb, scan_strips=strips)
+                          scan_q_block=qb, scan_strips=strips,
+                          scan_strip_outputs=so)
         try:
             t0 = time.time()
             v, ids = s.search_prepared((q, None), k, use_matryoshka=False)
